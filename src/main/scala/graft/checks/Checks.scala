@@ -1,0 +1,272 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model._
+
+/** The nine check families of the reference (SURVEY.md §2.1, O1-O14),
+  * re-expressed as declarative Dataset/Column transforms. No SQL strings are
+  * templated — Catalyst gets whole plans and optimizes them (predicate
+  * pushdown, partial aggregation, broadcast selection, AQE).
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - PK: one hash-aggregate pass computes allRowCnt + failedRowCnt together
+  *    (the reference ran the same SQL twice and complained about it,
+  *    GQ:575 "为什么同样的SQL要跑两遍"). Partial aggregation halves shuffle
+  *    volume; AQE handles skewed keys.
+  *  - FK/PC: left-anti join; dictionary-sized fathers broadcast
+  *    (north_rule), big fathers use shuffle-hash (preferSortMergeJoin=false)
+  *    because the build side (distinct father keys) is far smaller than the
+  *    probe side and sorting 100 TB of child keys is wasted work.
+  *  - ZC: window lag — one shuffle; the reference's row_number self-join
+  *    (GQ:491-509) would shuffle the table twice and join it to itself.
+  *  - details are LIMIT-ed (50/500 ≈ GQ:185,593) so the driver never
+  *    collects unbounded violation sets.
+  */
+object Checks {
+
+  val KeySampleCap = 50 // sampleNbr, GQ:185
+  val CodeSampleCap = 500 // hardcoded, GQ:593,610
+  val MaxSampleCols = 10 // checkColumn1..10 guard, GQ:1267-1277
+
+  private def applyWhere(df: DataFrame, where: Option[String]): DataFrame =
+    where.fold(df)(w => df.filter(expr(w)))
+
+  /** Empty/null conflation guard Teradata-style: coalesce(col,'')<>''
+    * (GQ:568, GQ:2181-2183). Applied per key column when a rule asks for it.
+    */
+  private def nonEmpty(c: Column): Column =
+    coalesce(c.cast("string"), lit("")) =!= ""
+
+  /** checkColumn1..N detail projection (GQ:1273-1277), capped at 10. */
+  private def sampleProjection(cols: Seq[String]): Seq[Column] =
+    cols.take(MaxSampleCols).zipWithIndex.map { case (c, i) =>
+      expr(c).cast("string").as(s"checkColumn${i + 1}")
+    }
+
+  // ---- O2/O3: PK uniqueness ----------------------------------------------
+
+  def pk(rule: PkRule, df0: DataFrame): CheckPlan = {
+    val df = applyWhere(df0, rule.where)
+    // alias key expressions so expression keys ("coalesce(k,'')") survive
+    // into the grouped output — the reference needed an alias-strip regex
+    // for this (GQ:234,1209-1213); typed Columns just carry a name
+    val keys = rule.keyCols.zipWithIndex.map { case (c, i) =>
+      expr(c).as(s"checkColumn${i + 1}")
+    }
+    val grouped = df.groupBy(keys: _*).agg(count(lit(1)).as("dup_cnt"))
+    val dupGroups = grouped.filter(col("dup_cnt") > 1)
+    // single aggregation pass → both counters (fixes GQ:575's double scan)
+    val countsDf = grouped.agg(
+      coalesce(sum(col("dup_cnt")), lit(0L)).as("all_cnt"),
+      coalesce(sum(when(col("dup_cnt") > 1, col("dup_cnt"))), lit(0L))
+        .as("failed_cnt"))
+    val nKeys = math.min(rule.keyCols.length, MaxSampleCols)
+    val keyRefs = (1 to nKeys).map(i => col(s"checkColumn$i"))
+    val detail = dupGroups
+      .select((1 to nKeys).map(i =>
+        col(s"checkColumn$i").cast("string").as(s"checkColumn$i")) :+
+        col("dup_cnt").as("sampleCnt"): _*)
+      .orderBy(col("sampleCnt").desc +: keyRefs: _*)
+      .limit(KeySampleCap)
+    CheckPlan(rule, dupGroups, countsDf, detail)
+  }
+
+  /** Row-level PK violation flag (for keep/drop pipelines): true when the
+    * row's key occurs more than once. Window count over the key partition.
+    */
+  def pkViolationCol(keyCols: Seq[String]): Column =
+    count(lit(1)).over(Window.partitionBy(keyCols.map(expr): _*)) > 1
+
+  // ---- O4/O5: FK referential ---------------------------------------------
+
+  /** Child keys truncated to father arity (GQ:1649-1651). */
+  private def fkKeys(childCols: Seq[String], fatherCols: Seq[String])
+      : Seq[(String, String)] =
+    childCols.zip(fatherCols) // zip truncates to the shorter list
+
+  def fk(rule: FkRule, child0: DataFrame, father0: DataFrame): CheckPlan = {
+    val keys = fkKeys(rule.keyCols, rule.fatherCols)
+    val child = applyWhere(child0, rule.where)
+    val father = applyWhere(father0, rule.fatherWhere)
+    // guard replicates the reference's `col<>''` convention around NOT IN
+    val guarded =
+      if (rule.emptyGuard)
+        keys.foldLeft(child)((d, k) => d.filter(nonEmpty(expr(k._1))))
+      else child
+    // father keys renamed to avoid child/father name collisions
+    val fatherKeys0 = father
+      .select(keys.map { case (_, f) => expr(f).as(s"__fk_$f") }: _*).distinct()
+    val fatherKeys =
+      if (rule.broadcastFather) broadcast(fatherKeys0) else fatherKeys0
+    val cond = keys.map { case (c, f) => expr(c) === fatherKeys(s"__fk_$f") }
+      .reduce(_ && _)
+    val orphans = guarded.join(fatherKeys, cond, "left_anti")
+    // scalar cross join of the two counts ≈ reference's ON 1=1 (O13)
+    val countsDf = guarded.agg(count(lit(1)).as("all_cnt"))
+      .crossJoin(orphans.agg(count(lit(1)).as("failed_cnt")))
+    val detail = orphans
+      .groupBy(keys.map { case (c, _) => expr(c) }: _*)
+      .agg(count(lit(1)).as("sampleCnt"))
+      .select(sampleProjection(keys.map(_._1)) :+ col("sampleCnt"): _*)
+      .orderBy(col("sampleCnt").desc +: (1 to math.min(keys.length,
+        MaxSampleCols)).map(i => col(s"checkColumn$i")): _*)
+      .limit(KeySampleCap)
+    CheckPlan(rule, orphans, countsDf, detail)
+  }
+
+  // ---- O6: FC bidirectional ----------------------------------------------
+
+  def fc(rule: FcRule, child0: DataFrame, father0: DataFrame): CheckPlan = {
+    val keys = fkKeys(rule.keyCols, rule.fatherCols)
+    val child = applyWhere(child0, rule.where)
+    val father = applyWhere(father0, rule.fatherWhere)
+    val childKeys = child
+      .select(keys.map { case (c, _) => expr(c).as(c) }: _*).distinct()
+    val fatherKeys = father
+      .select(keys.map { case (_, f) => expr(f).as(f) }: _*).distinct()
+    val fwdCond = keys.map { case (c, f) => child(c) === fatherKeys(f) }
+      .reduce(_ && _)
+    val revCond = keys.map { case (c, f) => father(f) === childKeys(c) }
+      .reduce(_ && _)
+    val fwd = child.join(fatherKeys, fwdCond, "left_anti") // child w/o father
+    val rev = father.join(childKeys, revCond, "left_anti") // father w/o child
+    // samples tagged 'C' (child-side orphan) / 'F' (father-side), GQ:1974,1980
+    val fwdD = fwd.select(lit("C").as("fcInd") +: sampleProjection(keys.map(_._1)): _*)
+    val revD = rev.select(lit("F").as("fcInd") +: sampleProjection(keys.map(_._2)): _*)
+    val viol = fwdD.unionByName(revD)
+    val countsDf = child.agg(count(lit(1)).as("c_all"))
+      .crossJoin(father.agg(count(lit(1)).as("f_all")))
+      .crossJoin(fwd.agg(count(lit(1)).as("c_fail")))
+      .crossJoin(rev.agg(count(lit(1)).as("f_fail")))
+      .select((col("c_all") + col("f_all")).as("all_cnt"),
+        (col("c_fail") + col("f_fail")).as("failed_cnt"))
+    val detail = viol
+      .groupBy(viol.columns.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("sampleCnt"))
+      .orderBy(col("sampleCnt").desc +: viol.columns.map(col).toIndexedSeq: _*)
+      .limit(KeySampleCap)
+    CheckPlan(rule, viol, countsDf, detail)
+  }
+
+  // ---- O7: zipper-chain interval overlap ---------------------------------
+
+  def zc(rule: ZcRule, df0: DataFrame): CheckPlan = {
+    val df = applyWhere(df0, rule.where)
+    val orderCols = (rule.startCol +: rule.orderTiebreak).map(expr)
+    val w = Window.partitionBy(rule.keyCols.map(expr): _*).orderBy(orderCols: _*)
+    val withPrev = df.withColumn("prev_end", lag(expr(rule.endCol), 1).over(w))
+    val viol = withPrev.filter(
+      col("prev_end").isNotNull && expr(rule.startCol) < col("prev_end"))
+    val countsDf = withPrev.agg(
+      count(lit(1)).as("all_cnt"),
+      coalesce(sum(when(col("prev_end").isNotNull &&
+        expr(rule.startCol) < col("prev_end"), 1L)), lit(0L)).as("failed_cnt"))
+    val projCols = rule.keyCols ++ Seq(rule.startCol, rule.endCol)
+    val detail = viol
+      .select(sampleProjection(projCols) :+ lit(1L).as("sampleCnt"): _*)
+      .orderBy((1 to math.min(projCols.length, MaxSampleCols))
+        .map(i => col(s"checkColumn$i")): _*)
+      .limit(KeySampleCap)
+    CheckPlan(rule, viol, countsDf, detail)
+  }
+
+  // ---- O8/O9: code-value domain (VC/SC) ----------------------------------
+
+  def domainViolationCol(rule: DomainRule): Column = {
+    val c = expr(rule.col).cast("string")
+    // big value sets become Catalyst InSet (O(1) probe) automatically
+    val notInSet =
+      if (rule.values.isEmpty) lit(true) // missing dict key ⇒ everything fails (GQ:2346-2347 semantics: empty set)
+      else !c.isin(rule.values.toSeq: _*)
+    if (rule.isEmptyGuard) nonEmpty(c) && notInSet
+    else notInSet || c.isNull
+  }
+
+  def domain(rule: DomainRule, df0: DataFrame): CheckPlan = {
+    val df = applyWhere(df0, rule.where)
+    val violCol = domainViolationCol(rule)
+    val viol = df.filter(violCol)
+    val countsDf = df.agg(
+      count(lit(1)).as("all_cnt"),
+      coalesce(sum(when(violCol, 1L)), lit(0L)).as("failed_cnt"))
+    // offending values + counts, SAMPLE 500 → code_Detail (GQ:576-626)
+    val detail = viol.groupBy(expr(rule.col).cast("string").as("cdeVal"))
+      .agg(count(lit(1)).as("sampleCnt"))
+      .orderBy(col("sampleCnt").desc, col("cdeVal"))
+      .limit(CodeSampleCap)
+    CheckPlan(rule, viol, countsDf, detail)
+  }
+
+  // ---- O10: PDM code-table domain (PC) -----------------------------------
+
+  def codeTable(rule: CodeTableRule, df0: DataFrame, dim0: DataFrame)
+      : CheckPlan = {
+    val keys = fkKeys(rule.keyCols, rule.codeCols)
+    val df = applyWhere(df0, rule.where)
+    val guarded =
+      if (rule.isEmptyGuard)
+        keys.foldLeft(df)((d, k) => d.filter(nonEmpty(expr(k._1))))
+      else df
+    // code dictionaries are small by construction → always broadcast
+    val dimKeys = broadcast(
+      dim0.select(keys.map { case (_, f) => expr(f).as(s"__pc_$f") }: _*)
+        .distinct())
+    val cond = keys.map { case (c, f) => expr(c) === dimKeys(s"__pc_$f") }
+      .reduce(_ && _)
+    val viol = guarded.join(dimKeys, cond, "left_anti")
+    val countsDf = guarded.agg(count(lit(1)).as("all_cnt"))
+      .crossJoin(viol.agg(count(lit(1)).as("failed_cnt")))
+    val detail = viol
+      .groupBy(keys.map { case (c, _) => expr(c).cast("string").as(c) }: _*)
+      .agg(count(lit(1)).as("sampleCnt"))
+      .orderBy(col("sampleCnt").desc +: keys.map(k => col(k._1)): _*)
+      .limit(CodeSampleCap)
+    CheckPlan(rule, viol, countsDf, detail)
+  }
+
+  // ---- O11/O12: custom transforms ----------------------------------------
+
+  def custom(rule: CustomRule, df: DataFrame): CheckPlan = {
+    val out = rule.transform(df)
+    // reference: run + record, verdict blank, failedCnt -1 (GQ:2972,3001)
+    val countsDf = out.agg(count(lit(1)).as("all_cnt"))
+      .withColumn("failed_cnt", lit(-1L))
+    CheckPlan(rule, out, countsDf, out.limit(KeySampleCap))
+  }
+
+  def expectedCount(rule: ExpectedCountRule, df: DataFrame): CheckPlan = {
+    val out = rule.transform(df)
+    // failedCnt = count - expected (GQ:3159); verdict N iff != 0
+    val countsDf = out.agg(count(lit(1)).as("all_cnt"))
+      .select(col("all_cnt"), (col("all_cnt") - rule.expected).as("failed_cnt"))
+    CheckPlan(rule, out, countsDf, out.limit(KeySampleCap))
+  }
+
+  // ---- runner: plans → audit rows (O13/O14) ------------------------------
+
+  /** Execute compiled plans into check_Result-shaped audit rows. */
+  def run(spark: SparkSession, batchId: String, plans: Seq[CheckPlan])
+      : Seq[CheckResult] =
+    plans.map { p =>
+      val (all, failed) = p.counts()
+      val verdict = p.rule match {
+        case _: CustomRule => "" // UC never passes judgement
+        case _: ExpectedCountRule => if (failed == 0L) "Y" else "N"
+        case _ => Verdict.of(failed)
+      }
+      val (tpe, colNm) = p.rule match {
+        case r: PkRule => ("PK", r.keyCols.mkString(","))
+        case r: FkRule => ("FK", r.keyCols.mkString(","))
+        case r: FcRule => ("FC", r.keyCols.mkString(","))
+        case r: ZcRule => ("ZC", (r.keyCols ++ Seq(r.startCol, r.endCol)).mkString(","))
+        case r: DomainRule => ("VC", r.col)
+        case r: CodeTableRule => ("PC", r.keyCols.mkString(","))
+        case _: CustomRule => ("UC", "")
+        case _: ExpectedCountRule => ("UU", "")
+      }
+      CheckResult(p.rule.id, batchId, "", p.rule.table, colNm, tpe,
+        verdict, all, failed, p.rule.description)
+    }
+}

@@ -1,0 +1,69 @@
+package graft.filter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII / secret scrubbing via declarative regex patterns (north_rule:
+  * "regex-driven PII/toxicity scrubbing (emails, keys, secrets)").
+  *
+  * Patterns are applied in a FIXED declared order — scrubbing must be
+  * deterministic across partitionings so retained-content sha256s are
+  * stable (SURVEY.md §7 hard part (b)). Both the Spark path
+  * (`regexp_replace`/`regexp_count`, which compile to java.util.regex) and
+  * the JVM twin `scrubPlain` share the same pattern strings, so their
+  * outputs are byte-identical by construction; tests assert it anyway.
+  */
+object Scrub {
+
+  /** (rule id, java-regex pattern, replacement). Order matters. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", "AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,}", "<TOKEN>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("jwt", "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}",
+      "<JWT>"))
+
+  /** Secrets that cannot be safely scrubbed in place → whole-file drop. */
+  val dropPatterns: Seq[(String, String)] = Seq(
+    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+
+  /** Per-pattern match-count columns (lineage: "scrub counts"). */
+  def countCols(content: Column): Seq[(String, Column)] =
+    patterns.map { case (id, p, _) =>
+      s"scrub_$id" -> regexp_count(content, lit(p))
+    }
+
+  /** The scrubbed content: ordered regexp_replace chain, one projection. */
+  def scrubCol(content: Column): Column =
+    patterns.foldLeft(content) { case (c, (_, p, r)) =>
+      regexp_replace(c, lit(p), lit(r))
+    }
+
+  /** Drop-rule columns for unsalvageable secrets. */
+  def dropCols(content: Column): Seq[(String, Column)] =
+    dropPatterns.map { case (id, p) => id -> content.rlike(p) }
+
+  // ---- plain-JVM twin (used by test oracles and driver-side checks) ------
+
+  private lazy val compiled =
+    patterns.map { case (id, p, r) => (id, java.util.regex.Pattern.compile(p), r) }
+  private lazy val compiledDrop =
+    dropPatterns.map { case (id, p) => (id, java.util.regex.Pattern.compile(p)) }
+
+  def scrubPlain(text: String): (String, Map[String, Int]) = {
+    var out = text
+    val counts = Map.newBuilder[String, Int]
+    compiled.foreach { case (id, p, r) =>
+      val m = p.matcher(out)
+      var n = 0
+      while (m.find()) n += 1
+      if (n > 0) out = p.matcher(out).replaceAll(r)
+      counts += (id -> n)
+    }
+    (out, counts.result())
+  }
+
+  def hasDropSecret(text: String): Boolean =
+    compiledDrop.exists(_._2.matcher(text).find())
+}

@@ -1,0 +1,72 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.corpus.CorpusGen
+import graft.filter.QualityPipeline
+import graft.model.{FileRow, FileVerdict, LineageRow}
+
+/** Resumable end-to-end run of the quality-filter pipeline over a corpus,
+  * with staged checkpoints and lineage/metrics publication — the Spark
+  * recast of the reference's batch lifecycle (SURVEY.md §3.1): per-batch
+  * isolation via staged writes, atomic-ish publish, audit rows at the end.
+  */
+object Runner {
+
+  final case class RunReport(
+      runId: String,
+      rows: Long,
+      kept: Long,
+      lineage: Seq[LineageRow])
+
+  /** Run (or resume) the pipeline. Stages:
+    *   1. "annotated" — scored + rule-annotated frame (the expensive pass)
+    *   2. "verdicts"  — narrowed keep/drop output (the published dataset)
+    *   3. lineage parquet — per-rule and per-partition metrics
+    * A crash between stages resumes from the last completed marker.
+    */
+  def run(spark: SparkSession, files: Dataset[FileRow], commitsDim: DataFrame,
+      workDir: String, runId: String,
+      cfg: QualityPipeline.Config = QualityPipeline.Config()): RunReport = {
+    import spark.implicits._
+
+    val annotated = Checkpoint.stage(spark, workDir, "annotated") {
+      QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg)
+    }
+    val verdictsDf = Checkpoint.stage(spark, workDir, "verdicts") {
+      QualityPipeline.verdicts(annotated).toDF()
+    }
+    val lineage = QualityPipeline.lineage(annotated, runId, cfg)
+    if (!Checkpoint.isDone(spark, workDir, "lineage")) {
+      Checkpoint.stage(spark, workDir, "lineage") {
+        lineage.toDS().toDF()
+          .unionByName(
+            QualityPipeline.partitionLineage(annotated, runId)
+              .selectExpr(s"'$runId' as runId", "'partition' as stage",
+                "cast(partition_id as string) as ruleId",
+                "rows_scanned as rowsScanned", "violations",
+                "cast(0 as bigint) as scrubCount"))
+      }
+    }
+    val counts = verdictsDf.selectExpr("count(*) as n",
+      "coalesce(sum(case when keep then 1 else 0 end),0) as kept").head()
+    RunReport(runId, counts.getLong(0), counts.getLong(1), lineage)
+  }
+
+  /** Verdicts of a finished (or resumed) run. */
+  def verdicts(spark: SparkSession, workDir: String): Dataset[FileVerdict] = {
+    import spark.implicits._
+    spark.read.parquet(s"$workDir/verdicts").as[FileVerdict]
+  }
+
+  /** Convenience for benchmarks: synthesize n rows and run in-memory
+    * (no checkpoint I/O — measures pure compute throughput).
+    */
+  def runInMemory(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 0): (Long, Long) = {
+    val files = CorpusGen.files(spark, n, seed, partitions)
+    val v = QualityPipeline.run(files, CorpusGen.commitsDim(spark))
+    val row = v.toDF().selectExpr("count(*) as n",
+      "coalesce(sum(case when keep then 1 else 0 end),0) as kept").head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

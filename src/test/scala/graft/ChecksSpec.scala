@@ -1,0 +1,144 @@
+package graft
+
+import graft.checks.Checks
+import graft.model._
+
+/** Per-operator unit tests on hand-built frames with known violations
+  * (SURVEY.md §5.2.1). Each asserts the reference's semantics: counting,
+  * empty-string guards, child-wider-than-father truncation, bidirectional
+  * FC, interval overlap, isEmpty variants, expected-count verdicts.
+  */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PK: failedCnt = sum of dup-group sizes; allCnt = total") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("c", 1), ("c", 2))
+      .toDF("k", "v")
+    val plan = Checks.pk(PkRule("pk", "t", Seq("k")), df)
+    assert(plan.counts() === ((6L, 5L))) // a:3 + c:2
+    val det = plan.detail.collect()
+    assert(det.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 3L), ("c", 2L)))
+  }
+
+  test("PK: expression keys (reference allowed COALESCE(col,'') keys)") {
+    val df = Seq((Some("x"), 1), (None, 2), (None, 3)).toDF("k", "v")
+    val plan = Checks.pk(
+      PkRule("pk", "t", Seq("coalesce(k, '')")), df)
+    assert(plan.counts() === ((3L, 2L))) // the two NULL keys collide on ''
+  }
+
+  test("PK: WHERE narrows the scanned set") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val plan = Checks.pk(PkRule("pk", "t", Seq("k"), where = Some("v < 5")), df)
+    assert(plan.counts() === ((2L, 2L)))
+  }
+
+  test("FK: orphans counted; empty-string children exempt (coalesce<>'' guard)") {
+    val child = Seq("c1", "c1", "orph", "", null.asInstanceOf[String])
+      .toDF("ck")
+    val father = Seq("c1", "c2").toDF("fk")
+    val plan = Checks.fk(
+      FkRule("fk", "t", Seq("ck"), "f", Seq("fk")), child, father)
+    // guard drops "" and null from the scanned set entirely (GQ:356-358)
+    assert(plan.counts() === ((3L, 1L)))
+  }
+
+  test("FK: without guard, null children are orphans (anti-join semantics)") {
+    val child = Seq("c1", null.asInstanceOf[String]).toDF("ck")
+    val father = Seq("c1").toDF("fk")
+    val plan = Checks.fk(
+      FkRule("fk", "t", Seq("ck"), "f", Seq("fk"), emptyGuard = false),
+      child, father)
+    assert(plan.counts() === ((2L, 1L)))
+  }
+
+  test("FK: child key list wider than father's is truncated (GQ:1649-1651)") {
+    val child = Seq(("a", 1), ("z", 2)).toDF("k1", "k2")
+    val father = Seq("a").toDF("f1")
+    val plan = Checks.fk(
+      FkRule("fk", "t", Seq("k1", "k2"), "f", Seq("f1")), child, father)
+    assert(plan.counts() === ((2L, 1L))) // only k1 participates
+  }
+
+  test("FC: both directions counted and tagged C/F") {
+    val child = Seq("both", "childOnly").toDF("ck")
+    val father = Seq("both", "fatherOnly", "fatherOnly2").toDF("fk")
+    val plan = Checks.fc(FcRule("fc", "t", Seq("ck"), "f", Seq("fk")),
+      child, father)
+    assert(plan.counts() === ((5L, 3L)))
+    val tags = plan.violations.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tags.toSet === Set(("C", "childOnly"), ("F", "fatherOnly"),
+      ("F", "fatherOnly2")))
+  }
+
+  test("ZC: adjacent interval overlap via window lag") {
+    val df = Seq(
+      ("k1", 1, 5), ("k1", 4, 8), ("k1", 9, 12), // one overlap (4 < 5)
+      ("k2", 1, 2), ("k2", 2, 3) // touching, not overlapping
+    ).toDF("k", "st", "en")
+    val plan = Checks.zc(
+      ZcRule("zc", "t", Seq("k"), "st", "en"), df)
+    assert(plan.counts() === ((5L, 1L)))
+    val v = plan.violations.select("k", "st").collect()
+    assert(v.map(r => (r.getString(0), r.getInt(1))).toSeq === Seq(("k1", 4)))
+  }
+
+  test("VC: isEmpty guard exempts empty/null values (GQ:565-574)") {
+    val df = Seq("ok", "bad", "", null.asInstanceOf[String]).toDF("c")
+    val guarded = Checks.domain(
+      DomainRule("vc", "t", "c", Set("ok")), df)
+    assert(guarded.counts() === ((4L, 1L))) // only "bad"
+    val strict = Checks.domain(
+      DomainRule("vc", "t", "c", Set("ok"), isEmptyGuard = false), df)
+    assert(strict.counts() === ((4L, 3L))) // bad, "", null all violate
+  }
+
+  test("VC: empty value set fails every non-empty value (GQ:2346-2347)") {
+    val df = Seq("a", "b", "").toDF("c")
+    val plan = Checks.domain(DomainRule("vc", "t", "c", Set.empty), df)
+    assert(plan.counts() === ((3L, 2L)))
+  }
+
+  test("VC detail: offending values grouped + capped, deterministic order") {
+    val df = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("ok")).toDF("c")
+    val plan = Checks.domain(DomainRule("vc", "t", "c", Set("ok")), df)
+    val det = plan.detail.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(det.toSeq === Seq(("x", 3L), ("y", 2L)))
+  }
+
+  test("PC: composite code keys against broadcast dimension") {
+    val df = Seq(("a", "1"), ("a", "2"), ("b", "1")).toDF("t1", "t2")
+    val dim = Seq(("a", "1"), ("b", "1")).toDF("c1", "c2")
+    val plan = Checks.codeTable(
+      CodeTableRule("pc", "t", Seq("t1", "t2"), "dim", Seq("c1", "c2")),
+      df, dim)
+    assert(plan.counts() === ((3L, 1L)))
+  }
+
+  test("UU: verdict N iff count != expected; failedCnt = diff (GQ:3159)") {
+    val df = Seq(1, 2, 3).toDF("v")
+    val pass = Checks.expectedCount(
+      ExpectedCountRule("uu", "t", d => d, expected = 3L), df)
+    assert(pass.counts() === ((3L, 0L)))
+    val fail = Checks.expectedCount(
+      ExpectedCountRule("uu", "t", d => d.filter($"v" > 1), expected = 3L), df)
+    assert(fail.counts() === ((2L, -1L)))
+    val results = Checks.run(spark, "b1", Seq(pass, fail))
+    assert(results.map(_.checkResultInd) === Seq("Y", "N"))
+  }
+
+  test("UC: run-and-record, no verdict, failedCnt -1 (GQ:2972,3001)") {
+    val df = Seq(1, 2).toDF("v")
+    val plan = Checks.custom(CustomRule("uc", "t", d => d.filter($"v" > 1)), df)
+    assert(plan.counts() === ((1L, -1L)))
+    val res = Checks.run(spark, "b1", Seq(plan))
+    assert(res.head.checkResultInd === "")
+  }
+
+  test("verdict derivation: Y/N/'' (GQ:300-317)") {
+    assert(Verdict.of(0) === "Y")
+    assert(Verdict.of(7) === "N")
+    assert(Verdict.of(-1) === "")
+  }
+}
