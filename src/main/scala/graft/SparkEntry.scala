@@ -156,7 +156,100 @@ object SparkEntry {
           (id, LangId.classify(t), Perplexity.score(t)) }
         .toDF("doc_id", "pred_lang", "perplexity")
         .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
-    }))
+    }),
+
+    // ---- near-dup dedup family (docs ∪ shifted copy ⇒ known dup pairs) ---
+    "q_dedup_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.minHashPairs(dupedDocs(s, dir), "id", "text",
+        graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simHashPairs(dupedDocs(s, dir), "id", "text",
+        maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_dedup_ngram" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccardPairs(dupedDocs(s, dir), "id", "text",
+        threshold = 0.95)
+        .select(col("id_a"), col("id_b")) // jaccard==1.0 for exact copies
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search over embeddings --------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.similarity.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.similarity.Similarity
+        .lshTopK(emb, "vec_id", "embedding", q, 10, hammingRadius = 8)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+    "q_embed_norms" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(graft.similarity.Similarity.norm(
+            transform(col("embedding"), _.cast("double"))), 6).as("vnorm"))),
+
+    // ---- text analysis: integer-exact quality metrics --------------------
+    "q_text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).cast("bigint")
+          .as("n_tokens_ws"),
+        graft.text.TextAnalysis.bpeishTokenCount(col("text")).cast("bigint")
+          .as("n_tokens_bpeish"),
+        regexp_count(col("text"), lit("[\\p{Punct}]")).cast("bigint")
+          .as("punct_cnt"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
+          .cast("bigint").as("stopword_cnt"))),
+    "q_fingerprints" -> ((s, dir) =>
+      graft.text.TextAnalysis.fingerprints(
+        tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"))),
+
+    // ---- streaming-shaped queries (same transform serves readStream) -----
+    "q_stream_window" -> ((s, dir) =>
+      graft.streaming.Streaming.windowedCounts(tbl(s, dir, "events"))
+        .select(unix_micros(col("win_start")).as("win_us"), col("event_type"),
+          col("n"))
+        .groupBy(col("win_us"), col("event_type"))
+        .agg(sum(col("n")).as("n"))),
+    "q_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp_ltz").as("ts"))
+        .as[(Long, java.sql.Timestamp)]
+      graft.streaming.Streaming.sessionize(ev, gapMs = 30 * 60 * 1000L)
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))
+    }),
+
+    // ---- multimodal plumbing (stub codec, real batching) ------------------
+    "q_media_features" -> ((s, _) =>
+      graft.multimodal.Media.extractFeatures(
+        graft.multimodal.Media.synth(s, 2000L)).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("frames_sampled")).as("total_frames"))))
+
+  /** documents ∪ (documents with shifted ids) — every doc gains exactly one
+    * exact near-dup, giving dedup queries a known answer set.
+    */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+    d.unionByName(d.select((col("id") + 1000000).as("id"), col("text")))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_pk_check" ->
@@ -255,5 +348,90 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
          CAST(count(*) AS BIGINT) AS dup_cnt
-         FROM documents GROUP BY text""")
+         FROM documents GROUP BY text""",
+    // faithful reimplementation of the shingle-Jaccard join: word 3-gram
+    // sets, postings capped at 1000, jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95
+    "q_dedup_ngram" ->
+      """WITH docs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id + 1000000 AS BIGINT), text FROM documents),
+         toks AS (
+           SELECT id, list_filter(string_split_regex(lower(text),
+             '[^a-z0-9_]+'), t -> t <> '') AS ts FROM docs),
+         sh AS (
+           SELECT id, unnest(list_distinct(list_transform(
+             range(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+           FROM toks WHERE len(ts) >= 3
+           UNION ALL
+           SELECT id, array_to_string(ts, ' ') AS g
+           FROM toks WHERE len(ts) > 0 AND len(ts) < 3),
+         sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         capped AS (
+           SELECT * FROM sh WHERE g IN (
+             SELECT g FROM sh GROUP BY g
+             HAVING count(*) <= 1000 AND count(*) > 1)),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM capped a JOIN capped b USING (g)
+           WHERE a.id < b.id GROUP BY 1, 2)
+         SELECT id_a, id_b FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.95
+         ORDER BY id_a, id_b""",
+    "q_ann_topk" ->
+      """SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = 0)), 6) AS score
+         FROM embeddings
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = 0)) DESC, vec_id
+         LIMIT 10""",
+    "q_embed_norms" ->
+      """SELECT vec_id,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           CAST(embedding AS DOUBLE[]))), 6) AS vnorm
+         FROM embeddings""",
+    "q_text_quality" ->
+      ("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpeish,
+         CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS BIGINT)
+           AS punct_cnt,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+           w -> list_contains([""" +
+        graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
+        """], w))) AS BIGINT) AS stopword_cnt
+         FROM documents"""),
+    "q_stream_window" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2""",
+    "q_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+         g AS (
+           SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             min(ts) AS first_ts, max(ts) AS last_ts
+           FROM s GROUP BY user_id, sid)
+         SELECT user_id, n_events, epoch_us(first_ts) AS first_us,
+           epoch_us(last_ts) AS last_us
+         FROM g
+         WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)""")
 }

@@ -1,0 +1,274 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash, and
+  * n-gram Jaccard (the standard toolchain of large-scale training-data
+  * pipelines — cf. Broder 1997 "On the resemblance and containment of
+  * documents"; Charikar 2002 for SimHash; public descriptions of C4/Gopher
+  * dedup stages).
+  *
+  * Scale design:
+  *  - exact dedup groups by a 256-bit content hash — the shuffle key is the
+  *    hash, never the content, so shuffle volume is O(rows × 32B) not
+  *    O(corpus bytes);
+  *  - MinHash/SimHash candidate generation is LSH band-bucketing: only
+  *    same-bucket pairs are joined, never the full cross product;
+  *  - n-gram Jaccard caps inverted-index postings (`maxPostings`) the way
+  *    prefix-filtering systems drop stop-shingles — an ubiquitous shingle
+  *    contributes candidates quadratically and information ~zero;
+  *  - all signatures are computed in one `mapPartitions` pass (pure
+  *    per-row functions, deterministic at any parallelism).
+  */
+object Dedup {
+
+  // ---- shared text → shingle machinery (pure, deterministic) -------------
+
+  /** FNV-1a 64-bit — stable across JVMs (String.hashCode is too, but FNV
+    * mixes better and we need many independent derived hashes).
+    */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+
+  /** Distinct hashed word n-gram shingles. */
+  def shingles(text: String, n: Int = 3): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < n) {
+      if (ts.isEmpty) Array.empty else Array(fnv1a64(ts.mkString(" ")))
+    } else {
+      val out = new java.util.HashSet[Long]()
+      var i = 0
+      while (i + n <= ts.length) {
+        out.add(fnv1a64(ts.slice(i, i + n).mkString(" ")))
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator; var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      arr
+    }
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    val inter = b.count(sa.contains)
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup on content hash: one row survives per distinct value
+    * (deterministic survivor = min id). Adds nothing to shuffle but the
+    * 64-char hash + id.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(textCol).cast("binary"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Survivors only: the deduplicated id set. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  final case class MinHashConfig(
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Per-row MinHash signature: min over shingles of (a_j·x + b_j), for
+    * numHashes independent affine hash functions (classic MinHash).
+    */
+  def minHashSignature(sh: Array[Long], cfg: MinHashConfig): Array[Long] = {
+    val r = new java.util.SplittableRandom(cfg.seed)
+    val as = Array.fill(cfg.numHashes)(r.nextLong() | 1L) // odd multipliers
+    val bs = Array.fill(cfg.numHashes)(r.nextLong())
+    val sig = Array.fill(cfg.numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val x = sh(i)
+      var j = 0
+      while (j < cfg.numHashes) {
+        val h = as(j) * x + bs(j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** (id, signature: array<long>) for every row. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, minHashSignature(shingles(text, cfg.shingleSize), cfg))
+      })
+      .toDF(idCol, "sig")
+  }
+
+  /** LSH band buckets: (id, band, bucket-hash-of-band-slice). Candidate
+    * pairs are generated ONLY within (band, bucket) groups.
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val r = cfg.rowsPerBand
+    val bands = (0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * r + 1, r)).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate near-dup pairs with their signature-estimated Jaccard.
+    * Pipeline: signature pass → band explode → same-bucket self-join →
+    * distinct pairs → signature comparison (estimate = fraction of equal
+    * components). Returns (id_a, id_b, est_jaccard) with est ≥ threshold.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, cfg).cache()
+    val b = lshBuckets(sigs, idCol, cfg)
+    val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val cand = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / cfg.numHashes)
+      .filter(col("est_jaccard") >= cfg.threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Greedy survivor set from near-dup pairs: drop any id that pairs with a
+    * smaller id. (Full transitive clustering = iterative min-propagation;
+    * one round is the standard single-pass compromise and is exact whenever
+    * dup groups are cliques, which near-identical documents are.)
+    */
+  def survivorsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over hashed tokens (Charikar): per-bit weighted vote. */
+  def simHash(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ts = tokens(text)
+    var i = 0
+    while (i < ts.length) {
+      val h = fnv1a64(ts(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simHash(t)) })
+      .toDF(idCol, "simhash")
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist, found by 4×16-bit band
+    * blocking (pigeonhole: dist ≤ 3 ⇒ some 16-bit band is identical), then
+    * verified with bit_count(xor) — both codegen'd Column ops.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = simHashes(df, idCol, textCol).cache()
+    val banded = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))
+          .as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- n-gram Jaccard similarity join -------------------------------------
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via inverted shingle index.
+    * `maxPostings` drops shingles shared by more than that many docs
+    * (stop-shingle cap — the scale guard against quadratic candidate
+    * blowup; dropped shingles can only LOWER a true Jaccard estimate for
+    * pairs that were only connected by boilerplate).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7,
+      maxPostings: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingles(t, n).map(g => (id, g)) }
+      .toDF(idCol, "g")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")).cache()
+    val capped = sh.join(
+      sh.groupBy("g").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") <= maxPostings && col("freq") > 1)
+        .select("g"),
+      Seq("g"))
+    val l = capped.select(col("g"), col(idCol).as("id_a"))
+    val r = capped.select(col("g"), col(idCol).as("id_b"))
+    val common = l.join(r, Seq("g")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

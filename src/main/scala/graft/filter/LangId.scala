@@ -8,12 +8,14 @@ package graft.filter
   * from built-in seed text (zero egress — no external model files exist in
   * this sandbox).
   *
-  * Pure, deterministic function of the input string → safe to run inside
-  * `mapPartitions` at any parallelism (verdicts must not depend on
-  * partitioning). The model object is constructed once per JVM/executor via
-  * lazy init; at cluster scale it would be an explicit
-  * `SparkContext.broadcast`, but a deterministic object init is equivalent
-  * and cheaper for a table this small.
+  * Hot-path design (this runs once per corpus row inside mapPartitions):
+  * trigrams are packed into a Long (no substring allocation), the profile
+  * table is one specialized LongMap keyed by packed trigram holding a
+  * per-language score vector (one lookup scores ALL languages), and
+  * whitespace normalization streams char-by-char (no regex, no copies).
+  * Pure, deterministic function of the input string → identical verdicts at
+  * any parallelism. The model is built once per JVM/executor at lazy init;
+  * at cluster scale it would be an explicit broadcast, which this equals.
   */
 object LangId extends Serializable {
 
@@ -47,26 +49,67 @@ object LangId extends Serializable {
       "样 道 想 作 种 开 美 总 从 无 情 己 面 最 女 但 现 前 些 所 同 日 手 又 行"))
 
   val languages: Vector[String] = seeds.keys.toVector.sorted
+  private val L = languages.length
 
-  private def trigrams(s: String): Iterator[String] = {
-    val t = " " + s.toLowerCase.replaceAll("\\s+", " ") + " "
-    if (t.length < 3) Iterator.empty else (0 to t.length - 3).iterator.map(i => t.substring(i, i + 3))
+  @inline private def isWs(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def pack(a: Char, b: Char, c: Char): Long =
+    (a.toLong << 32) | (b.toLong << 16) | c.toLong
+
+  /** Normalized trigram stream: leading/trailing sentinel space, internal
+    * whitespace runs collapsed, chars lowercased — streamed into `f` with
+    * no intermediate string.
+    */
+  private def foreachTrigram(text: String, maxChars: Int)(f: Long => Unit): Int = {
+    val n = math.min(text.length, maxChars)
+    // last1/last2 = trailing window; count = chars pushed incl. sentinel
+    var last1 = ' '; var last2 = 0.toChar; var count = 1
+    var grams = 0
+    var prevWs = false
+    var i = 0
+    @inline def push(ch: Char): Unit = {
+      if (count >= 2) { f(pack(last1, last2, ch)); grams += 1 }
+      if (count == 1) last2 = ch else { last1 = last2; last2 = ch }
+      count += 1
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isWs(c)) { if (!prevWs) { push(' '); prevWs = true } }
+      else { push(Character.toLowerCase(c)); prevWs = false }
+      i += 1
+    }
+    push(' ') // trailing sentinel (matches "… + ' '" of the string form)
+    grams
   }
 
-  /** lang → (trigram → log prob), add-one smoothed. Deterministic. */
-  private lazy val profiles: Map[String, (Map[String, Double], Double)] =
-    seeds.map { case (lang, seed) =>
-      val counts = trigrams(seed).foldLeft(Map.empty[String, Long]) {
-        (m, g) => m.updated(g, m.getOrElse(g, 0L) + 1L)
-      }
-      val total = counts.values.sum.toDouble
-      val vocab = counts.size.toDouble
-      val logProbs = counts.map { case (g, c) =>
-        g -> math.log((c + 1.0) / (total + vocab + 1.0))
-      }
-      val floor = math.log(1.0 / (total + vocab + 1.0)) // unseen-gram penalty
-      lang -> (logProbs, floor)
+  /** packed trigram → per-language log-prob vector; plus the per-language
+    * unseen-gram floor vector. Deterministic.
+    */
+  private lazy val (profileTable, floorVec)
+      : (scala.collection.mutable.LongMap[Array[Double]], Array[Double]) = {
+    val counts = languages.map { lang =>
+      val m = new scala.collection.mutable.LongMap[Long]()
+      foreachTrigram(seeds(lang), Int.MaxValue)(g =>
+        m.update(g, m.getOrElse(g, 0L) + 1L))
+      m
     }
+    val totals = counts.map(_.values.sum.toDouble)
+    val vocabs = counts.map(_.size.toDouble)
+    val floors = Array.tabulate(L)(i => math.log(1.0 / (totals(i) + vocabs(i) + 1.0)))
+    val allGrams = counts.flatMap(_.keys).distinct
+    val table = new scala.collection.mutable.LongMap[Array[Double]](allGrams.size * 2)
+    allGrams.foreach { g =>
+      val v = Array.tabulate(L) { i =>
+        counts(i).get(g) match {
+          case Some(c) => math.log((c + 1.0) / (totals(i) + vocabs(i) + 1.0))
+          case None => floors(i)
+        }
+      }
+      table.update(g, v)
+    }
+    (table, floors)
+  }
 
   /** Classify a text; "unknown" when there's too little signal. Caps work at
     * the first `maxChars` characters — language is stable across a document,
@@ -74,18 +117,19 @@ object LangId extends Serializable {
     */
   def classify(text: String, maxChars: Int = 2000): String = {
     if (text == null) return "unknown"
-    val t = text.take(maxChars)
-    var grams = 0
-    val scores = collection.mutable.Map(languages.map(_ -> 0.0): _*)
-    trigrams(t).foreach { g =>
-      grams += 1
-      languages.foreach { lang =>
-        val (probs, floor) = profiles(lang)
-        scores(lang) += probs.getOrElse(g, floor)
-      }
+    val acc = new Array[Double](L)
+    val table = profileTable
+    val floors = floorVec
+    val grams = foreachTrigram(text, maxChars) { g =>
+      val v = table.getOrNull(g)
+      val src = if (v == null) floors else v
+      var i = 0
+      while (i < L) { acc(i) += src(i); i += 1 }
     }
-    if (grams < 3) "unknown"
-    else languages.maxBy(scores)
+    if (grams < 3) return "unknown"
+    var best = 0; var i = 1
+    while (i < L) { if (acc(i) > acc(best)) best = i; i += 1 }
+    languages(best)
   }
 
   /** Deterministic multilingual test-document generator: words sampled from

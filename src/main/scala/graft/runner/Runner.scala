@@ -30,7 +30,8 @@ object Runner {
     import spark.implicits._
 
     val annotated = Checkpoint.stage(spark, workDir, "annotated") {
-      QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg)
+      QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg,
+        rawKeys = Some(files.toDF().select("repo", "path", "commit")))
     }
     val verdictsDf = Checkpoint.stage(spark, workDir, "verdicts") {
       QualityPipeline.verdicts(annotated).toDF()
@@ -58,15 +59,20 @@ object Runner {
     spark.read.parquet(s"$workDir/verdicts").as[FileVerdict]
   }
 
-  /** Convenience for benchmarks: synthesize n rows and run in-memory
-    * (no checkpoint I/O — measures pure compute throughput).
+  /** Convenience for benchmarks: synthesize n rows and run in-memory,
+    * forcing FULL materialization of every verdict column via a noop sink
+    * (a count would let Catalyst prune the scrub/sha work away and measure
+    * nothing). Returns the row count it processed.
     */
   def runInMemory(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0): (Long, Long) = {
+      partitions: Int = 0): Long = {
     val files = CorpusGen.files(spark, n, seed, partitions)
-    val v = QualityPipeline.run(files, CorpusGen.commitsDim(spark))
-    val row = v.toDF().selectExpr("count(*) as n",
-      "coalesce(sum(case when keep then 1 else 0 end),0) as kept").head()
-    (row.getLong(0), row.getLong(1))
+    val v = QualityPipeline.verdicts(QualityPipeline.annotate(
+      QualityPipeline.score(files), CorpusGen.commitsDim(spark),
+      QualityPipeline.Config(),
+      // keys-only generation ≈ a column-pruned scan of the source
+      rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions))))
+    v.toDF().write.format("noop").mode("overwrite").save()
+    n
   }
 }

@@ -1,0 +1,109 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  *  - brute-force cosine top-k — the exact baseline, fully codegen'd
+  *    (zip_with + aggregate, no UDF);
+  *  - random-hyperplane LSH — the scale path: a 16-bit signature column
+  *    prunes candidates by Hamming distance before the exact rerank, and
+  *    at cluster scale the table is laid out bucketed by signature so a
+  *    probe touches a handful of partitions instead of all of them;
+  *  - embedding-cosine near-dup pairs via same-bucket self-join + verify.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array<double> columns — sequential left fold, so the
+    * result is bit-deterministic (same order every run/engine).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k by cosine against a literal query vector. Deterministic
+    * total order (score desc, id asc). One scan, no shuffle except the
+    * top-k reduction (TakeOrdered — each partition keeps k, driver merges).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded) for an LSH signature. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val r = new java.util.SplittableRandom(seed)
+    Array.fill(bits)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Signature column: bit i = sign of ⟨v, plane_i⟩ (SRP-LSH, Charikar).
+    * Pure Column expression — attachable at write time so the table can be
+    * physically bucketed by it.
+    */
+  def signatureCol(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val v = asDouble(vecCol)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: prune to candidates whose signature is within
+    * `hammingRadius` of the query's, then exact-rerank. Recall/cost knob =
+    * radius. The signature filter is a long-compare + bit_count — at scale,
+    * with the table bucketed by signature, it becomes partition pruning.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, bits: Int = 16,
+      hammingRadius: Int = 6, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(query.length, bits, seed)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val withSig = df.withColumn("__sig", signatureCol(col(vecCol), planes))
+    withSig
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= hammingRadius)
+      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same-LSH-bucket self-join →
+    * exact cosine verify ≥ threshold. Band the signature (4×4 bits by
+    * default) so near-misses across one flipped bit still collide.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 16, bandBits: Int = 4,
+      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val sigs = df.select(col(idCol), col(vecCol))
+      .withColumn("__sig", signatureCol(col(vecCol), planes))
+    val nBands = bits / bandBits
+    val banded = sigs.select(col(idCol), col(vecCol),
+      explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("__sig"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface: the reference is batch-only (SURVEY.md
+  * §2.3 "Streaming: none"), but a quality-filter engine feeding continuous
+  * ingestion needs the streaming shapes: watermarked windowed aggregation
+  * and stateful sessionization. Transform logic is defined on DataFrames,
+  * so the SAME functions serve `read` (tests/backfill) and `readStream`
+  * (production) — the standard Spark unification.
+  */
+final case class EventSession(
+    user_id: Long,
+    n_events: Long,
+    first_ts: Timestamp,
+    last_ts: Timestamp)
+
+object Streaming {
+
+  /** Watermarked tumbling-window event counts. Works on either a static or
+    * a streaming frame with schema of the `events` table.
+    */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      // watermarks require TIMESTAMP (LTZ); parquet event time is NTZ —
+      // session TZ is pinned to UTC so the cast is deterministic
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session assembly with explicit state: gap-based sessionization via
+    * flatMapGroupsWithState (north-rule-adjacent: custom state machine the
+    * built-in window can't express).
+    */
+  def sessionize(events: Dataset[(Long, Timestamp)],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[EventSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[Timestamp], EventSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[List[Timestamp]]) =>
+          val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2).toList)
+            .sortBy(_.getTime)
+          // split on gaps > gapMs; emit all closed sessions, keep the tail
+          val sessions = ts.foldLeft(List.empty[List[Timestamp]]) {
+            case (acc, t) => acc match {
+              case cur :: rest if t.getTime - cur.head.getTime <= gapMs =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          val (closed, open) =
+            if (sessions.isEmpty) (Nil, Nil)
+            else (sessions.init, sessions.last)
+          if (open.nonEmpty) state.update(open) else state.remove()
+          closed.iterator.map(s =>
+            EventSession(userId, s.size.toLong, s.head, s.last))
+      }
+  }
+
+  /** Run a streaming query over a static parquet dir via readStream →
+    * memory sink, synchronously (test/backfill harness).
+    */
+  def runOnce(spark: SparkSession, parquetPath: String,
+      name: String = "graft_stream"): DataFrame = {
+    // readStream sources must be directories; stage a bare file into one
+    val src = {
+      val p = java.nio.file.Paths.get(parquetPath)
+      if (java.nio.file.Files.isDirectory(p)) parquetPath
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        dir.toString
+      }
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = windowedCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

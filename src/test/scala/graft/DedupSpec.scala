@@ -1,0 +1,109 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.dedup.Dedup.MinHashConfig
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with two exact dup groups, one near-dup pair, and distinct docs
+  val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest while birds sing morning songs above the trees"
+  val near = base.replace("morning", "evening") // 1-word change → high jaccard
+  val docs = Seq(
+    (0L, base), (1L, base), // exact dups
+    (2L, near), // near-dup of 0/1
+    (3L, "completely different content about spark dataframes and shuffles " +
+      "partitions executors catalyst tungsten codegen adaptive query execution"),
+    (4L, "completely different content about spark dataframes and shuffles " +
+      "partitions executors catalyst tungsten codegen adaptive query execution"), // dup of 3
+    (5L, "short unrelated text"),
+    (6L, "another unrelated document mentioning nothing in common with others " +
+      "entirely novel vocabulary zebras quasars philosophy harmonics"))
+  lazy val df = docs.toDF("id", "text")
+
+  test("exact dedup: survivor = min id per content group") {
+    val d = Dedup.exact(df, "id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(d.toSeq === Seq((0L, 2L), (2L, 1L), (3L, 2L), (5L, 1L), (6L, 1L)))
+    val survivors = Dedup.exactSurvivors(df, "id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq === Seq(0L, 2L, 3L, 5L, 6L))
+  }
+
+  test("shingles + jaccard: near-dup scores high, unrelated scores ~0") {
+    val s0 = Dedup.shingles(base)
+    val s2 = Dedup.shingles(near)
+    val s6 = Dedup.shingles(docs(6)._2)
+    assert(Dedup.jaccard(s0, s0) === 1.0)
+    assert(Dedup.jaccard(s0, s2) > 0.7)
+    assert(Dedup.jaccard(s0, s6) < 0.05)
+  }
+
+  test("minhash signature estimates jaccard") {
+    val cfg = MinHashConfig()
+    val sigA = Dedup.minHashSignature(Dedup.shingles(base), cfg)
+    val sigB = Dedup.minHashSignature(Dedup.shingles(near), cfg)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / cfg.numHashes
+    val truth = Dedup.jaccard(Dedup.shingles(base), Dedup.shingles(near))
+    assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minHashPairs(df, "id", "text",
+      MinHashConfig(threshold = 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((3L, 4L)), "second exact dup pair")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "unrelated doc clean")
+  }
+
+  test("survivorsFromPairs drops every doc that pairs with a smaller id") {
+    val pairs = Dedup.minHashPairs(df, "id", "text",
+      MinHashConfig(threshold = 0.7))
+    val kept = Dedup.survivorsFromPairs(df, "id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 3L, 5L, 6L))
+  }
+
+  test("simhash: identical texts get identical hashes; near-dups within distance") {
+    assert(Dedup.simHash(base) === Dedup.simHash(base))
+    val d = java.lang.Long.bitCount(Dedup.simHash(base) ^ Dedup.simHash(near))
+    assert(d <= 6, s"near-dup simhash distance $d")
+    val far = java.lang.Long.bitCount(
+      Dedup.simHash(base) ^ Dedup.simHash(docs(6)._2))
+    assert(far > 10, s"unrelated distance $far")
+  }
+
+  test("simhash LSH pairs: exact dups at distance 0") {
+    val pairs = Dedup.simHashPairs(df, "id", "text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) === 0)
+    assert(m((3L, 4L)) === 0)
+    assert(m.contains((0L, 2L)))
+  }
+
+  test("ngram jaccard join: exact pairwise scores above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((3L, 4L)) === 1.0)
+    assert(pairs((0L, 2L)) > 0.7)
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    // exact jaccard must equal the plain-Scala computation
+    val truth = Dedup.jaccard(Dedup.shingles(base), Dedup.shingles(near))
+    assert(math.abs(pairs((0L, 2L)) - truth) < 1e-9)
+  }
+
+  test("dedup on the planted corpus: exact dup triples are found") {
+    import graft.corpus.CorpusGen
+    val files = CorpusGen.files(spark, 2000L).toDF()
+      .selectExpr("cast(hash(repo, path, commit) as long) as id",
+        "concat(repo, '/', path, '@', commit) as text")
+    val d = Dedup.exact(files, "id", "text")
+    val dups = d.filter("dup_cnt > 1").count()
+    assert(dups === 20L) // 2000/97 planted duplicate triples (id%97==0, id>0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // crafted vectors: id 0 = query-like; 1 = same direction scaled;
+  // 2 = slightly rotated; 3 = orthogonal; 4 = opposite
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.95f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+  lazy val df = vecs.toDF("vec_id", "embedding")
+  val query = Array(1.0d, 0.0d, 0.0d, 0.0d)
+
+  test("brute-force cosine top-k: exact ranking, deterministic ties") {
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", query, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ids 0 and 1 are both cos=1.0 → tie broken by id asc
+    assert(top.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(math.abs(top(0)._2 - 1.0) < 1e-9)
+    assert(math.abs(top(1)._2 - 1.0) < 1e-9)
+  }
+
+  test("lsh top-k recalls the brute-force results on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+      bits = 16, hammingRadius = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    info(f"lsh recall@10 = $recall%.2f")
+    assert(lsh.contains(0L), "query vector itself must be found")
+    assert(recall >= 0.5, s"recall $recall too low for radius=8/16 bits")
+  }
+
+  test("near-dup pairs: scaled copy found, orthogonal not") {
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine column matches plain-Scala computation on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q = emb.head._2
+    val sparkScores = Similarity.bruteForceTopK(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding", q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    emb.foreach { case (id, v) =>
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val expected = dot / (math.sqrt(v.map(x => x * x).sum) *
+        math.sqrt(q.map(x => x * x).sum))
+      assert(math.abs(sparkScores(id) - expected) < 1e-9, s"id=$id")
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.text.TextAnalysis
+import graft.multimodal.{Media, MediaRow, StubCodec}
+import graft.streaming.Streaming
+import graft.config.RuleConfig
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class TextMediaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality metrics + score: healthy prose scores 1, junk scores low") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was a good day " +
+        "for all of the animals in this big green forest by the river"),
+      (2L, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( ))) @@@"),
+      (3L, "x")).toDF("id", "text")
+    val q = TextAnalysis.withQuality(docs, "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) === 1.0)
+    assert(q(2L) <= 0.5) // junk fails the stopword + punct bands
+    assert(q(3L) < 1.0)
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val df = Seq((1L, "hello world, it's 2024!")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bpe")).head()
+    assert(r.getInt(0) === 4)
+    // hello|world|,|it|'|s|2024|! = 8 pieces
+    assert(r.getInt(1) === 8)
+  }
+
+  test("winnowing fingerprints: shared substrings share fingerprints; determinism") {
+    val a = "def compute(values) { return values.filter(v => v > 0).sum() }"
+    val b = "XX prefix " + a + " YY suffix"
+    val fa = TextAnalysis.winnow(a).toSet
+    val fb = TextAnalysis.winnow(b).toSet
+    assert(fa.intersect(fb).size >= fa.size / 2,
+      s"containment ${fa.intersect(fb).size}/${fa.size}")
+    assert(TextAnalysis.winnow(a).toSeq === TextAnalysis.winnow(a).toSeq)
+    assert(TextAnalysis.winnow("", 8, 4).isEmpty)
+    assert(TextAnalysis.winnow(null, 8, 4).isEmpty)
+  }
+
+  test("fingerprints distribute over the frame") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = TextAnalysis.fingerprints(docs, "doc_id", "text")
+    assert(fp.count() === docs.count())
+    assert(fp.filter(size(col("fingerprints")) > 0).count() === docs.count())
+  }
+
+  test("media: synth is deterministic; stub decode features are stable") {
+    val m1 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
+    val m2 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
+    assert(m1.map(_.data.toSeq) === m2.map(_.data.toSeq))
+    val f = Media.extractFeatures(Media.synth(spark, 200L)).collect()
+      .sortBy(_.media_id)
+    assert(f.length === 200)
+    assert(f.forall(x => x.byte_entropy > 0 && x.n_bytes > 0))
+    // video rows sample >1 frame; images exactly 1
+    assert(f.filter(_.kind == "video").forall(_.frames_sampled >= 1))
+    assert(f.filter(_.kind == "image").forall(_.frames_sampled == 1))
+    // plain-JVM twin equality (batching must not change features)
+    val row = m1.head
+    assert(StubCodec.decode(row).mean_byte === f.head.mean_byte)
+  }
+
+  test("media: frame-sample plan explodes one row per sampled frame") {
+    val plan = Media.frameSamplePlan(Media.synth(spark, 300L), fps = 1.0)
+    val videos = Media.synth(spark, 300L).filter(_.kind == "video").collect()
+    val expected = videos.map(v => math.max(v.duration_ms / 1000, 1).toLong).sum
+    assert(plan.count() === expected)
+  }
+
+  test("streaming: windowed counts over readStream == batch equivalent") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = Streaming.runOnce(spark, path, "tms_stream")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val batch = Streaming.windowedCounts(spark.read.parquet(path))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // append mode emits only watermark-finalized windows: the streamed set
+    // must be a prefix-subset of batch and agree exactly on every window
+    assert(streamed.nonEmpty)
+    val batchSet = batch.toSet
+    assert(streamed.forall(batchSet.contains),
+      "finalized streamed windows must match batch")
+    val horizon = batch.map(_._1.getTime).max - 2 * 3600 * 1000L
+    val finalized = batch.filter(_._1.getTime < horizon - 3600 * 1000L)
+    val streamedSet = streamed.toSet
+    assert(finalized.forall(streamedSet.contains),
+      "all watermark-closed windows must have been emitted")
+  }
+
+  test("streaming: gap sessionization emits closed sessions") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(10)), // session 1
+      (1L, ts(120)), (1L, ts(125)), // session 2
+      (1L, ts(300)), // open tail (never closed in this batch)
+      (2L, ts(0)), (2L, ts(200))).toDS()
+    val sessions = Streaming.sessionize(events, gapMs = 30 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.first_ts.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events)).toSeq ===
+      Seq((1L, 3L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("rule config: parse + ${VAR} substitution + full-width normalization") {
+    val text =
+      """# comment line
+        |PK; id=pk1; table=${SCHEMA}.orders; cols=o_custkey
+        |FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey; broadcast=Y
+        |VC; id=vc1; table=orders; col=o_orderstatus; values=O，F，P
+        |ZC; id=zc1; table=t; cols=k; start=st; end=en; tiebreak=id
+        |PC; id=pc1; table=t; cols=c1,c2; codeTable=dim; codeCols=d1,d2; isEmpty=N
+        |SC; id=sc1; table=t; col=code; values=a,b; runInd=N
+        |""".stripMargin
+    val rules = RuleConfig.parse(text, Map("SCHEMA" -> "prod"))
+    assert(rules.length === 5) // sc1 disabled by runInd=N
+    assert(rules(0) === PkRule("pk1", "prod.orders", Seq("o_custkey")))
+    val fk = rules(1).asInstanceOf[FkRule]
+    assert(fk.broadcastFather && fk.emptyGuard)
+    val vc = rules(2).asInstanceOf[DomainRule]
+    assert(vc.values === Set("O", "F", "P")) // full-width commas normalized
+    val pc = rules(4).asInstanceOf[CodeTableRule]
+    assert(!pc.isEmptyGuard)
+    intercept[IllegalArgumentException] {
+      RuleConfig.parse("XX; id=bad; table=t")
+    }
+  }
+}
