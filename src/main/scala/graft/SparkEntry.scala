@@ -234,6 +234,33 @@ object SparkEntry {
           unix_micros(col("last_ts")).as("last_us"))
     }),
 
+    // ---- full batch lifecycle: config text → rules → audit rows -----------
+    "q_check_batch" -> ((s, dir) => {
+      import s.implicits._
+      val cfgText =
+        """PK; id=pk1; table=orders; cols=o_custkey
+          |FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey; fatherWhere=o_totalprice > ${MINPRICE}
+          |FC; id=fc1; table=orders; cols=o_custkey; father=customer; fatherCols=c_custkey; fatherWhere=c_acctbal > 0
+          |ZC; id=zc1; table=orders_zc; cols=o_custkey; start=o_orderdate; end=end_dt; tiebreak=o_orderkey
+          |VC; id=vc1; table=orders; col=o_orderstatus; values=O,F
+          |PC; id=pc1; table=customer; cols=c_nationkey; codeTable=nation_dim; codeCols=n_nationkey
+          |""".stripMargin
+      val rules = graft.config.RuleConfig.parse(cfgText,
+        Map("MINPRICE" -> "300000")) :+
+        ExpectedCountRule("uu1", "orders",
+          df => df.filter(col("o_orderstatus") === "O"), expected = 4000L)
+      val tables: String => DataFrame = {
+        case "orders_zc" => tbl(s, dir, "orders")
+          .withColumn("end_dt", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        case "nation_dim" => tbl(s, dir, "nation").filter(col("n_regionkey") < 3)
+        case t => tbl(s, dir, t)
+      }
+      val out = graft.runner.CheckRunner.runBatch(s, "b1", rules, tables)
+      out.results.toDS().toDF().select(
+        col("checkId"), col("tabNm"), col("checkType"),
+        col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"))
+    }),
+
     // ---- multimodal plumbing (stub codec, real batching) ------------------
     "q_media_features" -> ((s, _) =>
       graft.multimodal.Media.extractFeatures(
@@ -411,6 +438,59 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents"""),
+    "q_check_batch" ->
+      """WITH pkc AS (
+           SELECT CAST(coalesce(sum(cnt),0) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN cnt>1 THEN cnt END),0) AS BIGINT) f
+           FROM (SELECT count(*) cnt FROM orders GROUP BY o_custkey)),
+         fkc AS (
+           SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) a,
+             CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000))
+               AS BIGINT) f),
+         fcc AS (
+           SELECT CAST((SELECT count(*) FROM orders) +
+               (SELECT count(*) FROM customer WHERE c_acctbal > 0) AS BIGINT) a,
+             CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer WHERE c_acctbal > 0)) +
+               (SELECT count(*) FROM customer WHERE c_acctbal > 0 AND
+                 c_custkey NOT IN (SELECT o_custkey FROM orders)) AS BIGINT) f),
+         zcc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN prev_end IS NOT NULL
+               AND o_orderdate < prev_end THEN 1 END),0) AS BIGINT) f
+           FROM (SELECT o_orderdate, lag(o_orderdate + INTERVAL 30 DAY) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS prev_end FROM orders)),
+         vcc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN coalesce(o_orderstatus,'') <> ''
+               AND o_orderstatus NOT IN ('O','F') THEN 1 END),0) AS BIGINT) f
+           FROM orders),
+         pcc AS (
+           SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) a,
+             CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+               (SELECT n_nationkey FROM nation WHERE n_regionkey < 3))
+               AS BIGINT) f),
+         uuc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(count(*) - 4000 AS BIGINT) f
+           FROM orders WHERE o_orderstatus = 'O')
+         SELECT checkId, tabNm, checkType,
+           CASE WHEN checkType = 'UU' THEN
+                  CASE WHEN failedRowCnt = 0 THEN 'Y' ELSE 'N' END
+                WHEN failedRowCnt = 0 THEN 'Y'
+                WHEN failedRowCnt > 0 THEN 'N' ELSE '' END AS checkResultInd,
+           allRowCnt, failedRowCnt
+         FROM (
+           SELECT 'pk1' checkId, 'orders' tabNm, 'PK' checkType,
+             a allRowCnt, f failedRowCnt FROM pkc
+           UNION ALL SELECT 'fk1', 'lineitem', 'FK', a, f FROM fkc
+           UNION ALL SELECT 'fc1', 'orders', 'FC', a, f FROM fcc
+           UNION ALL SELECT 'zc1', 'orders_zc', 'ZC', a, f FROM zcc
+           UNION ALL SELECT 'vc1', 'orders', 'VC', a, f FROM vcc
+           UNION ALL SELECT 'pc1', 'customer', 'PC', a, f FROM pcc
+           UNION ALL SELECT 'uu1', 'orders', 'UU', a, f FROM uuc)""",
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          CAST(count(*) AS BIGINT) AS n

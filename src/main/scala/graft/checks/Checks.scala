@@ -39,6 +39,20 @@ object Checks {
   private def nonEmpty(c: Column): Column =
     coalesce(c.cast("string"), lit("")) =!= ""
 
+  /** Guard a frame on the given key expressions, but only where the guard
+    * can matter: for string-typed keys it is coalesce(col,'')<>''; for any
+    * other type '' never occurs, so the semantic equivalent is a plain
+    * isNotNull — which pushes down to the scan instead of forcing a
+    * cast-to-string filter over every row (visible in explain() as a
+    * PushedFilter vs an unpushable Condition).
+    */
+  private def guardKeys(df: DataFrame, keyExprs: Seq[String]): DataFrame =
+    keyExprs.foldLeft(df) { (d, k) =>
+      val dt = d.select(expr(k)).schema.head.dataType
+      if (dt == org.apache.spark.sql.types.StringType) d.filter(nonEmpty(expr(k)))
+      else d.filter(expr(k).isNotNull)
+    }
+
   /** checkColumn1..N detail projection (GQ:1273-1277), capped at 10. */
   private def sampleProjection(cols: Seq[String]): Seq[Column] =
     cols.take(MaxSampleCols).zipWithIndex.map { case (c, i) =>
@@ -92,8 +106,7 @@ object Checks {
     val father = applyWhere(father0, rule.fatherWhere)
     // guard replicates the reference's `col<>''` convention around NOT IN
     val guarded =
-      if (rule.emptyGuard)
-        keys.foldLeft(child)((d, k) => d.filter(nonEmpty(expr(k._1))))
+      if (rule.emptyGuard) guardKeys(child, keys.map(_._1))
       else child
     // father keys renamed to avoid child/father name collisions
     val fatherKeys0 = father
@@ -206,8 +219,7 @@ object Checks {
     val keys = fkKeys(rule.keyCols, rule.codeCols)
     val df = applyWhere(df0, rule.where)
     val guarded =
-      if (rule.isEmptyGuard)
-        keys.foldLeft(df)((d, k) => d.filter(nonEmpty(expr(k._1))))
+      if (rule.isEmptyGuard) guardKeys(df, keys.map(_._1))
       else df
     // code dictionaries are small by construction → always broadcast
     val dimKeys = broadcast(

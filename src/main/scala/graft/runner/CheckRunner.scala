@@ -1,0 +1,94 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checks.Checks
+import graft.model._
+
+/** Batch check lifecycle ≈ the reference's `dataCheck` (GQ:664-804):
+  * take a parsed ruleset, compile each family, execute, and publish the
+  * three audit tables — check_Result (one row per rule, GQ:283-299),
+  * check_Detail (bounded violation samples, GQ:322-332) and code_Detail
+  * (offending code values, GQ:576-584) — with per-batch staging + marker
+  * publish standing in for the reference's volatile-table isolation
+  * (GQ:665-676, Iceberg snapshot commit at production scale).
+  */
+object CheckRunner {
+
+  /** Resolves a rule's table name to a DataFrame (catalog stand-in). */
+  type Tables = String => DataFrame
+
+  /** Compile one rule against the resolver. CustomRule/ExpectedCountRule
+    * carry their transform; relational rules dispatch to [[Checks]].
+    */
+  def compile(rule: Rule, tables: Tables): CheckPlan = rule match {
+    case r: PkRule => Checks.pk(r, tables(r.table))
+    case r: FkRule => Checks.fk(r, tables(r.table), tables(r.fatherTable))
+    case r: FcRule => Checks.fc(r, tables(r.table), tables(r.fatherTable))
+    case r: ZcRule => Checks.zc(r, tables(r.table))
+    case r: DomainRule => Checks.domain(r, tables(r.table))
+    case r: CodeTableRule => Checks.codeTable(r, tables(r.table), tables(r.codeTable))
+    case r: CustomRule => Checks.custom(r, tables(r.table))
+    case r: ExpectedCountRule => Checks.expectedCount(r, tables(r.table))
+  }
+
+  /** check_Detail normalization: every detail frame padded to the fixed
+    * checkColumn1..10 + sampleCnt shape of the reference (GQ:322-332),
+    * prefixed with rule identity. Domain-rule details go to code_Detail
+    * instead (cdeVal shape, GQ:576-584).
+    */
+  private def normalizeDetail(rule: Rule, detail: DataFrame): DataFrame = {
+    val present = detail.columns.toSet
+    val fcInd = if (present.contains("fcInd")) col("fcInd")
+    else lit("") // 'C'/'F' only for FC checks (GQ:1509)
+    val keyCols = (1 to Checks.MaxSampleCols).map { i =>
+      val n = s"checkColumn$i"
+      (if (present.contains(n)) col(n).cast("string")
+       else lit(null).cast("string")).as(n)
+    }
+    val sample = (if (present.contains("sampleCnt")) col("sampleCnt")
+    else lit(1L)).cast("long").as("sampleCnt")
+    detail.select(
+      lit(rule.id).as("checkId") +: lit(rule.table).as("tabNm") +:
+        fcInd.cast("string").as("fcInd") +: keyCols :+ sample: _*)
+  }
+
+  final case class BatchOutput(
+      results: Seq[CheckResult],
+      checkDetail: Option[DataFrame],
+      codeDetail: Option[DataFrame])
+
+  /** Execute all enabled rules. Detail capture follows the reference:
+    * key-shaped checks → check_Detail, domain checks → code_Detail.
+    */
+  def runBatch(spark: SparkSession, batchId: String, rules: Seq[Rule],
+      tables: Tables): BatchOutput = {
+    val enabled = rules.filter(_.enabled)
+    val plans = enabled.map(r => r -> compile(r, tables))
+    val results = Checks.run(spark, batchId, plans.map(_._2))
+    val (codeRules, keyRules) = plans.partition(_._1.isInstanceOf[DomainRule])
+    val checkDetail = keyRules
+      .collect { case (r, p) if !r.isInstanceOf[CustomRule] &&
+        !r.isInstanceOf[ExpectedCountRule] => normalizeDetail(r, p.detail) }
+      .reduceOption(_ unionByName _)
+    val codeDetail = codeRules.map { case (r, p) =>
+      p.detail.select(lit(r.id).as("checkId"), lit(r.table).as("tabNm"),
+        col("cdeVal"), col("sampleCnt"))
+    }.reduceOption(_ unionByName _)
+    BatchOutput(results, checkDetail, codeDetail)
+  }
+
+  /** Publish a batch's audit tables under `outDir/batch=<id>/` with a
+    * completion marker (staged, resumable — the volatile→permanent INSERT
+    * of GQ:770-787). Re-running a published batch is a no-op.
+    */
+  def publish(spark: SparkSession, outDir: String, batchId: String,
+      out: BatchOutput): Unit = {
+    import spark.implicits._
+    val dir = s"$outDir/batch=$batchId"
+    if (Checkpoint.isDone(spark, dir, "check_result")) return
+    Checkpoint.stage(spark, dir, "check_result")(out.results.toDS().toDF())
+    out.checkDetail.foreach(d => Checkpoint.stage(spark, dir, "check_detail")(d))
+    out.codeDetail.foreach(d => Checkpoint.stage(spark, dir, "code_detail")(d))
+  }
+}

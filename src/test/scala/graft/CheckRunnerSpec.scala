@@ -1,0 +1,70 @@
+package graft
+
+import graft.config.RuleConfig
+import graft.model._
+import graft.runner.{CheckRunner, Checkpoint}
+import org.apache.spark.sql.DataFrame
+
+class CheckRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val child = Seq(("a", 1), ("a", 2), ("orph", 3), ("ok", 4)).toDF("k", "v")
+  lazy val father = Seq("a", "ok", "extra").toDF("fk")
+  lazy val codes = Seq("red", "blue").toDF("code")
+
+  val tables: CheckRunner.Tables = {
+    case "child" => child
+    case "father" => father
+    case "codes" => codes
+    case "colors" => Seq("red", "green", "", null.asInstanceOf[String]).toDF("c")
+  }
+
+  test("batch run: config text → rules → audit rows with verdicts") {
+    val rules = RuleConfig.parse(
+      """PK; id=pk1; table=child; cols=k
+        |FK; id=fk1; table=child; cols=k; father=father; fatherCols=fk
+        |VC; id=vc1; table=colors; col=c; values=red,blue
+        |""".stripMargin)
+    val out = CheckRunner.runBatch(spark, "b9", rules, tables)
+    val byId = out.results.map(r => r.checkId -> r).toMap
+    assert(byId("pk1").checkResultInd === "N") // "a" duplicated
+    assert(byId("pk1").failedRowCnt === 2L)
+    assert(byId("fk1").failedRowCnt === 1L) // "orph"
+    assert(byId("vc1").failedRowCnt === 1L) // "green" ("",null exempt)
+    assert(out.results.forall(_.batchId === "b9"))
+    // detail tables: key checks → check_Detail (padded to 10 cols),
+    // domain checks → code_Detail
+    val det = out.checkDetail.get
+    assert(det.columns.toSeq === Seq("checkId", "tabNm", "fcInd") ++
+      (1 to 10).map(i => s"checkColumn$i") :+ "sampleCnt")
+    val pkRow = det.filter($"checkId" === "pk1").collect()
+    assert(pkRow.length === 1 && pkRow.head.getAs[String]("checkColumn1") === "a")
+    val code = out.codeDetail.get.collect()
+    assert(code.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("vc1", "green")))
+  }
+
+  test("publish is staged and idempotent (volatile→permanent analogue)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_batch").toString
+    val rules = Vector(PkRule("pk1", "child", Seq("k")))
+    val out = CheckRunner.runBatch(spark, "b10", rules, tables)
+    CheckRunner.publish(spark, dir, "b10", out)
+    val first = spark.read.parquet(s"$dir/batch=b10/check_result").collect()
+    assert(first.length === 1)
+    // re-publishing the same batch is a no-op (resume semantics)
+    CheckRunner.publish(spark, dir, "b10", out)
+    val again = spark.read.parquet(s"$dir/batch=b10/check_result").collect()
+    assert(again.toSeq === first.toSeq)
+    assert(Checkpoint.isDone(spark, s"$dir/batch=b10", "check_result"))
+  }
+
+  test("FC details carry the C/F direction tag through normalization") {
+    val rules = Vector(
+      FcRule("fc1", "child", Seq("k"), "father", Seq("fk")))
+    val out = CheckRunner.runBatch(spark, "b11", rules, tables)
+    val det = out.checkDetail.get
+      .select("fcInd", "checkColumn1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(det === Set(("C", "orph"), ("F", "extra")))
+  }
+}
