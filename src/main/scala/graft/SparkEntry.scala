@@ -190,6 +190,17 @@ object SparkEntry {
         .lshTopK(emb, "vec_id", "embedding", q, 10, hammingRadius = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    // embedding-cosine near-dup: embeddings ∪ shifted copy ⇒ every vector
+    // has one exact duplicate; LSH-bucketed pairs + cosine>=0.999 verify
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val duped = e.unionByName(
+        e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      graft.similarity.Similarity.nearDupPairs(duped, "vec_id", "embedding",
+        threshold = 0.999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_embed_norms" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -418,6 +429,10 @@ object SparkEntry {
            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
             WHERE vec_id = 0)) DESC, vec_id
          LIMIT 10""",
+    "q_embed_neardup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id_a,
+         CAST(vec_id + 1000000 AS BIGINT) AS id_b
+         FROM embeddings ORDER BY id_a, id_b""",
     "q_embed_norms" ->
       """SELECT vec_id,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -108,11 +108,17 @@ object Checks {
     val guarded =
       if (rule.emptyGuard) guardKeys(child, keys.map(_._1))
       else child
-    // father keys renamed to avoid child/father name collisions
+    // father keys renamed to avoid child/father name collisions.
+    // Join strategy (north_rule): dictionary-sized father → broadcast;
+    // otherwise hint shuffle-hash — the build side (distinct father keys)
+    // is far smaller than the probe side, and sort-merge would sort the
+    // entire child table for nothing. AQE can still upgrade to broadcast
+    // at runtime if the father turns out tiny.
     val fatherKeys0 = father
       .select(keys.map { case (_, f) => expr(f).as(s"__fk_$f") }: _*).distinct()
     val fatherKeys =
-      if (rule.broadcastFather) broadcast(fatherKeys0) else fatherKeys0
+      if (rule.broadcastFather) broadcast(fatherKeys0)
+      else fatherKeys0.hint("shuffle_hash")
     val cond = keys.map { case (c, f) => expr(c) === fatherKeys(s"__fk_$f") }
       .reduce(_ && _)
     val orphans = guarded.join(fatherKeys, cond, "left_anti")

@@ -73,6 +73,20 @@ object RuleConfig {
     })
   }
 
+  /** Run manifest ≈ batchIdConfig.py (BIC:2-59): maps a rule-config name to
+    * the batch ids it runs under (a file can map to several, e.g.
+    * ["1120","1520"] BIC:4). Format: one `name = id1,id2` per line.
+    */
+  def parseManifest(text: String): Map[String, Seq[String]] =
+    text.linesIterator.map(normalize)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"bad manifest line: $l")
+        l.substring(0, i).trim ->
+          l.substring(i + 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }.toMap
+
   /** Parse a whole config text into enabled rules, preserving order. */
   def parse(text: String, vars: Map[String, String] = Map.empty): Vector[Rule] =
     text.linesIterator
