@@ -222,9 +222,10 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))),
     "q_fingerprints" -> ((s, dir) =>
-      graft.text.TextAnalysis.fingerprints(
-        tbl(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), size(col("fingerprints")).as("n_fp"))),
+      // the custom codegen Expression route (stays in whole-stage codegen);
+      // TextAnalysis.fingerprints is the equivalent typed route
+      tbl(s, dir, "documents").select(col("doc_id"),
+        size(graft.functions.expressions.winnow_fp(col("text"))).as("n_fp"))),
 
     // ---- streaming-shaped queries (same transform serves readStream) -----
     "q_stream_window" -> ((s, dir) =>
