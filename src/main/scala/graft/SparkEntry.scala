@@ -86,6 +86,16 @@ object SparkEntry {
         tbl(s, dir, "customer"),
         tbl(s, dir, "nation").filter(col("n_regionkey") < 3)).countsDf),
 
+    // ---- O11: custom run-and-record (UC) — the typed "user SQL" hatch ----
+    "q_uc_custom" -> ((s, dir) =>
+      Checks.custom(CustomRule("uc1", "customer", df =>
+        df.orderBy(col("c_acctbal").desc, col("c_custkey"))
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+              .as("bal_cents"))
+          .limit(5)),
+        tbl(s, dir, "customer")).detail),
+
     // ---- O12: expected-count (UU) ----------------------------------------
     "q_uu_expected" -> ((s, dir) =>
       Checks.expectedCount(ExpectedCountRule("uu1", "orders",
@@ -200,6 +210,16 @@ object SparkEntry {
         threshold = 0.999)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val cents = graft.similarity.Similarity.ivfCentroids(
+        emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.similarity.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+        cents, nprobe = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
     "q_embed_norms" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
@@ -352,6 +372,10 @@ object SparkEntry {
          CAST((SELECT count(*) FROM customer WHERE c_nationkey < 20
            AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
              WHERE n_regionkey < 3)) AS BIGINT) AS failed_cnt""",
+    "q_uc_custom" ->
+      """SELECT c_custkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+         FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5""",
     "q_uu_expected" ->
       """SELECT CAST(count(*) AS BIGINT) AS all_cnt,
          CAST(count(*) - 4000 AS BIGINT) AS failed_cnt

@@ -80,6 +80,75 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
+
+  /** Deterministic k-means-lite coarse quantizer: centroids initialized from
+    * the first k rows (stable under any partitioning since keyed by id),
+    * refined with `iters` Lloyd rounds computed as DataFrame aggregations
+    * (posexplode → per-(cluster,pos) mean → collect k×dim doubles). At
+    * cluster scale the assignment column becomes the table's partition key,
+    * so a probe reads nprobe/k of the data — classic IVF (public FAISS
+    * design; Jégou et al. 2011).
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(asDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = withCluster(df, vecCol, centroids)
+      val means = assigned
+        .select(col("__cluster"), posexplode(asDouble(col(vecCol))))
+        .groupBy(col("__cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment column (argmin over k codegen'd dot
+    * products — no UDF).
+    */
+  def withCluster(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = typedlit(c.toSeq)
+      struct((dot(v, v) - lit(2.0) * dot(v, cc) + dot(cc, cc)).as("d"),
+        lit(i).as("i"))
+    }
+    df.withColumn("__cluster", array_min(array(dists: _*)).getField("i"))
+  }
+
+  /** IVF top-k: rank centroids by distance to the query, scan only the
+    * `nprobe` nearest clusters, exact-rerank inside them.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    def d2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val x = c(i) - query(i); s += x * x; i += 1 }
+      s
+    }
+    val probe = centroids.zipWithIndex.sortBy(p => d2(p._1))
+      .take(nprobe).map(_._2)
+    withCluster(df, vecCol, centroids)
+      .filter(col("__cluster").isin(probe.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-LSH-bucket self-join →
     * exact cosine verify ≥ threshold. Band the signature (4×4 bits by
     * default) so near-misses across one flipped bit still collide.

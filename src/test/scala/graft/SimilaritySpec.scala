@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ivf: clusters partition the data; topk recalls brute-force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cents.length === 8 && cents.head.length === 64)
+    val assigned = Similarity.withCluster(emb, "embedding", cents)
+    assert(assigned.select("__cluster").distinct().count() > 1)
+    assert(assigned.count() === emb.count())
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, cents,
+      nprobe = 4).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(f"ivf recall@10 (nprobe=4/8) = $recall%.2f")
+    assert(ivf.contains(0L), "query's own vector must be found")
+    assert(recall >= 0.5)
+    // determinism: same centroids from a differently-partitioned frame
+    val cents2 = Similarity.ivfCentroids(emb.repartition(7), "vec_id",
+      "embedding", k = 8, iters = 2)
+    assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
+  }
+
   test("cosine column matches plain-Scala computation on real data") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(20).collect()
