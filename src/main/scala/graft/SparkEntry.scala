@@ -178,8 +178,10 @@ object SparkEntry {
         maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_dedup_ngram" -> ((s, dir) =>
-      graft.dedup.Dedup.ngramJaccardPairs(dupedDocs(s, dir), "id", "text",
-        threshold = 0.95)
+      // prefix-filtered variant — same answers as the full inverted index,
+      // a fraction of the join volume (the 100 TB path)
+      graft.dedup.Dedup.ngramJaccardPairsPrefix(dupedDocs(s, dir), "id",
+        "text", threshold = 0.95)
         .select(col("id_a"), col("id_b")) // jaccard==1.0 for exact copies
         .orderBy(col("id_a"), col("id_b"))),
 

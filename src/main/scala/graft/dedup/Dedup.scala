@@ -271,4 +271,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Prefix-filtered exact Jaccard join (PPJoin-style, Xiao et al. 2008) —
+    * the scale path for high thresholds. Each doc indexes only its
+    * ⌈(1-t)·|A|⌉+1 smallest shingles under the global (hash) order; any
+    * pair with Jaccard ≥ t provably shares one of those prefix shingles,
+    * so the candidate join touches ~(1-t) of the postings the full inverted
+    * index would. Candidates are then verified EXACTLY with
+    * `array_intersect` over the complete sorted shingle arrays (codegen'd,
+    * no UDF). Same output as [[ngramJaccardPairs]] for the same threshold.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (id, sorted shingle array, prefix slice)
+    val docs = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val s = shingles(t, n).sorted
+        val prefixLen = math.min(s.length,
+          math.ceil((1.0 - threshold) * s.length).toInt + 1)
+        (id, s, s.take(prefixLen))
+      }
+      .toDF(idCol, "sh", "prefix")
+      .cache()
+    val index = docs.select(col(idCol), explode(col("prefix")).as("g"),
+      size(col("sh")).as("sz"))
+    val l = index.select(col("g"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val r = index.select(col("g"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    // length filter: jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune candidates
+    // on two ints before touching the full shingle arrays
+    val cand = l.join(r, Seq("g")).filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").distinct()
+    val da = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val db = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cand.join(da, "id_a").join(db, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

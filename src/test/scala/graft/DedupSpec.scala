@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs((0L, 2L)) - truth) < 1e-9)
   }
 
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    for (t <- Seq(0.5, 0.7, 0.95)) {
+      val full = Dedup.ngramJaccardPairs(df, "id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(df, "id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      assert(prefix === full, s"threshold $t")
+    }
+    // and on a bigger frame: documents ∪ shifted copy, high threshold
+    val docs0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id as id", "text")
+    val duped = docs0.unionByName(
+      docs0.selectExpr("id + 1000000 as id", "text"))
+    val a = Dedup.ngramJaccardPairs(duped, "id", "text", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.ngramJaccardPairsPrefix(duped, "id", "text", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(b.size >= 500) // every doc pairs with its planted copy
+  }
+
   test("dedup on the planted corpus: exact dup triples are found") {
     import graft.corpus.CorpusGen
     val files = CorpusGen.files(spark, 2000L).toDF()
