@@ -150,29 +150,43 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: same-LSH-bucket self-join →
-    * exact cosine verify ≥ threshold. Band the signature (4×4 bits by
-    * default) so near-misses across one flipped bit still collide.
+    * Hamming prefilter on the full signatures → exact cosine verify.
+    *
+    * Cost shape (the 100 TB concern): the band join carries ONLY ids —
+    * candidate pairs are deduplicated on (id_a,id_b) BEFORE vectors are
+    * joined back, so each surviving pair pays one signature compare
+    * (bit_count over a long) and, only if within `hammingMax`, one exact
+    * cosine. Wider `bandBits` (default 8 → 256 buckets/band) keeps buckets
+    * small; recall for cos ≥ 0.99 pairs stays ≥ 0.999 with 4 bands (SRP
+    * per-bit flip prob = θ/π).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 16, bandBits: Int = 4,
-      seed: Long = 42L, dim: Int = 64): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 32, bandBits: Int = 8,
+      seed: Long = 42L, dim: Int = 64, hammingMax: Int = -1): DataFrame = {
     val planes = hyperplanes(dim, bits, seed)
+    val hMax = if (hammingMax >= 0) hammingMax else bits / 4
     val sigs = df.select(col(idCol), col(vecCol))
       .withColumn("__sig", signatureCol(col(vecCol), planes))
+      .cache()
     val nBands = bits / bandBits
-    val banded = sigs.select(col(idCol), col(vecCol),
+    val banded = sigs.select(col(idCol),
       explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
         shiftrightunsigned(col("__sig"), i * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
-      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
-    val l = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("__sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("__sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= hMax)
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }
