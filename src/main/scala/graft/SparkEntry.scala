@@ -328,8 +328,10 @@ object SparkEntry {
          FROM (SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 25
                GROUP BY l_orderkey, l_partkey)""",
     "q_fk_orphans" ->
-      """SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS all_cnt,
-         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+      """SELECT CAST((SELECT count(*) FROM lineitem
+           WHERE l_orderkey IS NOT NULL) AS BIGINT) AS all_cnt,
+         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN
            (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000))
            AS BIGINT) AS failed_cnt""",
     "q_fk_detail" ->
@@ -433,13 +435,12 @@ object SparkEntry {
            SELECT id, array_to_string(ts, ' ') AS g
            FROM toks WHERE len(ts) > 0 AND len(ts) < 3),
          sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-         capped AS (
+         shared AS (
            SELECT * FROM sh WHERE g IN (
-             SELECT g FROM sh GROUP BY g
-             HAVING count(*) <= 1000 AND count(*) > 1)),
+             SELECT g FROM sh GROUP BY g HAVING count(*) > 1)),
          pairs AS (
            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-           FROM capped a JOIN capped b USING (g)
+           FROM shared a JOIN shared b USING (g)
            WHERE a.id < b.id GROUP BY 1, 2)
          SELECT id_a, id_b FROM pairs
          JOIN sizes sa ON sa.id = id_a
@@ -486,8 +487,10 @@ object SparkEntry {
              CAST(coalesce(sum(CASE WHEN cnt>1 THEN cnt END),0) AS BIGINT) f
            FROM (SELECT count(*) cnt FROM orders GROUP BY o_custkey)),
          fkc AS (
-           SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) a,
-             CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+           SELECT CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey IS NOT NULL) AS BIGINT) a,
+             CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
                (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000))
                AS BIGINT) f),
          fcc AS (

@@ -236,10 +236,15 @@ object Checks {
     val viol = guarded.join(dimKeys, cond, "left_anti")
     val countsDf = guarded.agg(count(lit(1)).as("all_cnt"))
       .crossJoin(viol.agg(count(lit(1)).as("failed_cnt")))
+    // detail carries checkColumnN names so the batch runner's check_Detail
+    // normalization keeps the offending code values
+    val nKeys = math.min(keys.length, MaxSampleCols)
+    val keyRefs = (1 to nKeys).map(i => col(s"checkColumn$i"))
     val detail = viol
-      .groupBy(keys.map { case (c, _) => expr(c).cast("string").as(c) }: _*)
+      .groupBy(keys.take(MaxSampleCols).zipWithIndex.map { case ((c, _), i) =>
+        expr(c).cast("string").as(s"checkColumn${i + 1}") }: _*)
       .agg(count(lit(1)).as("sampleCnt"))
-      .orderBy(col("sampleCnt").desc +: keys.map(k => col(k._1)): _*)
+      .orderBy(col("sampleCnt").desc +: keyRefs: _*)
       .limit(CodeSampleCap)
     CheckPlan(rule, viol, countsDf, detail)
   }

@@ -97,19 +97,31 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
+  /** The numHashes affine coefficient pairs for a config — derived once,
+    * not per document (they depend only on seed/numHashes).
+    */
+  def minHashCoeffs(cfg: MinHashConfig): (Array[Long], Array[Long]) = {
+    val r = new java.util.SplittableRandom(cfg.seed)
+    (Array.fill(cfg.numHashes)(r.nextLong() | 1L), // odd multipliers
+      Array.fill(cfg.numHashes)(r.nextLong()))
+  }
+
   /** Per-row MinHash signature: min over shingles of (a_j·x + b_j), for
     * numHashes independent affine hash functions (classic MinHash).
     */
   def minHashSignature(sh: Array[Long], cfg: MinHashConfig): Array[Long] = {
-    val r = new java.util.SplittableRandom(cfg.seed)
-    val as = Array.fill(cfg.numHashes)(r.nextLong() | 1L) // odd multipliers
-    val bs = Array.fill(cfg.numHashes)(r.nextLong())
-    val sig = Array.fill(cfg.numHashes)(Long.MaxValue)
+    val (as, bs) = minHashCoeffs(cfg)
+    minHashSignature(sh, cfg.numHashes, as, bs)
+  }
+
+  def minHashSignature(sh: Array[Long], numHashes: Int,
+      as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
       val x = sh(i)
       var j = 0
-      while (j < cfg.numHashes) {
+      while (j < numHashes) {
         val h = as(j) * x + bs(j)
         if (h < sig(j)) sig(j) = h
         j += 1
@@ -124,10 +136,14 @@ object Dedup {
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // coefficients derived once on the driver, shared by every row
+    val (as, bs) = minHashCoeffs(cfg)
+    val k = cfg.numHashes
+    val n = cfg.shingleSize
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, minHashSignature(shingles(text, cfg.shingleSize), cfg))
+        (id, minHashSignature(shingles(text, n), k, as, bs))
       })
       .toDF(idCol, "sig")
   }
@@ -213,17 +229,31 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxDist, found by 4×16-bit band
-    * blocking (pigeonhole: dist ≤ 3 ⇒ some 16-bit band is identical), then
-    * verified with bit_count(xor) — both codegen'd Column ops.
+  /** Near-dup pairs with Hamming distance ≤ maxDist, found by band blocking
+    * with maxDist+1 bands (pigeonhole: d differing bits can spoil at most d
+    * of d+1 bands, so some band is identical — complete for ANY maxDist),
+    * then verified with bit_count(xor) — both codegen'd Column ops.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
+    val nBands = maxDist + 1
+    val base = 64 / nBands
+    // band i covers [start_i, start_i + width_i); remainder bits widen the
+    // last band — union of bands always covers all 64 bits exactly once
+    val bandSpecs = (0 until nBands).map { i =>
+      val start = i * base
+      val width = if (i == nBands - 1) 64 - start else base
+      (i, start, width)
+    }
     val sigs = simHashes(df, idCol, textCol).cache()
     val banded = sigs.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))
-          .as("bucket"))): _*)).as("bb"))
+      explode(array(bandSpecs.map { case (i, start, width) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask))
+            .as("bucket"))
+      }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))

@@ -28,11 +28,19 @@ object Scrub {
   val dropPatterns: Seq[(String, String)] = Seq(
     ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"))
 
-  /** Per-pattern match-count columns (lineage: "scrub counts"). */
-  def countCols(content: Column): Seq[(String, Column)] =
-    patterns.map { case (id, p, _) =>
-      s"scrub_$id" -> regexp_count(content, lit(p))
+  /** Per-pattern match-count columns (lineage: "scrub counts"). Each
+    * pattern is counted against the text AFTER the preceding patterns have
+    * been applied — the same progressive semantics as [[scrubPlain]], so
+    * e.g. an IP consumed by the email pattern is not double-counted.
+    */
+  def countCols(content: Column): Seq[(String, Column)] = {
+    var cur = content
+    patterns.map { case (id, p, r) =>
+      val c = s"scrub_$id" -> regexp_count(cur, lit(p))
+      cur = regexp_replace(cur, lit(p), lit(r))
+      c
     }
+  }
 
   /** The scrubbed content: ordered regexp_replace chain, one projection. */
   def scrubCol(content: Column): Column =

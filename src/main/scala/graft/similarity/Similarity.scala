@@ -162,8 +162,12 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 32, bandBits: Int = 8,
-      seed: Long = 42L, dim: Int = 64, hammingMax: Int = -1): DataFrame = {
-    val planes = hyperplanes(dim, bits, seed)
+      seed: Long = 42L, dim: Int = -1, hammingMax: Int = -1): DataFrame = {
+    // derive the dimension from the data unless given — a wrong dim would
+    // null every plane dot product and silently collapse all rows into one
+    // LSH bucket (an O(n^2) cross product instead of a pruned join)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(d, bits, seed)
     val hMax = if (hammingMax >= 0) hammingMax else bits / 4
     val sigs = df.select(col(idCol), col(vecCol))
       .withColumn("__sig", signatureCol(col(vecCol), planes))

@@ -58,6 +58,16 @@ class CheckRunnerSpec extends SparkSpec {
     assert(Checkpoint.isDone(spark, s"$dir/batch=b10", "check_result"))
   }
 
+  test("PC details keep the offending code values through normalization") {
+    val rules = Vector(
+      CodeTableRule("pc9", "colors", Seq("c"), "codes", Seq("code")))
+    val out = CheckRunner.runBatch(spark, "b12", rules, tables)
+    val det = out.checkDetail.get
+      .select("checkId", "checkColumn1", "sampleCnt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(det.toSeq === Seq(("pc9", "green", 1L))) // "",null exempt by guard
+  }
+
   test("FC details carry the C/F direction tag through normalization") {
     val rules = Vector(
       FcRule("fc1", "child", Seq("k"), "father", Seq("fk")))

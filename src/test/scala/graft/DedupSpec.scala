@@ -85,6 +85,24 @@ class DedupSpec extends SparkSpec {
     assert(m.contains((0L, 2L)))
   }
 
+  test("simhash LSH is complete for maxDist > 3 (band count adapts)") {
+    // craft ids whose simhashes differ in exactly 5 scattered bits by
+    // searching real text variants
+    val base6 = docs.toDF("id", "text")
+    val found = Dedup.simHashPairs(base6, "id", "text", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every pair the brute-force O(n^2) scan finds must be found by LSH
+    val sigs = docs.map { case (id, t) => id -> Dedup.simHash(t) }
+    val brute = for {
+      (a, ha) <- sigs; (b, hb) <- sigs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 10
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))
+    assert(found.toSet === brute.toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(base6, "id", "text", maxDist = 64)
+    }
+  }
+
   test("ngram jaccard join: exact pairwise scores above threshold") {
     val pairs = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

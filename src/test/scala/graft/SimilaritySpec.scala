@@ -41,9 +41,11 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low for radius=8/16 bits")
   }
 
-  test("near-dup pairs: scaled copy found, orthogonal not") {
+  test("near-dup pairs: scaled copy found, orthogonal not; dim derived") {
+    // dim intentionally NOT passed — must be derived from the data (a wrong
+    // dim would zero every signature and cross-product the table)
     val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
-      threshold = 0.99, dim = 4)
+      threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
