@@ -39,6 +39,9 @@ object Bench {
         case _: Throwable =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
+      // dedup/similarity queries cache signature frames internally; release
+      // so accumulated storage doesn't skew later query timings
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()

@@ -107,7 +107,9 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          // round() before the bigint cast: Spark truncates double→bigint,
+          // DuckDB rounds — identical only when the value is already integral
+          round(sum(col("l_quantity"))).cast("bigint").as("sum_qty"),
           count(lit(1)).as("n_rows"),
           (sum(dec(col("l_extendedprice"))) * 100).cast("bigint")
             .as("price_cents"),
@@ -163,9 +165,13 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, t) =>
-          (id, LangId.classify(t), Perplexity.score(t)) }
-        .toDF("doc_id", "pred_lang", "perplexity")
-        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+          // bucketed perplexity keeps the scored column referenced — an
+          // opaque typed map can't be column-pruned, so never compute
+          // per-row work the query doesn't aggregate
+          (id, LangId.classify(t), math.rint(Perplexity.score(t) / 10) * 10) }
+        .toDF("doc_id", "pred_lang", "ppl_bucket")
+        .groupBy(col("pred_lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // ---- near-dup dedup family (docs ∪ shifted copy ⇒ known dup pairs) ---
@@ -386,7 +392,7 @@ object SparkEntry {
          FROM orders WHERE o_orderstatus = 'O'""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
          CAST(count(*) AS BIGINT) AS n_rows,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
            AS price_cents,
@@ -417,7 +423,8 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS dup_cnt
          FROM documents GROUP BY text""",
     // faithful reimplementation of the shingle-Jaccard join: word 3-gram
-    // sets, postings capped at 1000, jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95
+    // sets, UNCAPPED (matches ngramJaccardPairsPrefix, the exact variant),
+    // jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95
     "q_dedup_ngram" ->
       """WITH docs AS (
            SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents

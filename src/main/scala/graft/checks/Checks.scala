@@ -141,14 +141,19 @@ object Checks {
     val keys = fkKeys(rule.keyCols, rule.fatherCols)
     val child = applyWhere(child0, rule.where)
     val father = applyWhere(father0, rule.fatherWhere)
+    // key sets renamed on BOTH sides: expression keys parse via expr() (the
+    // reference's COALESCE(col,'') convention) and a same-table parent/child
+    // rule can't produce ambiguous self-join attributes
     val childKeys = child
-      .select(keys.map { case (c, _) => expr(c).as(c) }: _*).distinct()
+      .select(keys.zipWithIndex.map { case ((c, _), i) =>
+        expr(c).as(s"__fc_c$i") }: _*).distinct()
     val fatherKeys = father
-      .select(keys.map { case (_, f) => expr(f).as(f) }: _*).distinct()
-    val fwdCond = keys.map { case (c, f) => child(c) === fatherKeys(f) }
-      .reduce(_ && _)
-    val revCond = keys.map { case (c, f) => father(f) === childKeys(c) }
-      .reduce(_ && _)
+      .select(keys.zipWithIndex.map { case ((_, f), i) =>
+        expr(f).as(s"__fc_f$i") }: _*).distinct()
+    val fwdCond = keys.zipWithIndex.map { case ((c, _), i) =>
+      expr(c) === fatherKeys(s"__fc_f$i") }.reduce(_ && _)
+    val revCond = keys.zipWithIndex.map { case ((_, f), i) =>
+      expr(f) === childKeys(s"__fc_c$i") }.reduce(_ && _)
     val fwd = child.join(fatherKeys, fwdCond, "left_anti") // child w/o father
     val rev = father.join(childKeys, revCond, "left_anti") // father w/o child
     // samples tagged 'C' (child-side orphan) / 'F' (father-side), GQ:1974,1980

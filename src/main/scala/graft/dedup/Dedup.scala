@@ -268,11 +268,14 @@ object Dedup {
 
   // ---- n-gram Jaccard similarity join -------------------------------------
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via inverted shingle index.
-    * `maxPostings` drops shingles shared by more than that many docs
-    * (stop-shingle cap — the scale guard against quadratic candidate
-    * blowup; dropped shingles can only LOWER a true Jaccard estimate for
-    * pairs that were only connected by boilerplate).
+  /** n-gram Jaccard pairs ≥ threshold via a FULL inverted shingle index
+    * with a postings cap. The cap bounds the quadratic per-shingle join
+    * blowup but is LOSSY for content duplicated more than `maxPostings`
+    * times: every shingle of such a group exceeds the cap, so the group's
+    * pairs vanish and near-dup pairs sharing capped shingles under-count
+    * their intersection. Run [[exact]] dedup first (identical content never
+    * reaches this join), or prefer [[ngramJaccardPairsPrefix]], which is
+    * exact at any duplication level and cheaper at high thresholds.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7,
@@ -309,7 +312,8 @@ object Dedup {
     * so the candidate join touches ~(1-t) of the postings the full inverted
     * index would. Candidates are then verified EXACTLY with
     * `array_intersect` over the complete sorted shingle arrays (codegen'd,
-    * no UDF). Same output as [[ngramJaccardPairs]] for the same threshold.
+    * no UDF). Exact at any duplication level; equals [[ngramJaccardPairs]]
+    * whenever no shingle exceeds that variant's postings cap.
     */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {

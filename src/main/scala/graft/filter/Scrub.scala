@@ -24,9 +24,15 @@ object Scrub {
     ("jwt", "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}",
       "<JWT>"))
 
-  /** Secrets that cannot be safely scrubbed in place → whole-file drop. */
+  /** Secrets that cannot be safely scrubbed in place → whole-file drop.
+    * (id, pattern, prescreen literal implied by the pattern — null-safe
+    * fast path like [[prescreens]]).
+    */
   val dropPatterns: Seq[(String, String)] = Seq(
     ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+
+  private val dropPrescreens: Map[String, String] = Map(
+    "private_key" -> "-----BEGIN")
 
   /** Per-pattern match-count columns (lineage: "scrub counts"). Each
     * pattern is counted against the text AFTER the preceding patterns have
@@ -52,26 +58,50 @@ object Scrub {
   def dropCols(content: Column): Seq[(String, Column)] =
     dropPatterns.map { case (id, p) => id -> content.rlike(p) }
 
-  // ---- plain-JVM twin (used by test oracles and driver-side checks) ------
+  // ---- plain-JVM twin (used by the fused pipeline pass and test oracles) -
+
+  /** Literal substring implied by each pattern — a cheap indexOf prescreen
+    * that skips the regex entirely when the literal is absent (most files
+    * carry no PII, so this is the common case). null = no safe prescreen.
+    */
+  private val prescreens: Map[String, String] = Map(
+    "email" -> "@", "aws_key" -> "AKIA", "slack_token" -> "xox",
+    "jwt" -> "eyJ")
 
   private lazy val compiled =
-    patterns.map { case (id, p, r) => (id, java.util.regex.Pattern.compile(p), r) }
+    patterns.map { case (id, p, r) =>
+      (id, java.util.regex.Pattern.compile(p), r, prescreens.get(id))
+    }
   private lazy val compiledDrop =
-    dropPatterns.map { case (id, p) => (id, java.util.regex.Pattern.compile(p)) }
+    dropPatterns.map { case (id, p) =>
+      (id, java.util.regex.Pattern.compile(p), dropPrescreens.get(id))
+    }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
     var out = text
     val counts = Map.newBuilder[String, Int]
-    compiled.foreach { case (id, p, r) =>
-      val m = p.matcher(out)
-      var n = 0
-      while (m.find()) n += 1
-      if (n > 0) out = p.matcher(out).replaceAll(r)
-      counts += (id -> n)
+    compiled.foreach { case (id, p, r, pre) =>
+      if (pre.exists(lit => out.indexOf(lit) < 0)) {
+        counts += (id -> 0) // prescreen literal absent ⇒ pattern can't match
+      } else {
+        // single matcher pass: count and replace together
+        val m = p.matcher(out)
+        var n = 0
+        var sb: java.lang.StringBuilder = null
+        while (m.find()) {
+          if (n == 0) sb = new java.lang.StringBuilder(out.length)
+          n += 1
+          m.appendReplacement(sb, r)
+        }
+        if (n > 0) { m.appendTail(sb); out = sb.toString }
+        counts += (id -> n)
+      }
     }
     (out, counts.result())
   }
 
   def hasDropSecret(text: String): Boolean =
-    compiledDrop.exists(_._2.matcher(text).find())
+    compiledDrop.exists { case (_, p, pre) =>
+      pre.forall(text.contains(_)) && p.matcher(text).find()
+    }
 }

@@ -25,9 +25,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Cosine similarity, degenerate-input-guarded: a zero-norm vector yields
+    * -1 (worst rank). Unguarded, 0/0 THROWS under Spark 4's default ANSI
+    * mode (DIVIDE_BY_ZERO) — and with ANSI off it would yield NaN, which
+    * Spark orders ABOVE every number, ranking an all-zero embedding as the
+    * best match of every query. nanvl additionally catches NaN vector
+    * elements propagating through the dot product.
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    val denom = norm(ad) * norm(bd)
+    nanvl(when(denom === 0.0d, lit(-1.0d)).otherwise(dot(ad, bd) / denom),
+      lit(-1.0d))
   }
 
   /** Exact top-k by cosine against a literal query vector. Deterministic
@@ -100,10 +109,13 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = withCluster(df, vecCol, centroids)
+      // means through DECIMAL, not double: double partial-sum merge order is
+      // shuffle-fetch-dependent, which would make the refined centroids (and
+      // so cluster assignments) vary across partitionings/runs
       val means = assigned
         .select(col("__cluster"), posexplode(asDouble(col(vecCol))))
         .groupBy(col("__cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(avg(col("col").cast("decimal(28,14)")).cast("double").as("m"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { r =>

@@ -40,6 +40,15 @@ object Streaming {
   /** Session assembly with explicit state: gap-based sessionization via
     * flatMapGroupsWithState (north-rule-adjacent: custom state machine the
     * built-in window can't express).
+    *
+    * Contract: events per user must arrive in event-time order ACROSS
+    * batches (single-batch backfill, or an upstream watermark+sort). A
+    * late event older than an already-emitted session would start a new
+    * overlapping session rather than rewriting history — append-mode
+    * outputs are immutable. Production streams should add
+    * EventTimeTimeout + a watermark to close idle sessions and bound the
+    * per-user open-tail state, which NoTimeout (correct for bounded
+    * backfill, where the final tail is intentionally held) does not.
     */
   def sessionize(events: Dataset[(Long, Timestamp)],
       gapMs: Long = 30 * 60 * 1000L): Dataset[EventSession] = {
