@@ -43,6 +43,9 @@ object Main {
     report.lineage.filter(_.stage == "scrub").foreach { l =>
       println(f"[graft]   scrub=${l.ruleId}%-13s matches=${l.scrubCount}")
     }
+    report.lineage.filter(_.stage == "dedup").foreach { l =>
+      println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
+    }
     spark.stop()
   }
 }

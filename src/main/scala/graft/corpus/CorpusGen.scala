@@ -87,8 +87,22 @@ object CorpusGen {
     (repo, path, commit)
   }
 
-  /** Pure row derivation — the single source of truth for tests' oracles. */
+  /** Pure row derivation — the single source of truth for tests' oracles.
+    * Planted duplication: id % 97 == 0 reuses the PREVIOUS id's identity
+    * triple (PK violations); id % 89 == 0 reuses the previous id's CONTENT
+    * under its own identity (content-dedup targets). 89·97 > any test n,
+    * so the two classes never overlap on one row pair.
+    */
   def rowFor(id: Long, seed: Long): FileRow = {
+    if (id > 0 && id % 89 == 0) {
+      val self = rowFor0(id, seed)
+      val donor = rowFor0(id - 1, seed)
+      return self.copy(content = donor.content)
+    }
+    rowFor0(id, seed)
+  }
+
+  private def rowFor0(id: Long, seed: Long): FileRow = {
     val dupOf = if (id > 0 && id % 97 == 0) id - 1 else id
     val (repo, path, commit) = tripleFor(dupOf, seed)
     val r = new java.util.SplittableRandom(mix64(seed ^ (id * 0x2545f4914f6cdd1dL)))

@@ -1,6 +1,7 @@
 package graft.runner
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{array_contains, col}
 import graft.corpus.CorpusGen
 import graft.filter.QualityPipeline
 import graft.model.{FileRow, FileVerdict, LineageRow}
@@ -34,9 +35,14 @@ object Runner {
         rawKeys = Some(files.toDF().select("repo", "path", "commit")))
     }
     val verdictsDf = Checkpoint.stage(spark, workDir, "verdicts") {
-      QualityPipeline.verdicts(annotated).toDF()
+      // content-dedup after filtering: one survivor per distinct content
+      QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
     }
-    val lineage = QualityPipeline.lineage(annotated, runId, cfg)
+    val dedupDrops = verdictsDf
+      .filter(array_contains(col("dropReasons"), "content_dup")).count()
+    val lineage = QualityPipeline.lineage(annotated, runId, cfg) :+
+      LineageRow(runId, "dedup", "content_dup",
+        verdictsDf.count(), dedupDrops, 0L)
     if (!Checkpoint.isDone(spark, workDir, "lineage")) {
       Checkpoint.stage(spark, workDir, "lineage") {
         lineage.toDS().toDF()
@@ -67,11 +73,12 @@ object Runner {
   def runInMemory(spark: SparkSession, n: Long, seed: Long = 42L,
       partitions: Int = 0): Long = {
     val files = CorpusGen.files(spark, n, seed, partitions)
-    val v = QualityPipeline.verdicts(QualityPipeline.annotate(
-      QualityPipeline.score(files), CorpusGen.commitsDim(spark),
-      QualityPipeline.Config(),
-      // keys-only generation ≈ a column-pruned scan of the source
-      rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions))))
+    val v = QualityPipeline.dedupByContent(
+      QualityPipeline.verdicts(QualityPipeline.annotate(
+        QualityPipeline.score(files), CorpusGen.commitsDim(spark),
+        QualityPipeline.Config(),
+        // keys-only generation ≈ a column-pruned scan of the source
+        rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions)))))
     v.toDF().write.format("noop").mode("overwrite").save()
     n
   }
