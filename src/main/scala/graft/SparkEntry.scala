@@ -114,7 +114,8 @@ object SparkEntry {
           (sum(dec(col("l_extendedprice"))) * 100).cast("bigint")
             .as("price_cents"),
           (sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-            * 10000).cast("bigint").as("revenue_e4"))),
+            * 10000).cast("bigint").as("revenue_e4"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q_join_agg" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val c = broadcast(tbl(s, dir, "customer"))
@@ -123,6 +124,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           (sum(dec(col("o_totalprice"))) * 100).cast("bigint")
             .as("total_cents"))
+        .orderBy(col("c_mktsegment"))
     }),
     "q_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -132,6 +134,7 @@ object SparkEntry {
         .filter(col("rn") === 1 && col("o_custkey") <= 200)
         .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
           (dec(col("o_totalprice")) * 100).cast("bigint").as("top_cents"))
+        .orderBy(col("o_custkey"))
     }),
 
     // ---- text analysis over documents ------------------------------------
@@ -141,14 +144,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("bigint").as("sum_chars"),
           sum(size(split(trim(col("text")), "\\s+"))).cast("bigint")
-            .as("n_tokens"))),
+            .as("n_tokens"))
+        .orderBy(col("lang"))),
 
     // ---- exact dedup over documents ---------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
-        .select(col("keep_id"), col("dup_cnt"))),
+        .select(col("keep_id"), col("dup_cnt"))
+        .orderBy(col("keep_id"))),
 
     // ---- north-rule pipeline (rows-only: corpus is engine-synthesized) ---
     "q_quality_pipeline" -> ((s, _) => {
@@ -233,7 +238,8 @@ object SparkEntry {
       tbl(s, dir, "embeddings")
         .select(col("vec_id"),
           round(graft.similarity.Similarity.norm(
-            transform(col("embedding"), _.cast("double"))), 6).as("vnorm"))),
+            transform(col("embedding"), _.cast("double"))), 6).as("vnorm"))
+        .orderBy(col("vec_id"))),
 
     // ---- text analysis: integer-exact quality metrics --------------------
     "q_text_quality" -> ((s, dir) =>
@@ -248,7 +254,8 @@ object SparkEntry {
           .as("punct_cnt"),
         size(filter(split(lower(col("text")), "\\s+"),
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
-          .cast("bigint").as("stopword_cnt"))),
+          .cast("bigint").as("stopword_cnt"))
+        .orderBy(col("doc_id"))),
     "q_fingerprints" -> ((s, dir) =>
       // the custom codegen Expression route (stays in whole-stage codegen);
       // TextAnalysis.fingerprints is the equivalent typed route
@@ -261,7 +268,8 @@ object SparkEntry {
         .select(unix_micros(col("win_start")).as("win_us"), col("event_type"),
           col("n"))
         .groupBy(col("win_us"), col("event_type"))
-        .agg(sum(col("n")).as("n"))),
+        .agg(sum(col("n")).as("n"))
+        .orderBy(col("win_us"), col("event_type"))),
     "q_sessions" -> ((s, dir) => {
       import s.implicits._
       val ev = tbl(s, dir, "events")
@@ -272,6 +280,7 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"))
+        .orderBy(col("user_id"), col("first_us"))
     }),
 
     // ---- full batch lifecycle: config text → rules → audit rows -----------
@@ -299,6 +308,7 @@ object SparkEntry {
       out.results.toDS().toDF().select(
         col("checkId"), col("tabNm"), col("checkType"),
         col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"))
+        .orderBy(col("checkId"))
     }),
 
     // ---- multimodal plumbing (stub codec, real batching) ------------------
@@ -308,7 +318,8 @@ object SparkEntry {
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
-          sum(col("frames_sampled")).as("total_frames"))))
+          sum(col("frames_sampled")).as("total_frames"))
+        .orderBy(col("kind"))))
 
   /** documents ∪ (documents with shifted ids) — every doc gains exactly one
     * exact near-dup, giving dedup queries a known answer set.
@@ -399,29 +410,30 @@ object SparkEntry {
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(1 - l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
            AS revenue_e4
-         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q_join_agg" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
            AS total_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""",
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey AS top_orderkey,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS top_cents
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
-         WHERE rn = 1 AND o_custkey <= 200""",
+         WHERE rn = 1 AND o_custkey <= 200 ORDER BY o_custkey""",
     "q_text_tokens" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS sum_chars,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
            AS n_tokens
-         FROM documents GROUP BY lang""",
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
          CAST(count(*) AS BIGINT) AS dup_cnt
-         FROM documents GROUP BY text""",
+         FROM documents GROUP BY text ORDER BY keep_id""",
     // faithful reimplementation of the shingle-Jaccard join: word 3-gram
     // sets, UNCAPPED (matches ngramJaccardPairsPrefix, the exact variant),
     // jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95
@@ -472,7 +484,7 @@ object SparkEntry {
       """SELECT vec_id,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
            CAST(embedding AS DOUBLE[]))), 6) AS vnorm
-         FROM embeddings""",
+         FROM embeddings ORDER BY vec_id""",
     "q_text_quality" ->
       ("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
@@ -487,7 +499,7 @@ object SparkEntry {
            w -> list_contains([""" +
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
-         FROM documents"""),
+         FROM documents ORDER BY doc_id"""),
     "q_check_batch" ->
       """WITH pkc AS (
            SELECT CAST(coalesce(sum(cnt),0) AS BIGINT) a,
@@ -542,11 +554,12 @@ object SparkEntry {
            UNION ALL SELECT 'zc1', 'orders_zc', 'ZC', a, f FROM zcc
            UNION ALL SELECT 'vc1', 'orders', 'VC', a, f FROM vcc
            UNION ALL SELECT 'pc1', 'customer', 'PC', a, f FROM pcc
-           UNION ALL SELECT 'uu1', 'orders', 'UU', a, f FROM uuc)""",
+           UNION ALL SELECT 'uu1', 'orders', 'UU', a, f FROM uuc)
+         ORDER BY checkId""",
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1, 2""",
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_sessions" ->
       """WITH e AS (
            SELECT user_id, ts,
@@ -565,5 +578,6 @@ object SparkEntry {
          SELECT user_id, n_events, epoch_us(first_ts) AS first_us,
            epoch_us(last_ts) AS last_us
          FROM g
-         WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)""")
+         WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+         ORDER BY user_id, first_us""")
 }
