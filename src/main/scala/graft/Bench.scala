@@ -47,25 +47,31 @@ object Bench {
     spark.stop()
 
     // ---- scaling evidence: identical corpus at N and 4N threads ----------
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "3000000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "6000000").toLong
     val lowCpus = math.max(cpus / 4, 1)
-    def pipelineThroughput(c: Int): Double = {
+    // north-rule scaling metric = the langid+perplexity+heuristics+scrub
+    // filter pipeline (includeDedup=false); the content-dedup extension is
+    // timed separately below (it pays a persist + broadcast-build that the
+    // north-rule stage doesn't have)
+    def pipelineThroughput(c: Int, dedup: Boolean): Double = {
       val s = session(c)
       try {
-        Runner.runInMemory(s, 50000L, partitions = c) // JIT warm-up
-        Runner.runInMemory(s, 200000L, partitions = 4 * c) // deeper JIT warm
-        // identical deterministic input every run; best-of-2 because the
+        Runner.runInMemory(s, 50000L, partitions = c, includeDedup = dedup)
+        Runner.runInMemory(s, 200000L, partitions = 4 * c, includeDedup = dedup)
+        // identical deterministic input every run; best-of-3 because the
         // sandbox VM has noisy-neighbor variance (measured swings up to 8x)
-        val runs = (1 to 2).map { _ =>
+        val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          val rows = Runner.runInMemory(s, n, partitions = 4 * c)
+          val rows = Runner.runInMemory(s, n, partitions = 4 * c,
+            includeDedup = dedup)
           rows / ((System.nanoTime() - t0) / 1e9)
         }
         runs.max
       } finally s.stop()
     }
-    val tpLow = pipelineThroughput(lowCpus)
-    val tpHigh = pipelineThroughput(cpus)
+    val tpLow = pipelineThroughput(lowCpus, dedup = false)
+    val tpHigh = pipelineThroughput(cpus, dedup = false)
+    val tpFull = pipelineThroughput(cpus, dedup = true)
     val eff = (tpHigh / tpLow) / (cpus.toDouble / lowCpus)
 
     val qsJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -75,6 +81,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,""" +
       f""""sf":"$sfDir","pipeline_rows":$n,""" +
       f""""files_per_sec_n$lowCpus":$tpLow%.1f,"files_per_sec_n$cpus":$tpHigh%.1f,""" +
+      f""""files_per_sec_with_dedup_n$cpus":$tpFull%.1f,""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$cpus,""" +
       f""""scaling_efficiency":$eff%.3f}""")
   }

@@ -78,12 +78,21 @@ object Scrub {
     }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
+    val (out, arr) = scrubPlainArray(text)
+    (out, patterns.map(_._1).zip(arr).toMap)
+  }
+
+  /** Hot-path twin of [[scrubPlain]]: counts as a primitive array in
+    * [[patterns]] order (a per-row Map costs catalyst MapData encoding in
+    * the scoring stage; the user-facing Map is assembled once at the
+    * verdict sink).
+    */
+  def scrubPlainArray(text: String): (String, Array[Int]) = {
     var out = text
-    val counts = Map.newBuilder[String, Int]
-    compiled.foreach { case (id, p, r, pre) =>
-      if (pre.exists(lit => out.indexOf(lit) < 0)) {
-        counts += (id -> 0) // prescreen literal absent ⇒ pattern can't match
-      } else {
+    val counts = new Array[Int](patterns.length)
+    var idx = 0
+    compiled.foreach { case (_, p, r, pre) =>
+      if (pre.forall(lit => out.indexOf(lit) >= 0)) {
         // single matcher pass: count and replace together
         val m = p.matcher(out)
         var n = 0
@@ -94,10 +103,11 @@ object Scrub {
           m.appendReplacement(sb, r)
         }
         if (n > 0) { m.appendTail(sb); out = sb.toString }
-        counts += (id -> n)
-      }
+        counts(idx) = n
+      } // else: prescreen literal absent ⇒ pattern can't match ⇒ 0
+      idx += 1
     }
-    (out, counts.result())
+    (out, counts)
   }
 
   def hasDropSecret(text: String): Boolean =

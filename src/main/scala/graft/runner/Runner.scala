@@ -71,15 +71,27 @@ object Runner {
     * nothing). Returns the row count it processed.
     */
   def runInMemory(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0): Long = {
+      partitions: Int = 0, includeDedup: Boolean = true): Long = {
     val files = CorpusGen.files(spark, n, seed, partitions)
-    val v = QualityPipeline.dedupByContent(
-      QualityPipeline.verdicts(QualityPipeline.annotate(
-        QualityPipeline.score(files), CorpusGen.commitsDim(spark),
-        QualityPipeline.Config(),
-        // keys-only generation ≈ a column-pruned scan of the source
-        rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions)))))
-    v.toDF().write.format("noop").mode("overwrite").save()
+    val verdicts = QualityPipeline.verdicts(QualityPipeline.annotate(
+      QualityPipeline.score(files), CorpusGen.commitsDim(spark),
+      QualityPipeline.Config(),
+      // keys-only generation ≈ a column-pruned scan of the source
+      rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions))))
+      .toDF()
+    if (!includeDedup) {
+      verdicts.write.format("noop").mode("overwrite").save()
+    } else {
+      // dedup consumes its input 3x — materialize once (Runner.run uses a
+      // parquet checkpoint for the same reason)
+      val mat = verdicts
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        import files.sparkSession.implicits._
+        QualityPipeline.dedupByContent(mat.as[graft.model.FileVerdict])
+          .toDF().write.format("noop").mode("overwrite").save()
+      } finally { mat.unpersist(); () }
+    }
     n
   }
 }
