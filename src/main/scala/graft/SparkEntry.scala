@@ -311,6 +311,16 @@ object SparkEntry {
         .orderBy(col("checkId"))
     }),
 
+    // ---- per-repo stats via salted two-phase aggregation ------------------
+    "q_repo_stats" -> ((s, _) => {
+      val files = CorpusGen.files(s, 5000L)
+      val annotated = QualityPipeline.annotate(
+        QualityPipeline.score(files), CorpusGen.commitsDim(s),
+        QualityPipeline.Config(),
+        rawKeys = Some(CorpusGen.keys(s, 5000L)))
+      QualityPipeline.repoStats(annotated).orderBy(col("repo"))
+    }),
+
     // ---- multimodal plumbing (stub codec, real batching) ------------------
     "q_media_features" -> ((s, _) =>
       graft.multimodal.Media.extractFeatures(

@@ -46,7 +46,27 @@ object LangId extends Serializable {
     "zh" -> ("的 一 是 了 我 不 人 在 他 有 这 个 上 们 来 到 时 大 地 为 子 中 你 " +
       "说 生 国 年 着 就 那 和 要 她 出 也 得 里 后 自 以 会 家 可 下 而 过 天 去 " +
       "能 对 小 多 然 于 心 学 么 之 都 好 看 起 发 当 没 成 只 如 事 把 还 用 第 " +
-      "样 道 想 作 种 开 美 总 从 无 情 己 面 最 女 但 现 前 些 所 同 日 手 又 行"))
+      "样 道 想 作 种 开 美 总 从 无 情 己 面 最 女 但 现 前 些 所 同 日 手 又 行"),
+    "it" -> ("di e il la che a in un per sono una su con non si le da nel " +
+      "come lo dei alla piu anche della gli nella questo suo ha hanno essere " +
+      "sono stato fatto quella questi loro tutto ancora dove quando prima " +
+      "dopo senza molto tra fra ogni altri cosa anni parte stesso mentre " +
+      "contro essere quindi sempre tanto nostro vostro mondo vita casa uomo"),
+    "pt" -> ("de a o que e do da em um para com nao uma os no se na por mais " +
+      "as dos como mas ao ele das seu sua ou quando muito nos ja eu tambem " +
+      "so pelo pela ate isso ela entre depois sem mesmo aos seus quem nas " +
+      "me esse eles voce essa num nem suas meu as minha numa pelos elas " +
+      "qual nos lhe deles essas esses pelas este dele tu te voces vos"),
+    "nl" -> ("de het een van en in is dat op te zijn met voor niet aan er om " +
+      "ook als dan maar bij nog uit naar door over zo kan geen worden wel " +
+      "hij tot al zou wat mijn men dit hem onder hebben heeft haar werd die " +
+      "tussen was deze wordt meer geweest andere veel omdat hun alle grote " +
+      "jaar twee na moet ons tegen eerste heel werd zelf land waar moeten"),
+    "ru" -> ("и в не на я быть он с что а по это она этот к но они мы как из " +
+      "у который то за свой весь год от так о для ты же все тот мочь вы " +
+      "человек такой его сказать только или еще бы себя один как уже до " +
+      "время если сам когда другой вот говорить наш мой знать стать при " +
+      "чтобы дело жизнь кто первый очень два день ее новый рука даже во"))
 
   val languages: Vector[String] = seeds.keys.toVector.sorted
   private val L = languages.length
