@@ -47,7 +47,7 @@ object Bench {
     spark.stop()
 
     // ---- scaling evidence: identical corpus at N and 4N threads ----------
-    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "6000000").toLong
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "3000000").toLong
     val lowCpus = math.max(cpus / 4, 1)
     // north-rule scaling metric = the langid+perplexity+heuristics+scrub
     // filter pipeline (includeDedup=false); the content-dedup extension is

@@ -68,6 +68,13 @@ object LangId extends Serializable {
       "время если сам когда другой вот говорить наш мой знать стать при " +
       "чтобы дело жизнь кто первый очень два день ее новый рука даже во"))
 
+  // stray copy-paste duplicates in a seed list would double those words'
+  // trigram weight and bias sampleDoc — normalize to distinct words
+  private val seedWords: Map[String, Array[String]] =
+    seeds.map { case (l, t) => l -> t.split(" ").filter(_.nonEmpty).distinct }
+  private val seedText: Map[String, String] =
+    seedWords.map { case (l, ws) => l -> ws.mkString(" ") }
+
   val languages: Vector[String] = seeds.keys.toVector.sorted
   private val L = languages.length
 
@@ -110,7 +117,7 @@ object LangId extends Serializable {
       : (scala.collection.mutable.LongMap[Array[Double]], Array[Double]) = {
     val counts = languages.map { lang =>
       val m = new scala.collection.mutable.LongMap[Long]()
-      foreachTrigram(seeds(lang), Int.MaxValue)(g =>
+      foreachTrigram(seedText(lang), Int.MaxValue)(g =>
         m.update(g, m.getOrElse(g, 0L) + 1L))
       m
     }
@@ -156,7 +163,7 @@ object LangId extends Serializable {
     * the language's seed vocabulary by a seeded RNG. Used by accuracy tests.
     */
   def sampleDoc(lang: String, seed: Long, nWords: Int = 40): String = {
-    val words = seeds(lang).split(" ")
+    val words = seedWords(lang)
     val r = new java.util.SplittableRandom(seed)
     (0 until nWords).map(_ => words(r.nextInt(words.length))).mkString(" ")
   }

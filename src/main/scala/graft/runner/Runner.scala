@@ -38,11 +38,15 @@ object Runner {
       // content-dedup after filtering: one survivor per distinct content
       QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
     }
-    val dedupDrops = verdictsDf
-      .filter(array_contains(col("dropReasons"), "content_dup")).count()
+    // one scan for all three run counters
+    val stats = verdictsDf.selectExpr(
+      "count(*) as n",
+      "coalesce(sum(case when keep then 1 else 0 end),0) as kept",
+      "coalesce(sum(case when array_contains(dropReasons,'content_dup') " +
+        "then 1 else 0 end),0) as dedup_drops").head()
     val lineage = QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
-        verdictsDf.count(), dedupDrops, 0L)
+        stats.getLong(0), stats.getLong(2), 0L)
     if (!Checkpoint.isDone(spark, workDir, "lineage")) {
       Checkpoint.stage(spark, workDir, "lineage") {
         lineage.toDS().toDF()
@@ -54,9 +58,7 @@ object Runner {
                 "cast(0 as bigint) as scrubCount"))
       }
     }
-    val counts = verdictsDf.selectExpr("count(*) as n",
-      "coalesce(sum(case when keep then 1 else 0 end),0) as kept").head()
-    RunReport(runId, counts.getLong(0), counts.getLong(1), lineage)
+    RunReport(runId, stats.getLong(0), stats.getLong(1), lineage)
   }
 
   /** Verdicts of a finished (or resumed) run. */

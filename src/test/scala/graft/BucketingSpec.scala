@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  /** Exchanges in the (initial adaptive) physical plan — sufficient here:
+    * both assertions concern the STATIC join/agg strategy (bucketed scans
+    * satisfy the required distribution), not a runtime AQE rewrite.
+    */
   private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.count() // force AQE final plan
     def strip(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
       p match {
         case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
@@ -27,6 +30,7 @@ class BucketingSpec extends SparkSpec {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     // disable broadcast so the join strategy must rely on co-location
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       orders.write.mode("overwrite").bucketBy(8, "o_custkey")
@@ -52,7 +56,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       // warehouse dir is a static conf; clean the default local warehouse
       val wh = new java.io.File("spark-warehouse")
       def rm(f: java.io.File): Unit = {
