@@ -86,21 +86,39 @@ object SparkEntry {
         tbl(s, dir, "customer"),
         tbl(s, dir, "nation").filter(col("n_regionkey") < 3)).countsDf),
 
-    // ---- O11: custom run-and-record (UC) — the typed "user SQL" hatch ----
+    // ---- O11: custom run-and-record (UC) — config-built, exercising the
+    // paren-aware field splitter on nested cast(...) expressions ----------
     "q_uc_custom" -> ((s, dir) =>
-      Checks.custom(CustomRule("uc1", "customer", df =>
-        df.orderBy(col("c_acctbal").desc, col("c_custkey"))
-          .select(col("c_custkey"),
-            (col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
-              .as("bal_cents"))
-          .limit(5)),
+      Checks.custom(graft.config.RuleConfig.parseRule(
+        "UC; id=uc1; table=customer; " +
+          "select=c_custkey, cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) as bal_cents; " +
+          "orderBy=c_acctbal desc, c_custkey; limit=5")
+        .get.asInstanceOf[CustomRule],
         tbl(s, dir, "customer")).detail),
 
-    // ---- O12: expected-count (UU) ----------------------------------------
+    // ---- O12: expected-count (UU) — config-built -------------------------
     "q_uu_expected" -> ((s, dir) =>
-      Checks.expectedCount(ExpectedCountRule("uu1", "orders",
-        df => df.filter(col("o_orderstatus") === "O"), expected = 4000L),
+      Checks.expectedCount(graft.config.RuleConfig.parseRule(
+        "UU; id=uu1; table=orders; filter=o_orderstatus = 'O'; expected=4000")
+        .get.asInstanceOf[ExpectedCountRule],
         tbl(s, dir, "orders")).countsDf),
+
+    // ---- SC: code domain from the SA code dictionary (readSdataCode3) ----
+    // dictionary omits 5-LOW, plants a float-coded and a quoted entry —
+    // the loader's coercions (GQ:3324-3328) are what the oracle checks
+    "q_sc_dict" -> ((s, dir) =>
+      Checks.domain(graft.config.RuleConfig.parseRule(
+        "SC; id=sc1; table=orders; col=o_orderpriority",
+        dict = graft.config.CodeDict.parse(ScDictText))
+        .get.asInstanceOf[DomainRule],
+        tbl(s, dir, "orders")).countsDf),
+
+    // ---- VC over a NUMERIC column: "1.0" in the rule matches int 1 -------
+    "q_vc_numeric" -> ((s, dir) =>
+      Checks.domain(graft.config.RuleConfig.parseRule(
+        "VC; id=vcn; table=lineitem; col=l_linenumber; values=1.0,2,3.0,4,5")
+        .get.asInstanceOf[DomainRule],
+        tbl(s, dir, "lineitem")).countsDf),
 
     // ---- headline relational queries (scan/agg/join/window) --------------
     "q1_agg" -> ((s, dir) =>
@@ -284,21 +302,28 @@ object SparkEntry {
     }),
 
     // ---- full batch lifecycle: config text → rules → audit rows -----------
+    // every rule family comes from CONFIG TEXT (incl. UC/UU/SC — GQ:1167-
+    // 1176 parsed these from sheets); the oracle additionally covers the
+    // audit columns dbNm and reproRule (≈ QuerySQL, GQ:298). Timestamps are
+    // asserted by CheckRunnerSpec (wall-clock — excluded from the hash).
     "q_check_batch" -> ((s, dir) => {
       import s.implicits._
       val cfgText =
-        """PK; id=pk1; table=orders; cols=o_custkey
+        """PK; id=pk1; table=${SDATA}.orders; cols=o_custkey
           |FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey; fatherWhere=o_totalprice > ${MINPRICE}
           |FC; id=fc1; table=orders; cols=o_custkey; father=customer; fatherCols=c_custkey; fatherWhere=c_acctbal > 0
           |ZC; id=zc1; table=orders_zc; cols=o_custkey; start=o_orderdate; end=end_dt; tiebreak=o_orderkey
           |VC; id=vc1; table=orders; col=o_orderstatus; values=O,F
+          |SC; id=sc1; table=orders; col=o_orderpriority
           |PC; id=pc1; table=customer; cols=c_nationkey; codeTable=nation_dim; codeCols=n_nationkey
+          |UC; id=uc1; table=customer; select=c_custkey; orderBy=c_acctbal desc, c_custkey; limit=5
+          |UU; id=uu1; table=orders; filter=o_orderstatus = 'O'; expected=4000
           |""".stripMargin
       val rules = graft.config.RuleConfig.parse(cfgText,
-        Map("MINPRICE" -> "300000")) :+
-        ExpectedCountRule("uu1", "orders",
-          df => df.filter(col("o_orderstatus") === "O"), expected = 4000L)
+        Map("MINPRICE" -> "300000", "SDATA" -> "sdata"),
+        dict = graft.config.CodeDict.parse(ScDictText))
       val tables: String => DataFrame = {
+        case "sdata.orders" => tbl(s, dir, "orders")
         case "orders_zc" => tbl(s, dir, "orders")
           .withColumn("end_dt", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
         case "nation_dim" => tbl(s, dir, "nation").filter(col("n_regionkey") < 3)
@@ -306,8 +331,9 @@ object SparkEntry {
       }
       val out = graft.runner.CheckRunner.runBatch(s, "b1", rules, tables)
       out.results.toDS().toDF().select(
-        col("checkId"), col("tabNm"), col("checkType"),
-        col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"))
+        col("checkId"), col("dbNm"), col("tabNm"), col("checkType"),
+        col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"),
+        col("reproRule"))
         .orderBy(col("checkId"))
     }),
 
@@ -330,6 +356,20 @@ object SparkEntry {
           sum(col("n_bytes")).as("total_bytes"),
           sum(col("frames_sampled")).as("total_frames"))
         .orderBy(col("kind"))))
+
+  /** SA code dictionary fixture (CodeDict text form, readSdataCode3
+    * semantics): the o_orderpriority domain with 5-LOW deliberately absent
+    * (those rows violate) and a `''` entry exercising the quote→empty
+    * mapping (GQ:3327-3328).
+    */
+  private[graft] val ScDictText: String =
+    """# tab,col,code
+      |ORDERS,O_ORDERPRIORITY,1-URGENT
+      |ORDERS,O_ORDERPRIORITY,2-HIGH
+      |ORDERS,O_ORDERPRIORITY,3-MEDIUM
+      |ORDERS,O_ORDERPRIORITY,4-NOT SPECIFIED
+      |ORDERS,O_ORDERPRIORITY,''
+      |""".stripMargin
 
   /** documents ∪ (documents with shifted ids) — every doc gains exactly one
     * exact near-dup, giving dedup queries a known answer set.
@@ -411,6 +451,17 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS all_cnt,
          CAST(count(*) - 4000 AS BIGINT) AS failed_cnt
          FROM orders WHERE o_orderstatus = 'O'""",
+    "q_sc_dict" ->
+      """SELECT CAST(count(*) AS BIGINT) AS all_cnt,
+         CAST(coalesce(sum(CASE WHEN coalesce(o_orderpriority,'') <> ''
+           AND o_orderpriority NOT IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','')
+           THEN 1 END),0) AS BIGINT) AS failed_cnt FROM orders""",
+    "q_vc_numeric" ->
+      """SELECT CAST(count(*) AS BIGINT) AS all_cnt,
+         CAST(coalesce(sum(CASE WHEN l_linenumber IS NOT NULL
+           AND l_linenumber NOT IN (1, 2, 3, 4, 5) THEN 1 END),0) AS BIGINT)
+           AS failed_cnt FROM lineitem""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
@@ -546,25 +597,57 @@ object SparkEntry {
              CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN
                (SELECT n_nationkey FROM nation WHERE n_regionkey < 3))
                AS BIGINT) f),
+         scc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN coalesce(o_orderpriority,'') <> ''
+               AND o_orderpriority NOT IN
+                 ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','')
+               THEN 1 END),0) AS BIGINT) f
+           FROM orders),
+         ucc AS (
+           SELECT CAST(least(5, count(*)) AS BIGINT) a,
+             CAST(-1 AS BIGINT) f
+           FROM customer),
          uuc AS (
            SELECT CAST(count(*) AS BIGINT) a,
              CAST(count(*) - 4000 AS BIGINT) f
            FROM orders WHERE o_orderstatus = 'O')
-         SELECT checkId, tabNm, checkType,
+         SELECT checkId, dbNm, tabNm, checkType,
            CASE WHEN checkType = 'UU' THEN
                   CASE WHEN failedRowCnt = 0 THEN 'Y' ELSE 'N' END
+                WHEN checkType = 'UC' THEN ''
                 WHEN failedRowCnt = 0 THEN 'Y'
                 WHEN failedRowCnt > 0 THEN 'N' ELSE '' END AS checkResultInd,
-           allRowCnt, failedRowCnt
+           allRowCnt, failedRowCnt, reproRule
          FROM (
-           SELECT 'pk1' checkId, 'orders' tabNm, 'PK' checkType,
-             a allRowCnt, f failedRowCnt FROM pkc
-           UNION ALL SELECT 'fk1', 'lineitem', 'FK', a, f FROM fkc
-           UNION ALL SELECT 'fc1', 'orders', 'FC', a, f FROM fcc
-           UNION ALL SELECT 'zc1', 'orders_zc', 'ZC', a, f FROM zcc
-           UNION ALL SELECT 'vc1', 'orders', 'VC', a, f FROM vcc
-           UNION ALL SELECT 'pc1', 'customer', 'PC', a, f FROM pcc
-           UNION ALL SELECT 'uu1', 'orders', 'UU', a, f FROM uuc)
+           SELECT 'pk1' checkId, 'sdata' dbNm, 'orders' tabNm, 'PK' checkType,
+             a allRowCnt, f failedRowCnt,
+             'PK; id=pk1; table=sdata.orders; cols=o_custkey' reproRule
+           FROM pkc
+           UNION ALL SELECT 'fk1', '', 'lineitem', 'FK', a, f,
+             'FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey; fatherWhere=o_totalprice > 300000'
+           FROM fkc
+           UNION ALL SELECT 'fc1', '', 'orders', 'FC', a, f,
+             'FC; id=fc1; table=orders; cols=o_custkey; father=customer; fatherCols=c_custkey; fatherWhere=c_acctbal > 0'
+           FROM fcc
+           UNION ALL SELECT 'zc1', '', 'orders_zc', 'ZC', a, f,
+             'ZC; id=zc1; table=orders_zc; cols=o_custkey; start=o_orderdate; end=end_dt; tiebreak=o_orderkey'
+           FROM zcc
+           UNION ALL SELECT 'vc1', '', 'orders', 'VC', a, f,
+             'VC; id=vc1; table=orders; col=o_orderstatus; values=F,O'
+           FROM vcc
+           UNION ALL SELECT 'sc1', '', 'orders', 'SC', a, f,
+             'SC; id=sc1; table=orders; col=o_orderpriority'
+           FROM scc
+           UNION ALL SELECT 'pc1', '', 'customer', 'PC', a, f,
+             'PC; id=pc1; table=customer; cols=c_nationkey; codeTable=nation_dim; codeCols=n_nationkey'
+           FROM pcc
+           UNION ALL SELECT 'uc1', '', 'customer', 'UC', a, f,
+             'UC; id=uc1; table=customer; select=c_custkey; orderBy=c_acctbal desc, c_custkey; limit=5'
+           FROM ucc
+           UNION ALL SELECT 'uu1', '', 'orders', 'UU', a, f,
+             'UU; id=uu1; table=orders; filter=o_orderstatus = ''O''; expected=4000'
+           FROM uuc)
          ORDER BY checkId""",
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,

@@ -139,8 +139,14 @@ object Checks {
 
   def fc(rule: FcRule, child0: DataFrame, father0: DataFrame): CheckPlan = {
     val keys = fkKeys(rule.keyCols, rule.fatherCols)
-    val child = applyWhere(child0, rule.where)
-    val father = applyWhere(father0, rule.fatherWhere)
+    // coalesce(col,'')<>'' guard on BOTH sides (the reference convention
+    // around NOT IN, GQ:2181-2183) — null/empty keys are exempt, not orphans
+    val child0g =
+      if (rule.emptyGuard) guardKeys(child0, keys.map(_._1)) else child0
+    val father0g =
+      if (rule.emptyGuard) guardKeys(father0, keys.map(_._2)) else father0
+    val child = applyWhere(child0g, rule.where)
+    val father = applyWhere(father0g, rule.fatherWhere)
     // key sets renamed on BOTH sides: expression keys parse via expr() (the
     // reference's COALESCE(col,'') convention) and a same-table parent/child
     // rule can't produce ambiguous self-join attributes
@@ -198,19 +204,42 @@ object Checks {
 
   // ---- O8/O9: code-value domain (VC/SC) ----------------------------------
 
-  def domainViolationCol(rule: DomainRule): Column = {
-    val c = expr(rule.col).cast("string")
-    // big value sets become Catalyst InSet (O(1) probe) automatically
-    val notInSet =
-      if (rule.values.isEmpty) lit(true) // missing dict key ⇒ everything fails (GQ:2346-2347 semantics: empty set)
-      else !c.isin(rule.values.toSeq: _*)
-    if (rule.isEmptyGuard) nonEmpty(c) && notInSet
-    else notInSet || c.isNull
+  /** String-typed columns compare against the literal values verbatim; a
+    * NUMERIC column compares numerically (value "1.0" matches column value
+    * 1) — the reference compared strings in Teradata, which implicitly
+    * casts the quoted list to the column's numeric type (GQ:2482,2566-2575);
+    * a verbatim string compare would silently diverge ("1" vs "1.0").
+    * Values that don't parse as numbers can never match a numeric column
+    * and are dropped from the probe set.
+    */
+  def domainViolationCol(rule: DomainRule,
+      dt: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): Column = {
+    val isNum = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (isNum) {
+      val nums = rule.values.toSeq
+        .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      val c = expr(rule.col).cast("double")
+      val notInSet = if (nums.isEmpty) lit(true) else !c.isin(nums: _*)
+      // '' never occurs in a numeric column: the guard degenerates to
+      // isNotNull (which pushes down to the scan)
+      if (rule.isEmptyGuard) c.isNotNull && notInSet
+      else notInSet || c.isNull
+    } else {
+      val c = expr(rule.col).cast("string")
+      // big value sets become Catalyst InSet (O(1) probe) automatically
+      val notInSet =
+        if (rule.values.isEmpty) lit(true) // missing dict key ⇒ everything fails (GQ:2346-2347 semantics: empty set)
+        else !c.isin(rule.values.toSeq: _*)
+      if (rule.isEmptyGuard) nonEmpty(c) && notInSet
+      else notInSet || c.isNull
+    }
   }
 
   def domain(rule: DomainRule, df0: DataFrame): CheckPlan = {
     val df = applyWhere(df0, rule.where)
-    val violCol = domainViolationCol(rule)
+    val dt = df.select(expr(rule.col)).schema.head.dataType
+    val violCol = domainViolationCol(rule, dt)
     val viol = df.filter(violCol)
     val countsDf = df.agg(
       count(lit(1)).as("all_cnt"),
@@ -274,11 +303,44 @@ object Checks {
 
   // ---- runner: plans → audit rows (O13/O14) ------------------------------
 
-  /** Execute compiled plans into check_Result-shaped audit rows. */
-  def run(spark: SparkSession, batchId: String, plans: Seq[CheckPlan])
-      : Seq[CheckResult] =
-    plans.map { p =>
-      val (all, failed) = p.counts()
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  private val dateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+
+  /** Execute compiled plans into check_Result-shaped audit rows.
+    *
+    * All rules' (all_cnt, failed_cnt) frames are tagged with their plan
+    * index and UNIONed into ONE Spark action — a 100-rule batch is one job
+    * whose branches the scheduler runs concurrently, not 100 serialized
+    * driver round-trips (the reference analogue: all rules flowed through
+    * one bteq stream, GQ:713-768).
+    *
+    * Timestamps: because the batch executes as one fused job, every rule's
+    * checkStartTime/checkEndTime is the job window (the reference stamped
+    * per-statement DATE||TIME inside that one stream, GQ:1355 — same
+    * granularity in practice). `clock` is injectable for deterministic
+    * tests.
+    */
+  def run(spark: SparkSession, batchId: String, plans: Seq[CheckPlan],
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      : Seq[CheckResult] = {
+    if (plans.isEmpty) return Nil
+    val start = clock()
+    // every countsDf is one (all_cnt, failed_cnt) row — tag and union
+    val fused = plans.zipWithIndex.map { case (p, i) =>
+      p.countsDf.select(lit(i).as("rule_idx"),
+        col("all_cnt").cast("long").as("all_cnt"),
+        col("failed_cnt").cast("long").as("failed_cnt"))
+    }.reduce(_ unionByName _)
+    val byIdx = fused.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val end = clock()
+    val (startTs, endTs) = (tsFmt.format(start), tsFmt.format(end))
+    val runDate = dateFmt.format(start)
+
+    plans.zipWithIndex.map { case (p, i) =>
+      val (all, failed) = byIdx(i)
       val verdict = p.rule match {
         case _: CustomRule => "" // UC never passes judgement
         case _: ExpectedCountRule => if (failed == 0L) "Y" else "N"
@@ -289,12 +351,14 @@ object Checks {
         case r: FkRule => ("FK", r.keyCols.mkString(","))
         case r: FcRule => ("FC", r.keyCols.mkString(","))
         case r: ZcRule => ("ZC", (r.keyCols ++ Seq(r.startCol, r.endCol)).mkString(","))
-        case r: DomainRule => ("VC", r.col)
+        case r: DomainRule => (r.family, r.col) // first-class SC vs VC
         case r: CodeTableRule => ("PC", r.keyCols.mkString(","))
         case _: CustomRule => ("UC", "")
         case _: ExpectedCountRule => ("UU", "")
       }
-      CheckResult(p.rule.id, batchId, "", p.rule.table, colNm, tpe,
-        verdict, all, failed, p.rule.description)
+      CheckResult(p.rule.id, runDate, batchId, startTs, endTs,
+        p.rule.dbNm, p.rule.tabNm, colNm, tpe, verdict, all, failed,
+        graft.config.RuleConfig.render(p.rule), p.rule.description)
     }
+  }
 }

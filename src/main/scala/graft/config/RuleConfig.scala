@@ -1,5 +1,7 @@
 package graft.config
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.expr
 import graft.model._
 
 /** Declarative rule-config ingestion ≈ the reference's Excel parser
@@ -11,9 +13,17 @@ import graft.model._
   *   PK; id=pk1; table=orders; cols=o_custkey; where=o_totalprice > 0
   *   FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey
   *   VC; id=vc1; table=orders; col=o_orderstatus; values=O,F,P; isEmpty=Y
+  *   SC; id=sc1; table=orders; col=o_orderpriority            (values from CodeDict)
+  *   UC; id=uc1; table=customer; select=c_custkey, c_name; orderBy=c_custkey; limit=5
+  *   UU; id=uu1; table=orders; filter=o_orderstatus = 'O'; expected=4000
   * Lines starting with # are comments. runInd=N disables a rule
   * (GQ:994 semantics). Full-width commas/semicolons are normalized the way
   * the reference normalized Chinese punctuation (GQ:35-36,1265).
+  *
+  * UC/UU (GQ:1167-1176) carry their logic as `filter=`/`select=`/`orderBy=`/
+  * `limit=` fields compiled via `functions.expr` — typed Column expressions,
+  * never templated SQL. The original field text is preserved on the rule
+  * (`exprInfo`) so the audit row's reproRule round-trips.
   */
 object RuleConfig {
 
@@ -25,8 +35,35 @@ object RuleConfig {
   def normalize(s: String): String =
     s.replace('，', ',').replace('；', ';').replace('　', ' ').trim
 
+  /** Split on `sep` at paren/quote depth zero — expression values like
+    * `coalesce(a,'') as k` or `cast(x as decimal(12,2))` keep their inner
+    * commas (the reference needed an alias-strip regex + changelog entry
+    * GQ:19,234 for the same problem).
+    */
+  def splitTop(s: String, sep: Char = ','): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def fields(line: String): (String, Map[String, String]) = {
-    val parts = normalize(line).split(";").map(_.trim).filter(_.nonEmpty)
+    val parts = splitTop(normalize(line), ';')
     val tpe = parts.head.toUpperCase
     val kv = parts.tail.map { p =>
       val i = p.indexOf('=')
@@ -36,11 +73,56 @@ object RuleConfig {
     (tpe, kv)
   }
 
-  private def cols(s: String): Seq[String] =
-    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private def cols(s: String): Seq[String] = splitTop(s)
 
-  /** Parse one rule line (after ${VAR} substitution). */
-  def parseRule(line: String, vars: Map[String, String] = Map.empty): Option[Rule] = {
+  /** Float-code → int-string coercion (readSdataCode3 / valScale semantics,
+    * GQ:2566-2575, GQ:3324-3326): "1.0" ≡ "1". Quote characters are
+    * stripped the way the reference strips `'`/`“`/`”` from valScale.
+    */
+  def coerceNum(v: String): String = {
+    val s = v.replace("'", "").replace("“", "").replace("”", "").trim
+    if (s.matches("-?\\d+\\.0+")) s.substring(0, s.indexOf('.')) else s
+  }
+
+  /** A sort item: trailing ASC/DESC on an otherwise plain expression. */
+  private def sortCol(s: String): Column = {
+    val t = s.trim
+    val lower = t.toLowerCase
+    if (lower.endsWith(" desc")) expr(t.dropRight(5)).desc
+    else if (lower.endsWith(" asc")) expr(t.dropRight(4)).asc
+    else expr(t)
+  }
+
+  /** Compile UC/UU `filter`/`select`/`orderBy`/`limit` fields into a typed
+    * transform, plus the canonical exprInfo string that reproduces it.
+    */
+  private def customTransform(kv: Map[String, String])
+      : (DataFrame => DataFrame, String) = {
+    val filterE = kv.get("filter").filter(_.nonEmpty)
+    val selectE = kv.get("select").filter(_.nonEmpty)
+    val orderE = kv.get("orderBy").filter(_.nonEmpty)
+    val limitE = kv.get("limit").filter(_.nonEmpty).map(_.toInt)
+    val t: DataFrame => DataFrame = df0 => {
+      var d = df0
+      filterE.foreach(f => d = d.filter(expr(f)))
+      selectE.foreach(sel => d = d.select(splitTop(sel).map(expr): _*))
+      orderE.foreach(o => d = d.orderBy(splitTop(o).map(sortCol): _*))
+      limitE.foreach(n => d = d.limit(n))
+      d
+    }
+    val info = Seq(
+      filterE.map(v => s"filter=$v"), selectE.map(v => s"select=$v"),
+      orderE.map(v => s"orderBy=$v"), limitE.map(n => s"limit=$n"))
+      .flatten.mkString("; ")
+    (t, info)
+  }
+
+  /** Parse one rule line (after ${VAR} substitution). SC rules resolve
+    * their value set from `dict` (the SA code dictionary, [[CodeDict]]);
+    * a missing TAB.COL key warns and yields the empty set (GQ:2346-2347).
+    */
+  def parseRule(line: String, vars: Map[String, String] = Map.empty,
+      dict: Map[String, Set[String]] = Map.empty): Option[Rule] = {
     val substituted = substitute(line, vars)
     val (tpe, kv) = fields(substituted)
     if (kv.getOrElse("runInd", "Y").equalsIgnoreCase("N")) return None
@@ -57,20 +139,93 @@ object RuleConfig {
         description = desc)
       case "FC" => FcRule(id, table, cols(kv("cols")), kv("father"),
         cols(kv("fatherCols")), where, kv.get("fatherWhere").filter(_.nonEmpty),
+        emptyGuard = !kv.get("emptyGuard").exists(_.equalsIgnoreCase("N")),
         description = desc)
       case "ZC" => ZcRule(id, table, cols(kv("cols")), kv("start"), kv("end"),
         kv.get("tiebreak").map(cols).getOrElse(Nil), where, description = desc)
-      case "VC" | "SC" => DomainRule(id, table, kv("col"),
-        cols(kv.getOrElse("values", "")).toSet,
+      case "VC" => DomainRule(id, table, kv("col"),
+        cols(kv.getOrElse("values", "")).map(coerceNum).toSet,
         isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
-        where = where, description = desc)
+        where = where, description = desc, family = "VC")
+      case "SC" =>
+        val tabNm = { val i = table.indexOf('.'); if (i > 0) table.substring(i + 1) else table }
+        val key = CodeDict.key(tabNm, kv("col"))
+        val values = dict.getOrElse(key, {
+          System.err.println(s"[RuleConfig] WARN: code dictionary has no key" +
+            s" '$key' for SC rule '$id' — empty value set (GQ:2346-2347)")
+          Set.empty[String]
+        })
+        DomainRule(id, table, kv("col"), values,
+          isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
+          where = where, description = desc, family = "SC")
       case "PC" => CodeTableRule(id, table, cols(kv("cols")), kv("codeTable"),
         cols(kv("codeCols")),
         isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
         where = where, description = desc)
+      case "UC" =>
+        val (t, info) = customTransform(kv)
+        CustomRule(id, table, t, description = desc, exprInfo = info)
+      case "UU" =>
+        val (t, info) = customTransform(kv)
+        ExpectedCountRule(id, table, t,
+          expected = kv.get("expected").filter(_.nonEmpty).map(_.toLong)
+            .getOrElse(0L), // default correctNum = 0, GQ:3079-3080
+          description = desc, exprInfo = info)
       case other => throw new IllegalArgumentException(
-        s"unknown rule type '$other' (expected PK/FK/FC/ZC/VC/SC/PC)")
+        s"unknown rule type '$other' (expected PK/FK/FC/ZC/VC/SC/PC/UC/UU)")
     })
+  }
+
+  /** Serialize a rule back to its config-line form — the audit table's
+    * repro artifact (≈ QuerySQL, GQ:298,1343). For declarative rules this
+    * round-trips: parse(render(r)) == r (see ConfigSpec); hand-written
+    * UC/UU transforms render their id/table plus exprInfo when present.
+    */
+  def render(rule: Rule): String = {
+    def opt(k: String, v: Option[String]): String =
+      v.filter(_.nonEmpty).map(x => s"; $k=$x").getOrElse("")
+    def optDesc(d: String): String = opt("desc", Some(d))
+    rule match {
+      case r: PkRule =>
+        s"PK; id=${r.id}; table=${r.table}; cols=${r.keyCols.mkString(",")}" +
+          opt("where", r.where) + optDesc(r.description)
+      case r: FkRule =>
+        s"FK; id=${r.id}; table=${r.table}; cols=${r.keyCols.mkString(",")}" +
+          s"; father=${r.fatherTable}; fatherCols=${r.fatherCols.mkString(",")}" +
+          opt("where", r.where) + opt("fatherWhere", r.fatherWhere) +
+          (if (r.emptyGuard) "" else "; emptyGuard=N") +
+          (if (r.broadcastFather) "; broadcast=Y" else "") + optDesc(r.description)
+      case r: FcRule =>
+        s"FC; id=${r.id}; table=${r.table}; cols=${r.keyCols.mkString(",")}" +
+          s"; father=${r.fatherTable}; fatherCols=${r.fatherCols.mkString(",")}" +
+          opt("where", r.where) + opt("fatherWhere", r.fatherWhere) +
+          (if (r.emptyGuard) "" else "; emptyGuard=N") + optDesc(r.description)
+      case r: ZcRule =>
+        s"ZC; id=${r.id}; table=${r.table}; cols=${r.keyCols.mkString(",")}" +
+          s"; start=${r.startCol}; end=${r.endCol}" +
+          opt("tiebreak",
+            Some(r.orderTiebreak.mkString(",")).filter(_.nonEmpty)) +
+          opt("where", r.where) + optDesc(r.description)
+      case r: DomainRule =>
+        s"${r.family}; id=${r.id}; table=${r.table}; col=${r.col}" +
+          (if (r.family == "SC") "" // SC values come from the dictionary
+           else s"; values=${r.values.toSeq.sorted.mkString(",")}") +
+          (if (r.isEmptyGuard) "" else "; isEmpty=N") +
+          opt("where", r.where) + optDesc(r.description)
+      case r: CodeTableRule =>
+        s"PC; id=${r.id}; table=${r.table}; cols=${r.keyCols.mkString(",")}" +
+          s"; codeTable=${r.codeTable}; codeCols=${r.codeCols.mkString(",")}" +
+          (if (r.isEmptyGuard) "" else "; isEmpty=N") +
+          opt("where", r.where) + optDesc(r.description)
+      case r: CustomRule =>
+        s"UC; id=${r.id}; table=${r.table}" +
+          (if (r.exprInfo.nonEmpty) s"; ${r.exprInfo}" else "") +
+          optDesc(r.description)
+      case r: ExpectedCountRule =>
+        s"UU; id=${r.id}; table=${r.table}" +
+          (if (r.exprInfo.nonEmpty) s"; ${r.exprInfo}" else "") +
+          s"; expected=${r.expected}" + optDesc(r.description)
+    }
   }
 
   /** Run manifest ≈ batchIdConfig.py (BIC:2-59): maps a rule-config name to
@@ -88,10 +243,11 @@ object RuleConfig {
       }.toMap
 
   /** Parse a whole config text into enabled rules, preserving order. */
-  def parse(text: String, vars: Map[String, String] = Map.empty): Vector[Rule] =
+  def parse(text: String, vars: Map[String, String] = Map.empty,
+      dict: Map[String, Set[String]] = Map.empty): Vector[Rule] =
     text.linesIterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(parseRule(_, vars))
+      .flatMap(parseRule(_, vars, dict))
       .toVector
 }

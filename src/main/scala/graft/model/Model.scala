@@ -36,12 +36,25 @@ case class FileVerdict(
     scrubCounts: Map[String, Int],
     contentSha256: String)
 
-/** Audit row ≈ reference check_Result (GQ:283-299), trimmed to typed fields.
-  * FLOAT counts in Teradata become Long here; cast at the sink if needed.
+/** Audit row ≈ reference check_Result (GQ:283-299), typed. FLOAT counts in
+  * Teradata become Long here; cast at the sink if needed.
+  *
+  * Operational fields mirror the reference insert: `runDate` (DATE,
+  * GQ:285), `checkStartTime`/`checkEndTime` (the reference stamps
+  * `CAST(DATE AS FORMAT 'YYYY-MM-DD')||' '||TIME`, GQ:1355), `dbNm`
+  * (resolved from a qualified table name), and `reproRule` — the repro
+  * artifact ≈ `QuerySQL` (GQ:298,1343, quoted at GQ:1361). The reference
+  * stored the generated SQL so an operator could re-run a check by hand;
+  * the Spark engine never generates SQL, so the honest analogue is the
+  * serialized declarative rule line ([[graft.config.RuleConfig.render]]),
+  * which `RuleConfig.parse` turns back into the same compiled check.
   */
 case class CheckResult(
     checkId: String,
+    runDate: String, // yyyy-MM-dd (UTC)
     batchId: String,
+    checkStartTime: String, // "yyyy-MM-dd HH:mm:ss" (UTC)
+    checkEndTime: String,
     dbNm: String,
     tabNm: String,
     colNm: String,
@@ -49,6 +62,7 @@ case class CheckResult(
     checkResultInd: String, // "Y" pass / "N" fail / "" not-applicable (GQ:300-317)
     allRowCnt: Long,
     failedRowCnt: Long,
+    reproRule: String, // serialized rule ≈ QuerySQL repro artifact
     description: String)
 
 /** Per-partition/per-rule lineage row (north_rule: "per-partition lineage
@@ -72,6 +86,19 @@ sealed trait Rule {
   def table: String
   def enabled: Boolean
   def description: String
+  /** "db.tab" → "db"; unqualified → "" (reference dbNm, resolved through
+    * `${PDATA}`/`${SDATA}` indirection GQ:1198-1201 — here the `${VAR}`
+    * substitution happens at parse time, so the rule carries the final name).
+    */
+  final def dbNm: String = {
+    val i = table.indexOf('.')
+    if (i > 0) table.substring(0, i) else ""
+  }
+  /** "db.tab" → "tab"; unqualified → table. */
+  final def tabNm: String = {
+    val i = table.indexOf('.')
+    if (i > 0) table.substring(i + 1) else table
+  }
 }
 
 /** PK uniqueness (GQ:1189-1393). `keyCols` may be column names or
@@ -106,7 +133,12 @@ final case class FkRule(
     enabled: Boolean = true,
     description: String = "") extends Rule
 
-/** Parent-child bidirectional containment (GQ:1840-2074). */
+/** Parent-child bidirectional containment (GQ:1840-2074).
+  * `emptyGuard` mirrors [[FkRule.emptyGuard]] on BOTH sides: the
+  * reference's `coalesce(col,'')<>''` convention keeps null/empty keys out
+  * of NOT-IN checks — without it a nullable key becomes a violation via
+  * left-anti semantics, diverging from NOT IN.
+  */
 final case class FcRule(
     id: String,
     table: String,
@@ -115,6 +147,7 @@ final case class FcRule(
     fatherCols: Seq[String],
     where: Option[String] = None,
     fatherWhere: Option[String] = None,
+    emptyGuard: Boolean = true,
     enabled: Boolean = true,
     description: String = "") extends Rule
 
@@ -136,6 +169,10 @@ final case class ZcRule(
 /** Code-value domain against a literal value list (VC, GQ:2484-2655) or a
   * dictionary (SC, GQ:2294-2476). `isEmptyGuard` ≈ reference isEmpty='Y':
   * empty/null values are exempt (`coalesce(col,'')<>''`, GQ:565-574).
+  * `family` keeps VC and SC distinguishable in the audit table (the
+  * reference reports them as separate checkTypes); SC rules get their
+  * `values` from the SA code dictionary ([[graft.config.CodeDict]],
+  * readSdataCode3 semantics GQ:3308-3344) at parse time.
   */
 final case class DomainRule(
     id: String,
@@ -145,7 +182,8 @@ final case class DomainRule(
     isEmptyGuard: Boolean = true,
     where: Option[String] = None,
     enabled: Boolean = true,
-    description: String = "") extends Rule
+    description: String = "",
+    family: String = "VC") extends Rule
 
 /** PDM code domain (PC, GQ:2082-2286): anti-join against a code-dimension
   * table, broadcast (north_rule: "broadcast joins for code-value
@@ -171,7 +209,11 @@ final case class CustomRule(
     table: String,
     transform: DataFrame => DataFrame,
     enabled: Boolean = true,
-    description: String = "") extends Rule
+    description: String = "",
+    /** declarative source of `transform` when config-built (e.g.
+      * "filter=...; select=...") — the piece that makes the audit row's
+      * reproRule round-trippable; empty for hand-written transforms */
+    exprInfo: String = "") extends Rule
 
 /** Custom rule with expected count (UU, GQ:3041-3224): verdict N iff
   * result count != expected (GQ:3159,3176-3177; default expected 0).
@@ -182,7 +224,10 @@ final case class ExpectedCountRule(
     transform: DataFrame => DataFrame,
     expected: Long = 0L,
     enabled: Boolean = true,
-    description: String = "") extends Rule
+    description: String = "",
+    /** declarative source of `transform` when config-built (see
+      * [[CustomRule.exprInfo]]) */
+    exprInfo: String = "") extends Rule
 
 /** Compiled check: everything downstream consumers need, all lazy
   * DataFrames (nothing executed until an action). ≈ SURVEY.md §3.3.

@@ -44,6 +44,60 @@ class CheckRunnerSpec extends SparkSpec {
       Seq(("vc1", "green")))
   }
 
+  test("audit row: timestamps, dbNm, checkType SC, reproRule round-trip") {
+    val t = java.time.Instant.parse("2026-01-02T03:04:05Z")
+    val rules = RuleConfig.parse(
+      """PK; id=pk1; table=mydb.child; cols=k
+        |SC; id=sc1; table=colors; col=c
+        |""".stripMargin,
+      dict = Map("COLORS.C" -> Set("red", "green", "blue")))
+    val plans = rules.map(r => CheckRunner.compile(r, {
+      case "mydb.child" => child
+      case other => tables(other)
+    }: CheckRunner.Tables))
+    val res = graft.checks.Checks.run(spark, "b13", plans, clock = () => t)
+    val pk = res.find(_.checkId == "pk1").get
+    assert(pk.runDate === "2026-01-02")
+    assert(pk.checkStartTime === "2026-01-02 03:04:05")
+    assert(pk.checkEndTime === "2026-01-02 03:04:05")
+    assert(pk.dbNm === "mydb" && pk.tabNm === "child")
+    // the repro artifact parses back into the same compiled check
+    val reparsed = RuleConfig.parseRule(pk.reproRule).get
+    assert(reparsed === PkRule("pk1", "mydb.child", Seq("k")))
+    val sc = res.find(_.checkId == "sc1").get
+    assert(sc.checkType === "SC") // first-class, not folded into VC
+    assert(sc.checkResultInd === "Y") // all colors in dict ('' / null exempt)
+  }
+
+  test("batch counts execute as ONE fused action, not per-rule jobs") {
+    // Under AQE every shuffle stage surfaces as its own (concurrently
+    // scheduled) job, so "one action" is only visible as "one job" with
+    // AQE off — which is what this asserts: N rules, ONE collect, ONE job.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rules = RuleConfig.parse(
+      """PK; id=pk1; table=child; cols=k
+        |VC; id=vc1; table=colors; col=c; values=red,blue
+        |UU; id=uu1; table=child; filter=v > 0; expected=4
+        |""".stripMargin)
+    val plans = rules.map(r => CheckRunner.compile(r, tables))
+    val group = s"fused-batch-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "fused batch counts", false)
+    try graft.checks.Checks.run(spark, "b14", plans)
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // the status store is fed asynchronously — poll briefly
+    val deadline = System.currentTimeMillis() + 5000
+    var ids = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    while (ids.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      ids = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    }
+    assert(ids.length === 1, s"expected one fused job, saw ${ids.length}")
+  }
+
   test("publish is staged and idempotent (volatile→permanent analogue)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_batch").toString
     val rules = Vector(PkRule("pk1", "child", Seq("k")))

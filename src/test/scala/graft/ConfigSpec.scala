@@ -1,0 +1,130 @@
+package graft
+
+import graft.config.{CodeDict, RuleConfig}
+import graft.model._
+
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- splitTop: paren/quote-aware field splitting -------------------------
+
+  test("splitTop keeps commas inside parens and quotes") {
+    assert(RuleConfig.splitTop("a, cast(x as decimal(12,2)) as y, 'p,q'") ===
+      Seq("a", "cast(x as decimal(12,2)) as y", "'p,q'"))
+    assert(RuleConfig.splitTop("coalesce(k,'') as k2, v") ===
+      Seq("coalesce(k,'') as k2", "v"))
+  }
+
+  test("rule lines split on ; outside quotes only") {
+    val r = RuleConfig.parseRule(
+      "UU; id=u; table=t; filter=c = 'a;b'; expected=1").get
+      .asInstanceOf[ExpectedCountRule]
+    assert(r.exprInfo === "filter=c = 'a;b'")
+    assert(r.expected === 1L)
+  }
+
+  // ---- numeric coercion (GQ:2566-2575, GQ:3324-3326) ------------------------
+
+  test("coerceNum: integral floats to int-strings, quotes stripped") {
+    assert(RuleConfig.coerceNum("1.0") === "1")
+    assert(RuleConfig.coerceNum("-42.000") === "-42")
+    assert(RuleConfig.coerceNum("1.5") === "1.5")
+    assert(RuleConfig.coerceNum("'A'") === "A")
+    assert(RuleConfig.coerceNum("“B”") === "B")
+    assert(RuleConfig.coerceNum("abc") === "abc")
+  }
+
+  test("VC over a numeric column: rule value 1.0 matches int 1") {
+    val df = Seq(1, 2, 3, 6).toDF("c")
+    val rule = RuleConfig.parseRule(
+      "VC; id=v; table=t; col=c; values=1.0,2,3").get.asInstanceOf[DomainRule]
+    assert(rule.values === Set("1", "2", "3"))
+    val plan = graft.checks.Checks.domain(rule, df)
+    assert(plan.counts() === ((4L, 1L))) // only 6 violates
+  }
+
+  test("VC numeric with nulls: guard = isNotNull; strict counts null") {
+    val df = Seq[Option[Int]](Some(1), Some(9), None).toDF("c")
+    val guarded = graft.checks.Checks.domain(
+      DomainRule("v", "t", "c", Set("1")), df)
+    assert(guarded.counts() === ((3L, 1L))) // 9 only; null exempt
+    val strict = graft.checks.Checks.domain(
+      DomainRule("v", "t", "c", Set("1"), isEmptyGuard = false), df)
+    assert(strict.counts() === ((3L, 2L))) // 9 and null
+  }
+
+  // ---- CodeDict (readSdataCode3, GQ:3308-3344) ------------------------------
+
+  test("CodeDict: float coercion, quote mapping, per-key union, key casing") {
+    val dict = CodeDict.parse(
+      """# comment
+        |tab1,colA,1.0
+        |TAB1,cola,2
+        |Tab1,ColA,''
+        |tab2,colB,x,y
+        |""".stripMargin)
+    assert(dict(CodeDict.key("TAB1", "COLA")) === Set("1", "2", ""))
+    assert(dict("TAB2.COLB") === Set("x,y")) // code keeps inner commas
+  }
+
+  test("SC rule resolves values from dict; missing key → empty set + family") {
+    val dict = Map("T.C" -> Set("a", "b"))
+    val sc = RuleConfig.parseRule("SC; id=s; table=db.t; col=c", dict = dict)
+      .get.asInstanceOf[DomainRule]
+    assert(sc.family === "SC" && sc.values === Set("a", "b"))
+    assert(sc.dbNm === "db" && sc.tabNm === "t")
+    val missing = RuleConfig.parseRule("SC; id=s2; table=t; col=zzz", dict = dict)
+      .get.asInstanceOf[DomainRule]
+    assert(missing.values === Set.empty[String])
+  }
+
+  // ---- UC/UU from config text (GQ:1167-1176) --------------------------------
+
+  test("UC config: filter/select/orderBy/limit compile to a typed transform") {
+    val df = Seq((1, 30.0), (2, 10.0), (3, 20.0), (4, 5.0)).toDF("k", "v")
+    val uc = RuleConfig.parseRule(
+      "UC; id=u; table=t; filter=v > 6; select=k, cast(v as bigint) as vv; orderBy=v desc, k; limit=2")
+      .get.asInstanceOf[CustomRule]
+    val out = uc.transform(df).collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1, 30L), (3, 20L)))
+  }
+
+  test("UU config: expected count default 0 (GQ:3079-3080)") {
+    val uu = RuleConfig.parseRule("UU; id=u; table=t; filter=k > 0").get
+      .asInstanceOf[ExpectedCountRule]
+    assert(uu.expected === 0L)
+  }
+
+  // ---- render: the reproRule artifact round-trips ---------------------------
+
+  test("render(parse(line)) round-trips every declarative family") {
+    val lines = Seq(
+      "PK; id=p; table=db.t; cols=a,b; where=x > 0",
+      "FK; id=f; table=t; cols=a; father=ft; fatherCols=fa; fatherWhere=y = 1; emptyGuard=N; broadcast=Y",
+      "FC; id=c; table=t; cols=a; father=ft; fatherCols=fa",
+      "ZC; id=z; table=t; cols=k; start=s; end=e; tiebreak=o",
+      "VC; id=v; table=t; col=c; values=A,B; isEmpty=N",
+      "PC; id=q; table=t; cols=k; codeTable=dim; codeCols=dk",
+      "UU; id=u; table=t; filter=k > 2; expected=7")
+    lines.foreach { l =>
+      val r1 = RuleConfig.parseRule(l).get
+      val rendered = RuleConfig.render(r1)
+      val r2 = RuleConfig.parseRule(rendered).get
+      // UU carries a function field — compare via a second render instead
+      assert(RuleConfig.render(r2) === rendered, s"for line: $l")
+      (r1, r2) match {
+        case (_: ExpectedCountRule, _: ExpectedCountRule) => ()
+        case _ => assert(r1 === r2, s"for line: $l")
+      }
+    }
+  }
+
+  test("render: SC omits dictionary values; expression cols survive") {
+    val sc = RuleConfig.parseRule("SC; id=s; table=t; col=c",
+      dict = Map("T.C" -> Set("a"))).get
+    assert(RuleConfig.render(sc) === "SC; id=s; table=t; col=c")
+    val pk = PkRule("p", "t", Seq("coalesce(k,'') as k2", "v"))
+    val again = RuleConfig.parseRule(RuleConfig.render(pk)).get
+    assert(again === pk) // paren-aware cols split preserves the expression
+  }
+}
