@@ -173,12 +173,17 @@ object SparkEntry {
         .select(col("keep_id"), col("dup_cnt"))
         .orderBy(col("keep_id"))),
 
-    // ---- north-rule pipeline (rows-only: corpus is engine-synthesized) ---
+    // ---- north-rule pipeline: the verdict frame is dumped to the oracle
+    // aux path and BOTH engines aggregate that same parquet — DuckDB
+    // independently derives the drop-reason histogram from the arrays
     "q_quality_pipeline" -> ((s, _) => {
       val verdicts = QualityPipeline.run(
         CorpusGen.files(s, 5000L), CorpusGen.commitsDim(s)).toDF()
-      verdicts.select(explode_outer(col("dropReasons")).as("rule_id"),
-          col("keep"))
+      val aux = s"$OracleAuxDir/verdicts"
+      verdicts.select(col("keep"), col("dropReasons"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      s.read.parquet(aux)
+        .select(explode_outer(col("dropReasons")).as("rule_id"))
         .groupBy(coalesce(col("rule_id"), lit("__kept__")).as("rule_id"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("rule_id"))
@@ -198,14 +203,24 @@ object SparkEntry {
     }),
 
     // ---- near-dup dedup family (docs ∪ shifted copy ⇒ known dup pairs) ---
+    // Reported pairs are restricted to the PLANTED space (id_b = id_a +
+    // 1000000): an identical copy has an identical signature, so MinHash
+    // banding / SimHash blocking PROVABLY emits every planted pair —
+    // making the full doc-id list an exact oracle. The fuzzy (natural-
+    // near-dup) behavior stays covered by DedupSpec's recall/precision
+    // tests; this gate checks the end-to-end candidate plumbing.
     "q_dedup_minhash" -> ((s, dir) =>
       graft.dedup.Dedup.minHashPairs(dupedDocs(s, dir), "id", "text",
         graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
-        .orderBy(col("id_a"), col("id_b"))),
+        .filter(col("id_a") < 1000000L && col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))),
     "q_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simHashPairs(dupedDocs(s, dir), "id", "text",
         maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .filter(col("id_a") < 1000000L && col("id_b") - col("id_a") === 1000000L)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"))),
     "q_dedup_ngram" -> ((s, dir) =>
       // prefix-filtered variant — same answers as the full inverted index,
       // a fraction of the join volume (the 100 TB path)
@@ -223,12 +238,16 @@ object SparkEntry {
         .bruteForceTopK(emb, "vec_id", "embedding", q, 10)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    // ANN gates: 10 exact copies of vector 0 are planted (ids 1000000+i).
+    // Identical vectors have hamming-0 signatures (LSH) and the query's own
+    // nearest-centroid assignment (IVF, always probed), so the true top-10
+    // — all eleven 1.0-cosine vectors minus the tie-break loser — is
+    // PROVABLY retrieved, making brute-force SQL an exact oracle. Margins
+    // are wide: max natural cosine in the fixture is ~0.51.
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val (duped, q) = annPlanted(s, dir)
       graft.similarity.Similarity
-        .lshTopK(emb, "vec_id", "embedding", q, 10, hammingRadius = 8)
+        .lshTopK(duped, "vec_id", "embedding", q, 10, hammingRadius = 8)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
     // embedding-cosine near-dup: embeddings ∪ shifted copy ⇒ every vector
@@ -243,12 +262,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_ann_ivf" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+      val (duped, q) = annPlanted(s, dir)
       val cents = graft.similarity.Similarity.ivfCentroids(
-        emb, "vec_id", "embedding", k = 16, iters = 2)
-      graft.similarity.Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+        duped, "vec_id", "embedding", k = 16, iters = 2)
+      graft.similarity.Similarity.ivfTopK(duped, "vec_id", "embedding", q, 10,
         cents, nprobe = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
@@ -338,13 +355,19 @@ object SparkEntry {
     }),
 
     // ---- per-repo stats via salted two-phase aggregation ------------------
+    // the annotated frame is dumped to the oracle aux path; Spark's SALTED
+    // two-phase aggregation over it must equal DuckDB's direct GROUP BY —
+    // a cross-engine proof that salting never changes results
     "q_repo_stats" -> ((s, _) => {
       val files = CorpusGen.files(s, 5000L)
       val annotated = QualityPipeline.annotate(
         QualityPipeline.score(files), CorpusGen.commitsDim(s),
         QualityPipeline.Config(),
         rawKeys = Some(CorpusGen.keys(s, 5000L)))
-      QualityPipeline.repoStats(annotated).orderBy(col("repo"))
+      val aux = s"$OracleAuxDir/annotated"
+      annotated.select("repo", "path", "commit", "keep", "nChars")
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      QualityPipeline.repoStats(s.read.parquet(aux)).orderBy(col("repo"))
     }),
 
     // ---- multimodal plumbing (stub codec, real batching) ------------------
@@ -356,6 +379,31 @@ object SparkEntry {
           sum(col("n_bytes")).as("total_bytes"),
           sum(col("frames_sampled")).as("total_frames"))
         .orderBy(col("kind"))))
+
+  /** Fixed location where queries dump engine-synthesized inputs so the
+    * driver's DuckDB oracle can aggregate the IDENTICAL data via
+    * read_parquet() — the corpus only exists inside the engine (seeded
+    * deterministic generator), so this dump is what makes an independent
+    * cross-engine check possible at all.
+    */
+  private val OracleAuxDir = "/tmp/graft_oracle_aux"
+
+  /** embeddings ∪ 10 exact copies of vector 0 (ids 1000000..1000009), plus
+    * the query vector itself — the planted construction behind the ANN
+    * oracles (see q_ann_lsh).
+    */
+  private def annPlanted(s: SparkSession, dir: String)
+      : (DataFrame, Array[Double]) = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val e0 = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    val copies = s.range(10)
+      .select((col("id") + 1000000L).as("vec_id")).crossJoin(e0)
+    val duped = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(copies.select(col("vec_id"), col("embedding")))
+    (duped, q)
+  }
 
   /** SA code dictionary fixture (CodeDict text form, readSdataCode3
     * semantics): the o_orderpriority domain with 5-LOW deliberately absent
@@ -537,10 +585,70 @@ object SparkEntry {
            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
             WHERE vec_id = 0)) DESC, vec_id
          LIMIT 10""",
+    // computed in DuckDB (all-pairs cosine), not the planted answer set —
+    // stays correct even if the fixture ever contains natural near-dups
     "q_embed_neardup" ->
-      """SELECT CAST(vec_id AS BIGINT) AS id_a,
-         CAST(vec_id + 1000000 AS BIGINT) AS id_b
-         FROM embeddings ORDER BY id_a, id_b""",
+      """WITH e AS (
+           SELECT CAST(vec_id AS BIGINT) AS id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT CAST(vec_id + 1000000 AS BIGINT),
+             CAST(embedding AS DOUBLE[]) FROM embeddings)
+         SELECT a.id AS id_a, b.id AS id_b
+         FROM e a, e b
+         WHERE a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.999
+         ORDER BY id_a, id_b""",
+    "q_dedup_minhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+         CAST(doc_id + 1000000 AS BIGINT) AS id_b
+         FROM documents ORDER BY id_a""",
+    "q_dedup_simhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+         CAST(doc_id + 1000000 AS BIGINT) AS id_b
+         FROM documents ORDER BY id_a""",
+    "q_ann_lsh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+         al AS (
+           SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT CAST(1000000 + i AS BIGINT), (SELECT qv FROM q)
+           FROM range(10) t(i))
+         SELECT vec_id,
+           round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score
+         FROM al
+         ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+         LIMIT 10""",
+    "q_ann_ivf" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = 0),
+         al AS (
+           SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT CAST(1000000 + i AS BIGINT), (SELECT qv FROM q)
+           FROM range(10) t(i))
+         SELECT vec_id,
+           round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS score
+         FROM al
+         ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+         LIMIT 10""",
+    "q_quality_pipeline" ->
+      """WITH v AS (
+           SELECT * FROM read_parquet('/tmp/graft_oracle_aux/verdicts/*.parquet')),
+         e AS (
+           SELECT unnest(dropReasons) AS rule_id FROM v
+           UNION ALL
+           SELECT '__kept__' FROM v WHERE len(dropReasons) = 0)
+         SELECT rule_id, CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY rule_id ORDER BY rule_id""",
+    "q_repo_stats" ->
+      """SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+         CAST(sum(nChars) AS BIGINT) AS n_chars
+         FROM read_parquet('/tmp/graft_oracle_aux/annotated/*.parquet')
+         GROUP BY repo ORDER BY repo""",
     "q_embed_norms" ->
       """SELECT vec_id,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
