@@ -21,9 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // dedup/similarity queries cache signature frames internally; release
-      // them so a 30-query run doesn't accumulate storage across queries
-      spark.catalog.clearCache()
+      // dedup/similarity queries cache signature frames internally; the
+      // targeted release (vs catalog.clearCache) frees exactly those
+      graft.util.Caches.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

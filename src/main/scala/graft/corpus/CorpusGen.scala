@@ -90,8 +90,11 @@ object CorpusGen {
   /** Pure row derivation — the single source of truth for tests' oracles.
     * Planted duplication: id % 97 == 0 reuses the PREVIOUS id's identity
     * triple (PK violations); id % 89 == 0 reuses the previous id's CONTENT
-    * under its own identity (content-dedup targets). 89·97 > any test n,
-    * so the two classes never overlap on one row pair.
+    * under its own identity (content-dedup targets). The two classes only
+    * coincide on ids divisible by 89·97 = 8633 — absent below n=8633, so
+    * test-sized corpora (the suites use n ≤ 5000) see strictly disjoint
+    * plantings; larger bench corpora (n=3M) do contain overlap ids, which
+    * is harmless because only the tests rely on disjointness.
     */
   def rowFor(id: Long, seed: Long): FileRow = {
     if (id > 0 && id % 89 == 0) {

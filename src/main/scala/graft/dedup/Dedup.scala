@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *    contributes candidates quadratically and information ~zero;
   *  - all signatures are computed in one `mapPartitions` pass (pure
   *    per-row functions, deterministic at any parallelism).
+  *
+  * Caching contract: pair builders cache their signature/index frames via
+  * [[graft.util.Caches.track]] because the returned LAZY plan consumes
+  * them several times. After running the plan, call
+  * `graft.util.Caches.release()` to unpersist exactly those intermediates
+  * (a targeted alternative to `spark.catalog.clearCache()`).
   */
 object Dedup {
 
@@ -169,7 +175,7 @@ object Dedup {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, cfg).cache()
+    val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
     val b = lshBuckets(sigs, idCol, cfg)
     val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
@@ -195,6 +201,52 @@ object Dedup {
   def survivorsFromPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Survivors under the TRANSITIVE closure of the pair graph: exactly one
+    * row (the min id) survives per connected component — correct for
+    * chain/star-shaped dup groups where [[survivorsFromPairs]] keeps
+    * extras (e.g. pairs (1,3),(2,3): one-round keeps {1,2}; closure keeps
+    * {1}). Connected components via iterative min-label propagation over
+    * the (distinct-id) node set — each round is one join + one
+    * aggregation over IDS ONLY, converging in graph-diameter rounds (2-3
+    * for near-dup clusters); content never shuffles. Convergence is
+    * detected by the label-sum fixpoint (labels only ever decrease).
+    */
+  def survivorsFromPairsTransitive(df: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = graft.util.Caches.track(
+      pairs.select(col("id_a").cast("long").as("src"),
+          col("id_b").cast("long").as("dst"))
+        .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+          col("id_a").cast("long").as("dst"))))
+    var labels = graft.util.Caches.track(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
+    // decimal, not long: a sum of 64-bit ids can overflow
+    def lblSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var it = 0
+    var converged = labels.isEmpty
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = graft.util.Caches.track(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      it += 1
+    }
+    val losers = labels.filter(col("lbl") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 
   // ---- SimHash -------------------------------------------------------------
 
@@ -246,7 +298,7 @@ object Dedup {
       val width = if (i == nBands - 1) 64 - start else base
       (i, start, width)
     }
-    val sigs = simHashes(df, idCol, textCol).cache()
+    val sigs = graft.util.Caches.track(simHashes(df, idCol, textCol))
     val banded = sigs.select(col(idCol), col("simhash"),
       explode(array(bandSpecs.map { case (i, start, width) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1
@@ -286,7 +338,7 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, t) => shingles(t, n).map(g => (id, g)) }
       .toDF(idCol, "g")
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")).cache()
+    val sizes = graft.util.Caches.track(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
     val capped = sh.join(
       sh.groupBy("g").agg(count(lit(1)).as("freq"))
         .filter(col("freq") <= maxPostings && col("freq") > 1)
@@ -329,7 +381,7 @@ object Dedup {
         (id, s, s.take(prefixLen))
       }
       .toDF(idCol, "sh", "prefix")
-      .cache()
+      .transform(graft.util.Caches.track)
     val index = docs.select(col(idCol), explode(col("prefix")).as("g"),
       size(col("sh")).as("sz"))
     val l = index.select(col("g"), col(idCol).as("id_a"), col("sz").as("sz_a"))

@@ -181,9 +181,9 @@ object Similarity {
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(d, bits, seed)
     val hMax = if (hammingMax >= 0) hammingMax else bits / 4
-    val sigs = df.select(col(idCol), col(vecCol))
-      .withColumn("__sig", signatureCol(col(vecCol), planes))
-      .cache()
+    val sigs = graft.util.Caches.track(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("__sig", signatureCol(col(vecCol), planes)))
     val nBands = bits / bandBits
     val banded = sigs.select(col(idCol),
       explode(array((0 until nBands).map(i => struct(lit(i).as("band"),

@@ -138,6 +138,40 @@ class DedupSpec extends SparkSpec {
     assert(b.size >= 500) // every doc pairs with its planted copy
   }
 
+  test("transitive survivors: one per connected component (chain + star)") {
+    val rows = (1L to 9L).map(i => (i, s"doc$i")).toDF("id", "text")
+    // star 1-3, 2-3 (one-round keeps {1,2}); chain 5-6-7-8; isolated 4, 9
+    val pairs = Seq((1L, 3L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val oneRound = Dedup.survivorsFromPairs(rows, "id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(oneRound.toSeq === Seq(1L, 2L, 4L, 5L, 9L)) // 2 extra survives
+    val closed = Dedup.survivorsFromPairsTransitive(rows, "id", pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(closed.toSeq === Seq(1L, 4L, 5L, 9L)) // exactly one per component
+    graft.util.Caches.release()
+  }
+
+  test("transitive survivors: empty pair set keeps everything") {
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = Dedup.survivorsFromPairsTransitive(rows, "id", empty)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 2L))
+    graft.util.Caches.release()
+  }
+
+  test("builders' internal caches are released by Caches.release") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minHashPairs(df, "id", "text", MinHashConfig(threshold = 0.7)).count()
+    Dedup.ngramJaccardPairsPrefix(df, "id", "text", threshold = 0.9).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "builders should have cached intermediates")
+    graft.util.Caches.release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty, s"leaked cached RDDs: $after")
+  }
+
   test("dedup on the planted corpus: exact dup triples are found") {
     import graft.corpus.CorpusGen
     val files = CorpusGen.files(spark, 2000L).toDF()
