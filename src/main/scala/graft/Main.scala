@@ -4,18 +4,36 @@ import org.apache.spark.sql.SparkSession
 import graft.corpus.CorpusGen
 import graft.runner.Runner
 
-/** spark-submit entry point: run (or resume) the quality-filter pipeline
-  * over a deterministic synthetic corpus and print a run report.
+/** spark-submit entry point with two modes:
   *
-  * Usage: graft.Main <nRows> <workDir> [runId]
-  * Re-running with the same workDir resumes from completed checkpoints
-  * (north_rule: resumable runs).
+  *   graft.Main <nRows> <workDir> [runId]
+  *     — run (or resume) the quality-filter pipeline over a deterministic
+  *       synthetic corpus and print a run report.
+  *
+  *   graft.Main check <configDir> <dataDir> <outDir>
+  *     — the reference's batch orchestration (__main__, GQ:3347-3357):
+  *       walk configDir's manifest (config file × batch ids), run every
+  *       batch's checks over parquet tables in <dataDir>, publish audit
+  *       tables per batch; re-running resumes (published batches skip).
+  *
+  * Re-running either mode with the same output dir resumes from completed
+  * checkpoints (north_rule: resumable runs).
   */
 object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.Main <nRows> <workDir> [runId]")
+      System.err.println(
+        "usage: graft.Main <nRows> <workDir> [runId]\n" +
+          "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
+    }
+    if (args(0) == "check") {
+      if (args.length < 4) {
+        System.err.println("usage: graft.Main check <configDir> <dataDir> <outDir>")
+        sys.exit(2)
+      }
+      runCheckMode(args(1), args(2), args(3))
+      return
     }
     val n = args(0).toLong
     val workDir = args(1)
@@ -46,6 +64,38 @@ object Main {
     report.lineage.filter(_.stage == "dedup").foreach { l =>
       println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
     }
+    spark.stop()
+  }
+
+  /** `check` mode: manifest-driven multi-batch audit run over parquet
+    * tables (qualified rule names `db.tab` resolve by bare table name).
+    */
+  private def runCheckMode(configDir: String, dataDir: String,
+      outDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-check-batches")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tables: graft.runner.CheckRunner.Tables = t => {
+      val bare = { val i = t.indexOf('.'); if (i > 0) t.substring(i + 1) else t }
+      spark.read.parquet(s"$dataDir/$bare.parquet")
+    }
+    val t0 = System.nanoTime()
+    val sums = graft.runner.CheckRunner.orchestrateDir(
+      spark, configDir, tables, outDir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    sums.foreach { s =>
+      println(s"[graft] config=${s.config} batch=${s.batchId} " +
+        (if (s.skipped) "SKIPPED (published)" else s"rules=${s.nRules}"))
+    }
+    println(f"[graft] check mode: ${sums.count(!_.skipped)} run, " +
+      f"${sums.count(_.skipped)} resumed-skip, wall=$sec%.1fs")
     spark.stop()
   }
 }

@@ -228,6 +228,18 @@ object RuleConfig {
     }
   }
 
+  /** `KEY=VALUE` parameter lines ≈ DBParams.txt (DBP:1-4, readDBDict
+    * GQ:812-814) — the `${VAR}` substitution map.
+    */
+  def parseVars(text: String): Map[String, String] =
+    text.linesIterator.map(normalize)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"bad params line: $l")
+        l.substring(0, i).trim -> l.substring(i + 1).trim
+      }.toMap
+
   /** Run manifest ≈ batchIdConfig.py (BIC:2-59): maps a rule-config name to
     * the batch ids it runs under (a file can map to several, e.g.
     * ["1120","1520"] BIC:4). Format: one `name = id1,id2` per line.

@@ -78,6 +78,54 @@ object CheckRunner {
     BatchOutput(results, checkDetail, codeDetail)
   }
 
+  final case class BatchSummary(
+      config: String, batchId: String, skipped: Boolean, nRules: Int)
+
+  /** Walk a test-case config directory × run manifest ≈ the reference's
+    * `__main__` (GQ:3347-3357: os.walk over 测试案例文件, fan out each file
+    * over its batchIds). Directory layout:
+    *   manifest.txt   — `configFile = batchId1,batchId2` lines (BIC:2-59)
+    *   params.txt     — optional `${VAR}` map (DBParams.txt)
+    *   codes.txt      — optional SA code dictionary ([[graft.config.CodeDict]])
+    *   <configFile>   — rule lines, one file per manifest entry
+    * Each (config × batchId) compiles with `BATCHID` added to the var map
+    * (the reference substituted `${BATCHID}` into its volatile-table DDL,
+    * GQ:665-669) and publishes to `outDir/config=<name>/batch=<id>`.
+    * Already-published batches are SKIPPED before any compute (resume).
+    */
+  def orchestrateDir(spark: SparkSession, configDir: String, tables: Tables,
+      outDir: String): Seq[BatchSummary] = {
+    import java.nio.file.{Files, Paths}
+    import graft.config.{CodeDict, RuleConfig}
+    def readOpt(name: String): Option[String] = {
+      val p = Paths.get(configDir, name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val manifest = RuleConfig.parseManifest(readOpt("manifest.txt")
+      .getOrElse(throw new IllegalArgumentException(
+        s"$configDir/manifest.txt not found")))
+    val vars = readOpt("params.txt").map(RuleConfig.parseVars)
+      .getOrElse(Map.empty[String, String])
+    val dict = readOpt("codes.txt").map(CodeDict.parse)
+      .getOrElse(Map.empty[String, Set[String]])
+    for {
+      (name, batchIds) <- manifest.toSeq.sortBy(_._1)
+      b <- batchIds
+    } yield {
+      val dir = s"$outDir/config=$name"
+      if (Checkpoint.isDone(spark, s"$dir/batch=$b", "check_result"))
+        BatchSummary(name, b, skipped = true, 0)
+      else {
+        val text = readOpt(name).getOrElse(throw new IllegalArgumentException(
+          s"manifest names missing config file: $configDir/$name"))
+        val rules = RuleConfig.parse(text, vars + ("BATCHID" -> b), dict)
+        val out = runBatch(spark, b, rules, tables)
+        publish(spark, dir, b, out)
+        BatchSummary(name, b, skipped = false, out.results.length)
+      }
+    }
+  }
+
   /** Publish a batch's audit tables under `outDir/batch=<id>/` with a
     * completion marker (staged, resumable — the volatile→permanent INSERT
     * of GQ:770-787). Re-running a published batch is a no-op.

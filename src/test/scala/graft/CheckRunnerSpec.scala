@@ -112,6 +112,43 @@ class CheckRunnerSpec extends SparkSpec {
     assert(Checkpoint.isDone(spark, s"$dir/batch=b10", "check_result"))
   }
 
+  test("orchestrateDir: manifest walk, 2 configs x 2 batches, resume") {
+    import java.nio.file.{Files, Paths}
+    val cfgDir = Files.createTempDirectory("graft_cfg").toString
+    val outDir = Files.createTempDirectory("graft_orch").toString
+    def write(name: String, text: String): Unit =
+      Files.writeString(Paths.get(cfgDir, name), text)
+    write("manifest.txt",
+      """checks_a.txt = 1120,1520
+        |checks_b.txt = 2000
+        |""".stripMargin)
+    write("params.txt", "MINV=2\n")
+    write("codes.txt", "colors,c,red\ncolors,c,blue\n")
+    write("checks_a.txt",
+      """PK; id=pk1; table=child; cols=k
+        |UU; id=uu1; table=child; filter=v >= ${MINV}; expected=3
+        |""".stripMargin)
+    write("checks_b.txt", "SC; id=sc1; table=colors; col=c\n")
+    val first = CheckRunner.orchestrateDir(spark, cfgDir, tables, outDir)
+    assert(first.map(s => (s.config, s.batchId, s.skipped)) === Seq(
+      ("checks_a.txt", "1120", false), ("checks_a.txt", "1520", false),
+      ("checks_b.txt", "2000", false)))
+    // audit rows landed per (config, batch), with the right batch ids
+    val a1 = spark.read.parquet(s"$outDir/config=checks_a.txt/batch=1120/check_result")
+    assert(a1.select("batchId").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("1120"))
+    assert(a1.count() === 2) // pk1 + uu1
+    val b = spark.read.parquet(s"$outDir/config=checks_b.txt/batch=2000/check_result")
+    assert(b.select("checkType").collect().map(_.getString(0)).toSeq === Seq("SC"))
+    assert(b.select("failedRowCnt").head().getLong(0) === 1L) // "green"
+    // second walk: everything already published → all skipped, output intact
+    val second = CheckRunner.orchestrateDir(spark, cfgDir, tables, outDir)
+    assert(second.forall(_.skipped))
+    assert(spark.read
+      .parquet(s"$outDir/config=checks_a.txt/batch=1520/check_result")
+      .count() === 2)
+  }
+
   test("PC details keep the offending code values through normalization") {
     val rules = Vector(
       CodeTableRule("pc9", "colors", Seq("c"), "codes", Seq("code")))
