@@ -318,6 +318,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("first_us"))
     }),
 
+    // built-in session_window (the watermark-aware streaming path) on the
+    // same events — unlike q_sessions it emits EVERY session incl. the
+    // final one per user (no open tail is held back on a static frame)
+    "q_sessions_window" -> ((s, dir) =>
+      graft.streaming.Streaming.sessionWindows(
+        tbl(s, dir, "events").select(col("user_id"), col("ts")))
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))
+        .orderBy(col("user_id"), col("first_us"))),
+
     // ---- full batch lifecycle: config text → rules → audit rows -----------
     // every rule family comes from CONFIG TEXT (incl. UC/UU/SC — GQ:1167-
     // 1176 parsed these from sheets); the oracle additionally covers the
@@ -371,14 +382,26 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (stub codec, real batching) ------------------
-    "q_media_features" -> ((s, _) =>
-      graft.multimodal.Media.extractFeatures(
-        graft.multimodal.Media.synth(s, 2000L)).toDF()
+    // raw blobs + extracted features are dumped together; DuckDB
+    // RECOMPUTES total_bytes from the binary payload (octet_length) and
+    // total_frames from the metadata — an independent cross-engine check
+    // of the decode plumbing's byte/frame accounting
+    "q_media_features" -> ((s, _) => {
+      val media = graft.multimodal.Media.synth(s, 2000L)
+      val feats = graft.multimodal.Media.extractFeatures(media).toDF()
+      val dump = media.toDF()
+        .select(col("media_id"), col("kind"), col("data"), col("duration_ms"))
+        .join(feats.select(col("media_id"), col("n_bytes"),
+          col("frames_sampled")), "media_id")
+      val aux = s"$OracleAuxDir/media"
+      dump.coalesce(1).write.mode("overwrite").parquet(aux)
+      s.read.parquet(aux)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
-          sum(col("frames_sampled")).as("total_frames"))
-        .orderBy(col("kind"))))
+          sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+          sum(col("frames_sampled")).cast("bigint").as("total_frames"))
+        .orderBy(col("kind"))
+    }))
 
   /** Fixed location where queries dump engine-synthesized inputs so the
     * driver's DuckDB oracle can aggregate the IDENTICAL data via
@@ -643,6 +666,14 @@ object SparkEntry {
            SELECT '__kept__' FROM v WHERE len(dropReasons) = 0)
          SELECT rule_id, CAST(count(*) AS BIGINT) AS n
          FROM e GROUP BY rule_id ORDER BY rule_id""",
+    "q_media_features" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(octet_length(data)) AS BIGINT) AS total_bytes,
+         CAST(sum(CASE WHEN kind = 'video'
+           THEN greatest(duration_ms // 1000, 1) ELSE 1 END) AS BIGINT)
+           AS total_frames
+         FROM read_parquet('/tmp/graft_oracle_aux/media/*.parquet')
+         GROUP BY kind ORDER BY kind""",
     "q_repo_stats" ->
       """SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
          CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
@@ -780,5 +811,22 @@ object SparkEntry {
            epoch_us(last_ts) AS last_us
          FROM g
          WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+         ORDER BY user_id, first_us""",
+    // session_window splits on gap >= 30min (vs the fMGWS variant's > —
+    // both hold on this data, but the oracle mirrors session_window)
+    "q_sessions_window" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+         FROM s GROUP BY user_id, sid
          ORDER BY user_id, first_us""")
 }

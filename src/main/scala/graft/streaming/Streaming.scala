@@ -77,6 +77,30 @@ object Streaming {
       }
   }
 
+  /** Gap sessionization via the built-in `session_window` — the
+    * PRODUCTION streaming path, closing [[sessionize]]'s documented gaps:
+    * watermark-aware (out-of-order events within the watermark merge into
+    * — or bridge — open sessions correctly) and state-bounded (a session
+    * finalizes and its state evicts once the watermark passes
+    * last_ts + gap, so per-user state never grows with the open tail).
+    * Semantics: events belong to one session while consecutive gaps are
+    * < gap; a gap ≥ gap starts a new session. The same function serves
+    * static frames (emits ALL sessions, including each user's final one)
+    * and readStream (append mode emits sessions as they finalize).
+    * [[sessionize]] remains the custom-state-machine escape hatch for
+    * logic session_window can't express.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("first_ts"),
+        col("last_ts"))
+
   /** Run a streaming query over a static parquet dir via readStream →
     * memory sink, synchronously (test/backfill harness).
     */

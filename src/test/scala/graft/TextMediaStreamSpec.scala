@@ -107,6 +107,46 @@ class TextMediaStreamSpec extends SparkSpec {
       Seq((1L, 3L), (1L, 2L), (2L, 1L)))
   }
 
+  test("session_window static == independent gap-split; all sessions emitted") {
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(10)), // session 1
+      (1L, ts(120)), (1L, ts(125)), // session 2
+      (1L, ts(300)), // final session — emitted here, unlike sessionize()
+      (2L, ts(0)), (2L, ts(200))).toDF("user_id", "ts")
+    val got = Streaming.sessionWindows(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(got === Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("session_window stream: out-of-order event within watermark merges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.sessionWindows(
+      mem.toDF().toDF("user_id", "ts"), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tms_sessions").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(10)))
+      q.processAllAvailable()
+      // OUT OF ORDER but within the 1h watermark: extends the open session
+      mem.addData((1L, ts(5)), (1L, ts(20)))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark hasn't passed last_ts + gap)
+      assert(spark.table("tms_sessions").count() === 0)
+      // a much later event advances the watermark → session finalizes
+      mem.addData((1L, ts(600)))
+      q.processAllAvailable()
+      val rows = spark.table("tms_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3)))
+      assert(rows.toSeq === Seq((1L, 4L, ts(0), ts(20))))
+    } finally q.stop()
+  }
+
   test("rule config: parse + ${VAR} substitution + full-width normalization") {
     val text =
       """# comment line
