@@ -98,9 +98,39 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      /** see [[dropHotBuckets]] */
+      maxBucket: Int = DefaultMaxBucket) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Default cap on LSH bucket size (see [[dropHotBuckets]]). 4096 rows in
+    * one bucket already means ~8.4M candidate pairs from that bucket alone.
+    */
+  val DefaultMaxBucket = 4096
+
+  /** Drop OVERSIZED (band,bucket) groups before a band self-join — the
+    * 100 TB skew defense. A bucket of m rows contributes m(m-1)/2
+    * candidate pairs; a corpus with heavy exact duplication (or a
+    * degenerate signature, e.g. all-empty documents) funnels millions of
+    * rows into ONE bucket and turns the "pruned" join quadratic. The hot
+    * list is found with a keys-only aggregation and is tiny (only buckets
+    * over the cap), so the prune is a broadcast anti-join.
+    *
+    * Contract: run [[exact]] dedup first — identical content is removed
+    * there, and pairs of IDENTICAL rows inside a dropped bucket collide in
+    * EVERY band, so they are only lost if all their buckets are hot.
+    * Near-dup (non-identical) pairs lose at most the hot bands and are
+    * still emitted by any non-hot band they share.
+    */
+  def dropHotBuckets(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String] = Seq("band", "bucket")): DataFrame = {
+    if (maxBucket <= 0) return banded // cap disabled
+    val hot = broadcast(banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+      .select(keys.map(col): _*))
+    banded.join(hot, keys, "left_anti")
   }
 
   /** The numHashes affine coefficient pairs for a config — derived once,
@@ -176,7 +206,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
-    val b = lshBuckets(sigs, idCol, cfg)
+    val b = dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket)
     val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val cand = left.join(right, Seq("band", "bucket"))
@@ -287,7 +317,7 @@ object Dedup {
     * then verified with bit_count(xor) — both codegen'd Column ops.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist out of range")
     val nBands = maxDist + 1
     val base = 64 / nBands
@@ -299,7 +329,7 @@ object Dedup {
       (i, start, width)
     }
     val sigs = graft.util.Caches.track(simHashes(df, idCol, textCol))
-    val banded = sigs.select(col(idCol), col("simhash"),
+    val banded0 = sigs.select(col(idCol), col("simhash"),
       explode(array(bandSpecs.map { case (i, start, width) =>
         val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(i).as("band"),
@@ -307,6 +337,7 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val banded = dropHotBuckets(banded0, maxBucket)
     val l = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"),

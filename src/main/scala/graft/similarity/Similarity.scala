@@ -174,7 +174,9 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 32, bandBits: Int = 8,
-      seed: Long = 42L, dim: Int = -1, hammingMax: Int = -1): DataFrame = {
+      seed: Long = 42L, dim: Int = -1, hammingMax: Int = -1,
+      /** oversized-bucket cap (skew defense) — see Dedup.dropHotBuckets */
+      maxBucket: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
     // derive the dimension from the data unless given — a wrong dim would
     // null every plane dot product and silently collapse all rows into one
     // LSH bucket (an O(n^2) cross product instead of a pruned join)
@@ -185,11 +187,13 @@ object Similarity {
       df.select(col(idCol), col(vecCol))
         .withColumn("__sig", signatureCol(col(vecCol), planes)))
     val nBands = bits / bandBits
-    val banded = sigs.select(col(idCol),
-      explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("__sig"), i * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val banded = graft.dedup.Dedup.dropHotBuckets(
+      sigs.select(col(idCol),
+        explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("__sig"), i * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
+        .select(col(idCol), col("bb.band"), col("bb.bucket")),
+      maxBucket)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))

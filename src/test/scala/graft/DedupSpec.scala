@@ -172,6 +172,26 @@ class DedupSpec extends SparkSpec {
     assert(after.isEmpty, s"leaked cached RDDs: $after")
   }
 
+  test("hot-bucket cap prunes degenerate buckets, leaves normal pairs intact") {
+    // 40 identical docs (one degenerate bucket per band) + the normal corpus
+    val flood = (100L until 140L).map(i => (i, base))
+    val mixed = (docs ++ flood).toDF("id", "text")
+    val capped = Dedup.minHashPairs(mixed, "id", "text",
+      MinHashConfig(threshold = 0.7, maxBucket = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood's buckets (>10 rows in every band: 40 copies + docs 0/1/2)
+    // are dropped — no quadratic candidate set is ever formed...
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // ...while pairs in normal-sized buckets are unaffected
+    assert(capped.contains((3L, 4L)))
+    // with the default cap nothing is hot and the flood pairs all appear
+    val uncapped = Dedup.minHashPairs(mixed, "id", "text",
+      MinHashConfig(threshold = 0.7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 139L)) && uncapped.contains((0L, 100L)))
+    graft.util.Caches.release()
+  }
+
   test("dedup on the planted corpus: exact dup triples are found") {
     import graft.corpus.CorpusGen
     val files = CorpusGen.files(spark, 2000L).toDF()

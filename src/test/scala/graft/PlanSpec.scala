@@ -1,0 +1,81 @@
+package graft
+
+import graft.checks.Checks
+import graft.model._
+import org.apache.spark.sql.DataFrame
+
+/** explain()-level assertions: the scale claims in COVERAGE.md §2.3 as
+  * executable checks — filters reach the parquet scan, join strategy
+  * hints are honored, projections prune columns, hot paths stay inside
+  * whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def tbl(name: String): DataFrame =
+    spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("FK key guard pushes down to the parquet scan as IsNotNull") {
+    val p = Checks.fk(
+      FkRule("f", "lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      tbl("lineitem"), tbl("orders"))
+    val s = plan(p.violations)
+    assert(s.contains("PushedFilters: [IsNotNull(l_orderkey)]"),
+      s"guard not pushed:\n$s")
+  }
+
+  test("FK father defaults to shuffle-hash; broadcastFather=Y broadcasts") {
+    val rule = FkRule("f", "lineitem", Seq("l_orderkey"), "orders",
+      Seq("o_orderkey"))
+    val shuffled = plan(Checks.fk(rule, tbl("lineitem"), tbl("orders")).violations)
+    assert(shuffled.contains("ShuffledHashJoin") &&
+      shuffled.contains("LeftAnti"), s"expected shuffle-hash anti join:\n$shuffled")
+    val bcast = plan(Checks.fk(rule.copy(broadcastFather = true),
+      tbl("lineitem"), tbl("orders")).violations)
+    assert(bcast.contains("BroadcastHashJoin") && bcast.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$bcast")
+  }
+
+  test("PC code-table dimension is always a broadcast anti-join") {
+    val p = Checks.codeTable(
+      CodeTableRule("p", "customer", Seq("c_nationkey"), "nation",
+        Seq("n_nationkey")),
+      tbl("customer"), tbl("nation"))
+    assert(plan(p.violations).contains("BroadcastHashJoin"))
+  }
+
+  test("column pruning: the scan reads only what the query aggregates") {
+    // select(doc_id, text).groupBy(text) — Catalyst prunes doc_id too:
+    // the scan must read exactly struct<text>
+    val s = plan(tbl("documents").select("doc_id", "text")
+      .groupBy("text").count())
+    val scanLine = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("ReadSchema: struct<text:string>"),
+      s"unpruned scan: $scanLine")
+  }
+
+  test("text-quality metrics stay inside whole-stage codegen (no UDF)") {
+    val df = tbl("documents").select(
+      graft.text.TextAnalysis.wsTokenCount(org.apache.spark.sql.functions.col("text")))
+    val s = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(s.contains("*(1)"), s"no codegen span:\n$s")
+    assert(!s.contains("BatchEvalPython") && !s.toLowerCase.contains("scalaudf"),
+      s"UDF leaked into the hot path:\n$s")
+  }
+
+  test("fused batch counts: one plan, no cartesian beyond 1-row scalars") {
+    val rules = Vector[Rule](
+      PkRule("pk", "orders", Seq("o_custkey")),
+      DomainRule("vc", "orders", "o_orderstatus", Set("O", "F")))
+    val fusedBranches = rules.map(r =>
+      graft.runner.CheckRunner.compile(r, _ => tbl("orders")))
+    val union = fusedBranches.map(_.countsDf).reduce(_ unionByName _)
+    val s = plan(union)
+    assert(s.contains("Union"), s"expected a union of count branches:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"unexpected cartesian in fused counts:\n$s")
+  }
+}
