@@ -353,8 +353,11 @@ object Checks {
         case r: ZcRule => ("ZC", (r.keyCols ++ Seq(r.startCol, r.endCol)).mkString(","))
         case r: DomainRule => (r.family, r.col) // first-class SC vs VC
         case r: CodeTableRule => ("PC", r.keyCols.mkString(","))
-        case _: CustomRule => ("UC", "")
-        case _: ExpectedCountRule => ("UU", "")
+        // 'UC-'+ugcType / 'UU-'+ugcType (GQ:2983,3188)
+        case r: CustomRule =>
+          (if (r.ugcType.nonEmpty) s"UC-${r.ugcType}" else "UC", "")
+        case r: ExpectedCountRule =>
+          (if (r.ugcType.nonEmpty) s"UU-${r.ugcType}" else "UU", "")
       }
       CheckResult(p.rule.id, runDate, batchId, startTs, endTs,
         p.rule.dbNm, p.rule.tabNm, colNm, tpe, verdict, all, failed,

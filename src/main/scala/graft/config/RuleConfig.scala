@@ -164,13 +164,15 @@ object RuleConfig {
         where = where, description = desc)
       case "UC" =>
         val (t, info) = customTransform(kv)
-        CustomRule(id, table, t, description = desc, exprInfo = info)
+        CustomRule(id, table, t, description = desc, exprInfo = info,
+          ugcType = kv.getOrElse("ugcType", ""))
       case "UU" =>
         val (t, info) = customTransform(kv)
         ExpectedCountRule(id, table, t,
           expected = kv.get("expected").filter(_.nonEmpty).map(_.toLong)
             .getOrElse(0L), // default correctNum = 0, GQ:3079-3080
-          description = desc, exprInfo = info)
+          description = desc, exprInfo = info,
+          ugcType = kv.getOrElse("ugcType", ""))
       case other => throw new IllegalArgumentException(
         s"unknown rule type '$other' (expected PK/FK/FC/ZC/VC/SC/PC/UC/UU)")
     })
@@ -220,11 +222,12 @@ object RuleConfig {
       case r: CustomRule =>
         s"UC; id=${r.id}; table=${r.table}" +
           (if (r.exprInfo.nonEmpty) s"; ${r.exprInfo}" else "") +
-          optDesc(r.description)
+          opt("ugcType", Some(r.ugcType)) + optDesc(r.description)
       case r: ExpectedCountRule =>
         s"UU; id=${r.id}; table=${r.table}" +
           (if (r.exprInfo.nonEmpty) s"; ${r.exprInfo}" else "") +
-          s"; expected=${r.expected}" + optDesc(r.description)
+          s"; expected=${r.expected}" +
+          opt("ugcType", Some(r.ugcType)) + optDesc(r.description)
     }
   }
 

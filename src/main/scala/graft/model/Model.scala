@@ -213,7 +213,10 @@ final case class CustomRule(
     /** declarative source of `transform` when config-built (e.g.
       * "filter=...; select=...") — the piece that makes the audit row's
       * reproRule round-trippable; empty for hand-written transforms */
-    exprInfo: String = "") extends Rule
+    exprInfo: String = "",
+    /** user check sub-type; audit checkType = "UC-<ugcType>" when set
+      * (GQ:2983 'UC-'+ugcType) */
+    ugcType: String = "") extends Rule
 
 /** Custom rule with expected count (UU, GQ:3041-3224): verdict N iff
   * result count != expected (GQ:3159,3176-3177; default expected 0).
@@ -227,7 +230,9 @@ final case class ExpectedCountRule(
     description: String = "",
     /** declarative source of `transform` when config-built (see
       * [[CustomRule.exprInfo]]) */
-    exprInfo: String = "") extends Rule
+    exprInfo: String = "",
+    /** audit checkType = "UU-<ugcType>" when set (GQ:3188) */
+    ugcType: String = "") extends Rule
 
 /** Compiled check: everything downstream consumers need, all lazy
   * DataFrames (nothing executed until an action). ≈ SURVEY.md §3.3.

@@ -58,8 +58,19 @@ object CheckRunner {
       checkDetail: Option[DataFrame],
       codeDetail: Option[DataFrame])
 
+  /** UC/UU detail frames carry the user transform's own columns; the
+    * reference pivots that colList positionally into checkColumn1..N
+    * (ucDetailSQL GQ:629-642, reused for UU GQ:3140) — replicate by
+    * positional rename, capped at 10 and stringified.
+    */
+  private def pivotColumns(detail: DataFrame): DataFrame =
+    detail.select(detail.columns.take(Checks.MaxSampleCols).zipWithIndex
+      .map { case (c, i) => col(c).cast("string").as(s"checkColumn${i + 1}") }
+      .toIndexedSeq: _*)
+
   /** Execute all enabled rules. Detail capture follows the reference:
-    * key-shaped checks → check_Detail, domain checks → code_Detail.
+    * key-shaped checks AND custom UC/UU result samples → check_Detail,
+    * domain checks → code_Detail.
     */
   def runBatch(spark: SparkSession, batchId: String, rules: Seq[Rule],
       tables: Tables): BatchOutput = {
@@ -68,8 +79,12 @@ object CheckRunner {
     val results = Checks.run(spark, batchId, plans.map(_._2))
     val (codeRules, keyRules) = plans.partition(_._1.isInstanceOf[DomainRule])
     val checkDetail = keyRules
-      .collect { case (r, p) if !r.isInstanceOf[CustomRule] &&
-        !r.isInstanceOf[ExpectedCountRule] => normalizeDetail(r, p.detail) }
+      .map {
+        case (r, p) if r.isInstanceOf[CustomRule] ||
+          r.isInstanceOf[ExpectedCountRule] =>
+          normalizeDetail(r, pivotColumns(p.detail))
+        case (r, p) => normalizeDetail(r, p.detail)
+      }
       .reduceOption(_ unionByName _)
     val codeDetail = codeRules.map { case (r, p) =>
       p.detail.select(lit(r.id).as("checkId"), lit(r.table).as("tabNm"),

@@ -112,6 +112,22 @@ class CheckRunnerSpec extends SparkSpec {
     assert(Checkpoint.isDone(spark, s"$dir/batch=b10", "check_result"))
   }
 
+  test("UC/UU samples land in check_Detail pivoted to checkColumnN (GQ:629-642)") {
+    val rules = RuleConfig.parse(
+      """UC; id=uc1; table=child; select=k, v; orderBy=v; limit=2; ugcType=recon
+        |UU; id=uu1; table=child; filter=v > 2; expected=0
+        |""".stripMargin)
+    val out = CheckRunner.runBatch(spark, "b15", rules, tables)
+    assert(out.results.map(_.checkType).toSet === Set("UC-recon", "UU"))
+    assert(out.results.find(_.checkId == "uc1").get.checkResultInd === "")
+    val det = out.checkDetail.get
+      .select("checkId", "checkColumn1", "checkColumn2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(det.filter(_._1 == "uc1").toSet ===
+      Set(("uc1", "a", "1"), ("uc1", "a", "2")))
+    assert(det.filter(_._1 == "uu1").map(_._2).toSet === Set("orph", "ok"))
+  }
+
   test("orchestrateDir: manifest walk, 2 configs x 2 batches, resume") {
     import java.nio.file.{Files, Paths}
     val cfgDir = Files.createTempDirectory("graft_cfg").toString

@@ -105,15 +105,17 @@ class ConfigSpec extends SparkSpec {
       "ZC; id=z; table=t; cols=k; start=s; end=e; tiebreak=o",
       "VC; id=v; table=t; col=c; values=A,B; isEmpty=N",
       "PC; id=q; table=t; cols=k; codeTable=dim; codeCols=dk",
-      "UU; id=u; table=t; filter=k > 2; expected=7")
+      "UU; id=u; table=t; filter=k > 2; expected=7; ugcType=recon",
+      "UC; id=c2; table=t; select=a, b; limit=3; ugcType=adhoc")
     lines.foreach { l =>
       val r1 = RuleConfig.parseRule(l).get
       val rendered = RuleConfig.render(r1)
       val r2 = RuleConfig.parseRule(rendered).get
-      // UU carries a function field — compare via a second render instead
+      // UC/UU carry function fields — compare via a second render instead
       assert(RuleConfig.render(r2) === rendered, s"for line: $l")
       (r1, r2) match {
         case (_: ExpectedCountRule, _: ExpectedCountRule) => ()
+        case (_: CustomRule, _: CustomRule) => ()
         case _ => assert(r1 === r2, s"for line: $l")
       }
     }
