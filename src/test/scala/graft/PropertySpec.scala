@@ -98,6 +98,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rule config: parse ∘ render is the identity on declarative rules") {
+    import graft.config.RuleConfig
+    val ident = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+    val colsG = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, ident))
+    val ruleGen: Gen[Rule] = Gen.oneOf(
+      for { t <- ident; cs <- colsG; w <- Gen.option(ident) }
+        yield PkRule("p1", t, cs, w.map(c => s"$c > 0")),
+      for {
+        t <- ident; ft <- ident; cs <- colsG; fcs <- colsG
+        eg <- Gen.oneOf(true, false); bc <- Gen.oneOf(true, false)
+      } yield FkRule("f1", t, cs, ft, fcs, emptyGuard = eg,
+        broadcastFather = bc),
+      for { t <- ident; c <- ident; vs <- Gen.listOfN(3, ident)
+            g <- Gen.oneOf(true, false) }
+        yield DomainRule("v1", t, c, vs.toSet, isEmptyGuard = g),
+      for { t <- ident; cs <- colsG; s <- ident; e <- ident }
+        yield ZcRule("z1", t, cs, s, e),
+      for { t <- ident; cs <- colsG; ct <- ident; ccs <- colsG }
+        yield CodeTableRule("q1", t, cs, ct, ccs))
+    forAll(ruleGen, 40) { r =>
+      val reparsed = RuleConfig.parseRule(RuleConfig.render(r)).get
+      assert(reparsed === r, s"render was: ${RuleConfig.render(r)}")
+    }
+  }
+
+  test("coerceNum is idempotent and preserves non-float-integral strings") {
+    import graft.config.RuleConfig.coerceNum
+    val numish = Gen.oneOf(
+      Gen.choose(-9999, 9999).map(_.toString),
+      Gen.choose(-9999, 9999).map(n => s"$n.0"),
+      Gen.choose(-9999, 9999).map(n => s"$n.5"),
+      Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString))
+    forAll(numish, 60) { s =>
+      assert(coerceNum(coerceNum(s)) === coerceNum(s))
+      if (s.matches("-?\\d+")) assert(coerceNum(s) === s)
+      if (s.matches("-?\\d+\\.5")) assert(coerceNum(s) === s)
+      if (s.matches("-?\\d+\\.0")) assert(coerceNum(s) === s.dropRight(2))
+    }
+  }
+
+  test("splitTop inverts a top-level join of balanced tokens") {
+    import graft.config.RuleConfig.splitTop
+    val token = Gen.oneOf("a", "f(x,y)", "cast(v as decimal(12,2))",
+      "'p,q'", "coalesce(k,'') as k2", "b c")
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, token)), 40) { parts =>
+      assert(splitTop(parts.mkString(", ")) === parts)
+    }
+  }
+
   test("verdict determinism: same corpus, any partitioning, same keep set") {
     import graft.corpus.CorpusGen
     import graft.filter.QualityPipeline
