@@ -403,13 +403,17 @@ object SparkEntry {
         .orderBy(col("kind"))
     }))
 
-  /** Fixed location where queries dump engine-synthesized inputs so the
-    * driver's DuckDB oracle can aggregate the IDENTICAL data via
-    * read_parquet() — the corpus only exists inside the engine (seeded
-    * deterministic generator), so this dump is what makes an independent
-    * cross-engine check possible at all.
+  /** Location where queries dump engine-synthesized inputs so the driver's
+    * DuckDB oracle can aggregate the IDENTICAL data via read_parquet() —
+    * the corpus only exists inside the engine (seeded deterministic
+    * generator), so this dump is what makes an independent cross-engine
+    * check possible at all. The oracle SQL reads the fixed default path;
+    * OTHER harnesses (Bench) override via the system property so their
+    * re-runs can never clobber a Verify dump while the driver's DuckDB
+    * compare is reading it.
     */
-  private val OracleAuxDir = "/tmp/graft_oracle_aux"
+  private def OracleAuxDir: String =
+    System.getProperty("graft.oracle.aux", "/tmp/graft_oracle_aux")
 
   /** embeddings ∪ 10 exact copies of vector 0 (ids 1000000..1000009), plus
     * the query vector itself — the planted construction behind the ANN

@@ -39,6 +39,10 @@ object RuleConfig {
     * `coalesce(a,'') as k` or `cast(x as decimal(12,2))` keep their inner
     * commas (the reference needed an alias-strip regex + changelog entry
     * GQ:19,234 for the same problem).
+    *
+    * A quote starts a protected run only when a CLOSING quote follows —
+    * an unpaired apostrophe (`values=O'Brien,Smith`) is a plain character,
+    * so it can't swallow the rest of the line into one token.
     */
   def splitTop(s: String, sep: Char = ','): Seq[String] = {
     val out = Vector.newBuilder[String]
@@ -50,7 +54,7 @@ object RuleConfig {
       val c = s.charAt(i)
       if (inQuote) { cur += c; if (c == '\'') inQuote = false }
       else c match {
-        case '\'' => inQuote = true; cur += c
+        case '\'' => inQuote = s.indexOf('\'', i + 1) >= 0; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
         case `sep` if depth == 0 => out += cur.result(); cur.clear()

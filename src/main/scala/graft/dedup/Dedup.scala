@@ -273,6 +273,10 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[Dedup] WARN: survivorsFromPairsTransitive hit " +
+        s"maxIters=$maxIters before the label fixpoint — a component with " +
+        s"diameter > $maxIters may keep more than one survivor; raise maxIters")
     val losers = labels.filter(col("lbl") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -48,8 +48,12 @@ object CheckRunner {
     }
     val sample = (if (present.contains("sampleCnt")) col("sampleCnt")
     else lit(1L)).cast("long").as("sampleCnt")
+    // dbNm/tabNm split the same way check_Result does (GQ:322-332 carries
+    // DBNm+TabNm in check_Detail too) — a qualified rule must join its
+    // detail rows on the same (checkId, tabNm) key as its result row
     detail.select(
-      lit(rule.id).as("checkId") +: lit(rule.table).as("tabNm") +:
+      lit(rule.id).as("checkId") +: lit(rule.dbNm).as("dbNm") +:
+        lit(rule.tabNm).as("tabNm") +:
         fcInd.cast("string").as("fcInd") +: keyCols :+ sample: _*)
   }
 
@@ -87,8 +91,8 @@ object CheckRunner {
       }
       .reduceOption(_ unionByName _)
     val codeDetail = codeRules.map { case (r, p) =>
-      p.detail.select(lit(r.id).as("checkId"), lit(r.table).as("tabNm"),
-        col("cdeVal"), col("sampleCnt"))
+      p.detail.select(lit(r.id).as("checkId"), lit(r.dbNm).as("dbNm"),
+        lit(r.tabNm).as("tabNm"), col("cdeVal"), col("sampleCnt"))
     }.reduceOption(_ unionByName _)
     BatchOutput(results, checkDetail, codeDetail)
   }
@@ -144,14 +148,22 @@ object CheckRunner {
   /** Publish a batch's audit tables under `outDir/batch=<id>/` with a
     * completion marker (staged, resumable — the volatile→permanent INSERT
     * of GQ:770-787). Re-running a published batch is a no-op.
+    *
+    * ORDER MATTERS: check_result is staged LAST because its marker is the
+    * batch-completion predicate (used by the early return here and by
+    * [[orchestrateDir]]'s resume skip). Detail tables go first, so a crash
+    * mid-publish leaves the batch resumable — a re-run re-stages whatever
+    * is missing and only then seals the batch. Staging check_result first
+    * would make a half-published batch look complete and silently lose its
+    * detail tables forever.
     */
   def publish(spark: SparkSession, outDir: String, batchId: String,
       out: BatchOutput): Unit = {
     import spark.implicits._
     val dir = s"$outDir/batch=$batchId"
     if (Checkpoint.isDone(spark, dir, "check_result")) return
-    Checkpoint.stage(spark, dir, "check_result")(out.results.toDS().toDF())
     out.checkDetail.foreach(d => Checkpoint.stage(spark, dir, "check_detail")(d))
     out.codeDetail.foreach(d => Checkpoint.stage(spark, dir, "code_detail")(d))
+    Checkpoint.stage(spark, dir, "check_result")(out.results.toDS().toDF())
   }
 }

@@ -16,21 +16,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // WEAK references: a caller that never calls release() keeps the old
+  // behavior — once its result (and thus the cached intermediates) becomes
+  // unreachable, Spark's ContextCleaner reclaims the cached blocks as
+  // before. The registry never pins a frame alive on its own.
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]()
 
   /** Cache `df` and register it for the next [[release]]. */
   def track(df: DataFrame): DataFrame = {
     val c = df.cache()
-    tracked.add(c)
+    tracked.add(new java.lang.ref.WeakReference(c))
     c
   }
 
-  /** Unpersist (non-blocking) every tracked frame and clear the registry. */
+  /** Unpersist (non-blocking) every still-reachable tracked frame and
+    * clear the registry. Call after the actions consuming the builders'
+    * results complete — releasing earlier forces mid-plan recompute.
+    */
   def release(): Unit = {
-    var d = tracked.poll()
-    while (d != null) {
-      d.unpersist()
-      d = tracked.poll()
+    var ref = tracked.poll()
+    while (ref != null) {
+      val d = ref.get()
+      if (d != null) d.unpersist()
+      ref = tracked.poll()
     }
   }
 }

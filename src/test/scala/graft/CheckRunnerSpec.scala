@@ -35,12 +35,12 @@ class CheckRunnerSpec extends SparkSpec {
     // detail tables: key checks → check_Detail (padded to 10 cols),
     // domain checks → code_Detail
     val det = out.checkDetail.get
-    assert(det.columns.toSeq === Seq("checkId", "tabNm", "fcInd") ++
+    assert(det.columns.toSeq === Seq("checkId", "dbNm", "tabNm", "fcInd") ++
       (1 to 10).map(i => s"checkColumn$i") :+ "sampleCnt")
     val pkRow = det.filter($"checkId" === "pk1").collect()
     assert(pkRow.length === 1 && pkRow.head.getAs[String]("checkColumn1") === "a")
-    val code = out.codeDetail.get.collect()
-    assert(code.map(r => (r.getString(0), r.getString(2))).toSeq ===
+    val code = out.codeDetail.get.select("checkId", "cdeVal").collect()
+    assert(code.map(r => (r.getString(0), r.getString(1))).toSeq ===
       Seq(("vc1", "green")))
   }
 

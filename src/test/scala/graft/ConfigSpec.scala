@@ -15,6 +15,18 @@ class ConfigSpec extends SparkSpec {
       Seq("coalesce(k,'') as k2", "v"))
   }
 
+  test("unpaired apostrophe is a plain char, not a quote-run opener") {
+    assert(RuleConfig.splitTop("O'Brien,Smith") === Seq("O'Brien", "Smith"))
+    val vc = RuleConfig.parseRule(
+      "VC; id=v; table=t; col=c; values=O'Brien,Smith; isEmpty=N").get
+      .asInstanceOf[DomainRule]
+    // quote characters are stripped from values per the reference's
+    // valScale normalization (GQ:2572) — but the comma and the isEmpty
+    // field must survive the lone quote
+    assert(vc.values === Set("OBrien", "Smith"))
+    assert(!vc.isEmptyGuard)
+  }
+
   test("rule lines split on ; outside quotes only") {
     val r = RuleConfig.parseRule(
       "UU; id=u; table=t; filter=c = 'a;b'; expected=1").get
