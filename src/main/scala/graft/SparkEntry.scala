@@ -188,9 +188,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("rule_id"))
     }),
+    // per-doc classifier output is dumped (classification itself is not
+    // SQL-expressible — accuracy is LangIdSpec's job); DuckDB re-derives
+    // the (lang, bucket) histogram from the identical parquet
     "q_langid" -> ((s, dir) => {
       import s.implicits._
-      tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val perDoc = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, t) =>
           // bucketed perplexity keeps the scored column referenced — an
@@ -198,8 +201,12 @@ object SparkEntry {
           // per-row work the query doesn't aggregate
           (id, LangId.classify(t), math.rint(Perplexity.score(t) / 10) * 10) }
         .toDF("doc_id", "pred_lang", "ppl_bucket")
+      val aux = s"$OracleAuxDir/langid"
+      perDoc.coalesce(1).write.mode("overwrite").parquet(aux)
+      s.read.parquet(aux)
         .groupBy(col("pred_lang"), col("ppl_bucket"))
         .agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"), col("ppl_bucket"))
     }),
 
     // ---- near-dup dedup family (docs ∪ shifted copy ⇒ known dup pairs) ---
@@ -670,6 +677,10 @@ object SparkEntry {
            SELECT '__kept__' FROM v WHERE len(dropReasons) = 0)
          SELECT rule_id, CAST(count(*) AS BIGINT) AS n
          FROM e GROUP BY rule_id ORDER BY rule_id""",
+    "q_langid" ->
+      """SELECT pred_lang, ppl_bucket, CAST(count(*) AS BIGINT) AS n
+         FROM read_parquet('/tmp/graft_oracle_aux/langid/*.parquet')
+         GROUP BY pred_lang, ppl_bucket ORDER BY pred_lang, ppl_bucket""",
     "q_media_features" ->
       """SELECT kind, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(octet_length(data)) AS BIGINT) AS total_bytes,
