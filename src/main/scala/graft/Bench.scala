@@ -110,8 +110,10 @@ object Bench {
     // needs a 2nd-highest worth trusting), more while the budget lasts —
     // contention windows span minutes, so extra SESSIONS (not extra runs
     // inside one session) are what buy escape from a bad patch
-    val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "3").toInt
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_MAX_ROUNDS", "6").toInt
+    val minRounds = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_ROUNDS", "3").toInt)
+    val maxRounds = math.max(minRounds,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_MAX_ROUNDS", "6").toInt)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_BUDGET", "800").toInt
     val lowCpus = math.max(cpus / 16, 1) // 2 at gate config
     val midCpus = math.max(cpus / 4, math.min(4 * lowCpus, cpus)) // 8

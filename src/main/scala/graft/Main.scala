@@ -82,10 +82,9 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tables: graft.runner.CheckRunner.Tables = t => {
-      val bare = { val i = t.indexOf('.'); if (i > 0) t.substring(i + 1) else t }
-      spark.read.parquet(s"$dataDir/$bare.parquet")
-    }
+    val tables: graft.runner.CheckRunner.Tables = t =>
+      spark.read.parquet(
+        s"$dataDir/${graft.model.Rule.splitTable(t)._2}.parquet")
     val t0 = System.nanoTime()
     val sums = graft.runner.CheckRunner.orchestrateDir(
       spark, configDir, tables, outDir)

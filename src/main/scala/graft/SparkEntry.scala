@@ -213,9 +213,11 @@ object SparkEntry {
     // Reported pairs are restricted to the PLANTED space (id_b = id_a +
     // 1000000): an identical copy has an identical signature, so MinHash
     // banding / SimHash blocking PROVABLY emits every planted pair —
-    // making the full doc-id list an exact oracle. The fuzzy (natural-
-    // near-dup) behavior stays covered by DedupSpec's recall/precision
-    // tests; this gate checks the end-to-end candidate plumbing.
+    // making the full doc-id list an exact oracle. (Precondition: the
+    // fixture's duplicate groups are pairs, far below the hot-bucket cap;
+    // see Dedup.dropHotBuckets.) The fuzzy (natural-near-dup) behavior
+    // stays covered by DedupSpec's recall/precision tests; this gate
+    // checks the end-to-end candidate plumbing.
     "q_dedup_minhash" -> ((s, dir) =>
       graft.dedup.Dedup.minHashPairs(dupedDocs(s, dir), "id", "text",
         graft.dedup.Dedup.MinHashConfig(threshold = 0.9))

@@ -17,7 +17,12 @@ object CodeDict {
   def key(tab: String, col: String): String =
     tab.trim.toUpperCase + "." + col.trim.toUpperCase
 
-  /** One code cell, reference-normalized. */
+  /** One code cell, reference-normalized. Deliberately NOT the same
+    * normalization as [[RuleConfig.coerceNum]]: the reference's two
+    * loaders differ — valScale strips quote characters (GQ:2572) while
+    * readSdataCode3 only maps the literal `''`/`'` cells and coerces
+    * floats (GQ:3324-3328). Each path here mirrors its own original.
+    */
   def normalizeCode(raw: String): String = {
     val s = raw.trim
     if (s == "''" || s == "'") "" // GQ:3327-3328

@@ -40,9 +40,12 @@ object RuleConfig {
     * commas (the reference needed an alias-strip regex + changelog entry
     * GQ:19,234 for the same problem).
     *
-    * A quote starts a protected run only when a CLOSING quote follows —
-    * an unpaired apostrophe (`values=O'Brien,Smith`) is a plain character,
-    * so it can't swallow the rest of the line into one token.
+    * Quote runs follow SQL string-literal syntax: a quote OPENS a run only
+    * when it does not directly follow an identifier character (a literal
+    * never does) AND a closing quote exists. Apostrophes inside words
+    * (`O'Brien`, `it's`) are therefore plain characters — they can't pair
+    * with a later literal's quote and swallow separators between them.
+    * Unbalanced ')' never drives the paren depth negative.
     */
   def splitTop(s: String, sep: Char = ','): Seq[String] = {
     val out = Vector.newBuilder[String]
@@ -54,9 +57,12 @@ object RuleConfig {
       val c = s.charAt(i)
       if (inQuote) { cur += c; if (c == '\'') inQuote = false }
       else c match {
-        case '\'' => inQuote = s.indexOf('\'', i + 1) >= 0; cur += c
+        case '\'' =>
+          val prevIdent = i > 0 && Character.isLetterOrDigit(s.charAt(i - 1))
+          inQuote = !prevIdent && s.indexOf('\'', i + 1) >= 0
+          cur += c
         case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
+        case ')' => depth = math.max(depth - 1, 0); cur += c
         case `sep` if depth == 0 => out += cur.result(); cur.clear()
         case _ => cur += c
       }
@@ -125,11 +131,39 @@ object RuleConfig {
     * their value set from `dict` (the SA code dictionary, [[CodeDict]]);
     * a missing TAB.COL key warns and yields the empty set (GQ:2346-2347).
     */
+  /** Field keys each rule type accepts — a typo'd or miscased key must
+    * FAIL the parse, not silently change check semantics (e.g. `orderby=`
+    * would drop the ordering and make the UC sample nondeterministic,
+    * `Expected=` would silently revert a UU to expected=0).
+    */
+  private val knownKeys: Map[String, Set[String]] = {
+    val common = Set("id", "table", "runInd", "desc")
+    val custom = common ++ Set("filter", "select", "orderBy", "limit", "ugcType")
+    Map(
+      "PK" -> (common ++ Set("cols", "where")),
+      "FK" -> (common ++ Set("cols", "where", "father", "fatherCols",
+        "fatherWhere", "emptyGuard", "broadcast")),
+      "FC" -> (common ++ Set("cols", "where", "father", "fatherCols",
+        "fatherWhere", "emptyGuard")),
+      "ZC" -> (common ++ Set("cols", "where", "start", "end", "tiebreak")),
+      "VC" -> (common ++ Set("col", "where", "values", "isEmpty")),
+      "SC" -> (common ++ Set("col", "where", "isEmpty")),
+      "PC" -> (common ++ Set("cols", "where", "codeTable", "codeCols", "isEmpty")),
+      "UC" -> custom,
+      "UU" -> (custom + "expected"))
+  }
+
   def parseRule(line: String, vars: Map[String, String] = Map.empty,
       dict: Map[String, Set[String]] = Map.empty): Option[Rule] = {
     val substituted = substitute(line, vars)
     val (tpe, kv) = fields(substituted)
     if (kv.getOrElse("runInd", "Y").equalsIgnoreCase("N")) return None
+    knownKeys.get(tpe).foreach { known =>
+      val unknown = kv.keySet -- known
+      require(unknown.isEmpty,
+        s"unknown field(s) ${unknown.mkString(", ")} for $tpe rule " +
+          s"(accepted: ${known.toSeq.sorted.mkString(", ")}): $line")
+    }
     val id = kv.getOrElse("id", tpe.toLowerCase)
     val table = kv.getOrElse("table", "")
     val where = kv.get("where").filter(_.nonEmpty)
@@ -152,8 +186,7 @@ object RuleConfig {
         isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
         where = where, description = desc, family = "VC")
       case "SC" =>
-        val tabNm = { val i = table.indexOf('.'); if (i > 0) table.substring(i + 1) else table }
-        val key = CodeDict.key(tabNm, kv("col"))
+        val key = CodeDict.key(Rule.splitTable(table)._2, kv("col"))
         val values = dict.getOrElse(key, {
           System.err.println(s"[RuleConfig] WARN: code dictionary has no key" +
             s" '$key' for SC rule '$id' — empty value set (GQ:2346-2347)")

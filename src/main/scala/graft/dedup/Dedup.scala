@@ -118,11 +118,16 @@ object Dedup {
     * list is found with a keys-only aggregation and is tiny (only buckets
     * over the cap), so the prune is a broadcast anti-join.
     *
-    * Contract: run [[exact]] dedup first — identical content is removed
-    * there, and pairs of IDENTICAL rows inside a dropped bucket collide in
-    * EVERY band, so they are only lost if all their buckets are hot.
-    * Near-dup (non-identical) pairs lose at most the hot bands and are
-    * still emitted by any non-hot band they share.
+    * CONTRACT (cap is ON by default — read this): run [[exact]] dedup
+    * first. An identical-content group LARGER than the cap collides in
+    * every band, so every one of its buckets is hot and the group emits
+    * ZERO pairs — by design: those rows are [[exact]]'s job (cheaper and
+    * lossless), and materializing m²/2 candidate pairs for a
+    * million-fold-duplicated boilerplate file is precisely the blow-up
+    * that kills a 100 TB job. Near-dup (non-identical) pairs lose at most
+    * their hot bands and are still emitted by any non-hot band they
+    * share. Set maxBucket=0 to disable the cap when completeness over
+    * mass-duplicated input matters more than bounded cost.
     */
   def dropHotBuckets(banded: DataFrame, maxBucket: Int,
       keys: Seq[String] = Seq("band", "bucket")): DataFrame = {
@@ -270,6 +275,9 @@ object Dedup {
       val nextSum = lblSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      // `next` is materialized (lblSum ran) — the superseded generation
+      // can go now; storage stays bounded at edges + two label frames
+      labels.unpersist()
       labels = next
       it += 1
     }

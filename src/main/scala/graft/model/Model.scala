@@ -90,14 +90,18 @@ sealed trait Rule {
     * `${PDATA}`/`${SDATA}` indirection GQ:1198-1201 — here the `${VAR}`
     * substitution happens at parse time, so the rule carries the final name).
     */
-  final def dbNm: String = {
-    val i = table.indexOf('.')
-    if (i > 0) table.substring(0, i) else ""
-  }
+  final def dbNm: String = Rule.splitTable(table)._1
   /** "db.tab" → "tab"; unqualified → table. */
-  final def tabNm: String = {
-    val i = table.indexOf('.')
-    if (i > 0) table.substring(i + 1) else table
+  final def tabNm: String = Rule.splitTable(table)._2
+}
+
+object Rule {
+  /** THE table-qualification rule — every consumer (audit rows, SC
+    * dictionary keys, parquet resolvers) splits the same way.
+    */
+  def splitTable(t: String): (String, String) = {
+    val i = t.indexOf('.')
+    if (i > 0) (t.substring(0, i), t.substring(i + 1)) else ("", t)
   }
 }
 

@@ -65,7 +65,10 @@ object CheckRunner {
   /** UC/UU detail frames carry the user transform's own columns; the
     * reference pivots that colList positionally into checkColumn1..N
     * (ucDetailSQL GQ:629-642, reused for UU GQ:3140) — replicate by
-    * positional rename, capped at 10 and stringified.
+    * positional rename, capped at 10 and stringified. Kept separate from
+    * Checks.sampleProjection on purpose: that one parses NAMES as
+    * expressions (expr) for rule key lists; this one must take the frame's
+    * columns verbatim (col), whatever characters they contain.
     */
   private def pivotColumns(detail: DataFrame): DataFrame =
     detail.select(detail.columns.take(Checks.MaxSampleCols).zipWithIndex

@@ -16,30 +16,32 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
 
-  // WEAK references: a caller that never calls release() keeps the old
-  // behavior — once its result (and thus the cached intermediates) becomes
-  // unreachable, Spark's ContextCleaner reclaims the cached blocks as
-  // before. The registry never pins a frame alive on its own.
-  private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]()
+  // STRONG references, deliberately: Dataset.cache() registers the plan in
+  // Spark's CacheManager, which holds it strongly until an explicit
+  // unpersist — SQL-cached data is NOT reclaimed by GC/ContextCleaner when
+  // the Dataset wrapper becomes unreachable. A weak registry would lose
+  // the only handle that can ever unpersist the entry (the cached blocks
+  // would be pinned forever); a strong one adds no leak beyond what
+  // .cache() itself already created, and release() frees it.
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Cache `df` and register it for the next [[release]]. */
   def track(df: DataFrame): DataFrame = {
     val c = df.cache()
-    tracked.add(new java.lang.ref.WeakReference(c))
+    tracked.add(c)
     c
   }
 
-  /** Unpersist (non-blocking) every still-reachable tracked frame and
-    * clear the registry. Call after the actions consuming the builders'
-    * results complete — releasing earlier forces mid-plan recompute.
+  /** Unpersist (non-blocking) every tracked frame and clear the registry.
+    * Call after the actions consuming the builders' results complete —
+    * releasing earlier forces mid-plan recompute. Callers that never call
+    * release() hold cached storage exactly as a bare `.cache()` would.
     */
   def release(): Unit = {
-    var ref = tracked.poll()
-    while (ref != null) {
-      val d = ref.get()
-      if (d != null) d.unpersist()
-      ref = tracked.poll()
+    var d = tracked.poll()
+    while (d != null) {
+      d.unpersist()
+      d = tracked.poll()
     }
   }
 }

@@ -15,8 +15,28 @@ class ConfigSpec extends SparkSpec {
       Seq("coalesce(k,'') as k2", "v"))
   }
 
+  test("unknown or miscased field keys fail the parse loudly") {
+    val bad = intercept[IllegalArgumentException] {
+      RuleConfig.parseRule("UC; id=u; table=t; select=k; orderby=v; limit=5")
+    }
+    assert(bad.getMessage.contains("orderby"))
+    intercept[IllegalArgumentException] {
+      RuleConfig.parseRule("UU; id=u; table=t; filter=k > 0; Expected=100")
+    }
+    intercept[IllegalArgumentException] {
+      RuleConfig.parseRule("PK; id=p; table=t; cols=k; father=f")
+    }
+    // disabled rules skip validation (reference ignored disabled rows)
+    assert(RuleConfig.parseRule("PK; id=p; table=t; colz=k; runInd=N").isEmpty)
+  }
+
   test("unpaired apostrophe is a plain char, not a quote-run opener") {
     assert(RuleConfig.splitTop("O'Brien,Smith") === Seq("O'Brien", "Smith"))
+    // word-internal apostrophes never pair with each other or with a later
+    // SQL literal's quote (a literal never follows an identifier char)
+    assert(RuleConfig.splitTop("O'Brien,D'Arcy") === Seq("O'Brien", "D'Arcy"))
+    assert(RuleConfig.splitTop("desc=it's broken; filter=c = 'O;P'; expected=0", ';')
+      === Seq("desc=it's broken", "filter=c = 'O;P'", "expected=0"))
     val vc = RuleConfig.parseRule(
       "VC; id=v; table=t; col=c; values=O'Brien,Smith; isEmpty=N").get
       .asInstanceOf[DomainRule]
