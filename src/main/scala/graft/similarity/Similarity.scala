@@ -147,14 +147,49 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int,
       centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    val probe = probeClusters(query, centroids, nprobe)
+    withCluster(df, vecCol, centroids)
+      .filter(col("__cluster").isin(probe.toIndexedSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The nprobe cluster ids nearest to a query (driver-side, k×dim work). */
+  def probeClusters(query: Array[Double], centroids: Array[Array[Double]],
+      nprobe: Int): Array[Int] = {
     def d2(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val x = c(i) - query(i); s += x * x; i += 1 }
       s
     }
-    val probe = centroids.zipWithIndex.sortBy(p => d2(p._1))
-      .take(nprobe).map(_._2)
-    withCluster(df, vecCol, centroids)
+    centroids.zipWithIndex.sortBy(p => d2(p._1)).take(nprobe).map(_._2)
+  }
+
+  // ---- IVF as a STORAGE LAYOUT — the 100 TB path ---------------------------
+
+  /** Write the table hive-partitioned by nearest-centroid assignment:
+    * `path/__cluster=<i>/...`. A probe then reads nprobe/k of the DATA
+    * (directory-level partition pruning, before any file is opened) —
+    * classic IVF, expressed with Spark's own partitioned layout instead of
+    * a custom index file format.
+    */
+  def writeClustered(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    withCluster(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .write.mode("overwrite").partitionBy("__cluster").parquet(path)
+
+  /** ANN top-k over a [[writeClustered]] layout. The `__cluster IN (…)`
+    * filter prunes PARTITION DIRECTORIES — `.explain` shows the pruned
+    * InMemoryFileIndex / PartitionFilters, and IvfLayoutSpec asserts the
+    * scan touches exactly nprobe of the k partitions.
+    */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String,
+      query: Array[Double], k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    val probe = probeClusters(query, centroids, nprobe)
+    spark.read.parquet(path)
       .filter(col("__cluster").isin(probe.toIndexedSeq: _*))
       .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
       .orderBy(col("score").desc, col(idCol))

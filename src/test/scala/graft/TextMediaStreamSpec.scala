@@ -147,6 +147,41 @@ class TextMediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality pipeline runs under Structured Streaming (stream-static)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.corpus.CorpusGen
+    import graft.filter.QualityPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // pk_dup needs a global aggregate (batch-only); everything else —
+    // the fused scoring pass, the stream-static broadcast FK join, the
+    // verdict projection — is stream-safe as-is
+    val cfg = QualityPipeline.Config(checkPkDup = false)
+    val mem = MemoryStream[graft.model.FileRow]
+    val out = QualityPipeline.verdicts(QualityPipeline.annotate(
+      QualityPipeline.score(mem.toDS()), CorpusGen.commitsDim(spark), cfg))
+      .toDF()
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("qp_stream").start()
+    val rows = (0L until 300L).map(CorpusGen.rowFor(_, 42L))
+    try {
+      mem.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(150): _*) // second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qp_stream")
+      .select("repo", "path", "commit", "keep").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val batch = QualityPipeline.verdicts(QualityPipeline.annotate(
+      QualityPipeline.score(rows.toDS()), CorpusGen.commitsDim(spark), cfg))
+      .toDF().select("repo", "path", "commit", "keep").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(streamed === batch, "streamed verdicts must equal batch verdicts")
+    assert(streamed.nonEmpty && streamed.exists(!_._4)) // some drops occur
+  }
+
   test("rule config: parse + ${VAR} substitution + full-width normalization") {
     val text =
       """# comment line
