@@ -6,9 +6,10 @@ import graft.runner.Runner
 
 /** spark-submit entry point with two modes:
   *
-  *   graft.Main <nRows> <workDir> [runId]
+  *   graft.Main <nRows> <workDir> [runId] [--near-dup]
   *     — run (or resume) the quality-filter pipeline over a deterministic
-  *       synthetic corpus and print a run report.
+  *       synthetic corpus and print a run report; --near-dup adds the
+  *       transitive MinHash near-duplicate stage after exact dedup.
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -35,9 +36,18 @@ object Main {
       runCheckMode(args(1), args(2), args(3))
       return
     }
-    val n = args(0).toLong
-    val workDir = args(1)
-    val runId = if (args.length > 2) args(2) else s"run-$n"
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    if (positional.length < 2) {
+      System.err.println("usage: graft.Main <nRows> <workDir> [runId] [--near-dup]")
+      sys.exit(2)
+    }
+    val nearDup =
+      if (flags.contains("--near-dup"))
+        Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
+      else None
+    val n = positional(0).toLong
+    val workDir = positional(1)
+    val runId = if (positional.length > 2) positional(2) else s"run-$n"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -50,7 +60,7 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val report = Runner.run(spark, CorpusGen.files(spark, n),
-      CorpusGen.commitsDim(spark), workDir, runId)
+      CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +

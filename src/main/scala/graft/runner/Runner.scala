@@ -27,7 +27,11 @@ object Runner {
     */
   def run(spark: SparkSession, files: Dataset[FileRow], commitsDim: DataFrame,
       workDir: String, runId: String,
-      cfg: QualityPipeline.Config = QualityPipeline.Config()): RunReport = {
+      cfg: QualityPipeline.Config = QualityPipeline.Config(),
+      /** opt-in transitive NEAR-DUP dedup stage after the exact one —
+        * adds a "verdicts_exact" checkpoint so the fuzzy stage reads a
+        * materialized frame (its MinHash builder consumes it repeatedly) */
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None): RunReport = {
     import spark.implicits._
 
     val annotated = Checkpoint.stage(spark, workDir, "annotated") {
@@ -36,17 +40,29 @@ object Runner {
     }
     val verdictsDf = Checkpoint.stage(spark, workDir, "verdicts") {
       // content-dedup after filtering: one survivor per distinct content
-      QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
+      val exact =
+        QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
+      nearDup match {
+        case None => exact
+        case Some(mh) =>
+          val staged = Checkpoint.stage(spark, workDir, "verdicts_exact")(exact)
+          QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
+      }
     }
+    graft.util.Caches.release() // near-dup builder caches, post-action
     // one scan for all three run counters
     val stats = verdictsDf.selectExpr(
       "count(*) as n",
       "coalesce(sum(case when keep then 1 else 0 end),0) as kept",
       "coalesce(sum(case when array_contains(dropReasons,'content_dup') " +
-        "then 1 else 0 end),0) as dedup_drops").head()
-    val lineage = QualityPipeline.lineage(annotated, runId, cfg) :+
+        "then 1 else 0 end),0) as dedup_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'near_dup') " +
+        "then 1 else 0 end),0) as neardup_drops").head()
+    val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
-        stats.getLong(0), stats.getLong(2), 0L)
+        stats.getLong(0), stats.getLong(2), 0L)) ++
+      nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
+        stats.getLong(0), stats.getLong(3), 0L))
     if (!Checkpoint.isDone(spark, workDir, "lineage")) {
       Checkpoint.stage(spark, workDir, "lineage") {
         lineage.toDS().toDF()

@@ -180,9 +180,9 @@ object Similarity {
       .write.mode("overwrite").partitionBy("__cluster").parquet(path)
 
   /** ANN top-k over a [[writeClustered]] layout. The `__cluster IN (…)`
-    * filter prunes PARTITION DIRECTORIES — `.explain` shows the pruned
-    * InMemoryFileIndex / PartitionFilters, and IvfLayoutSpec asserts the
-    * scan touches exactly nprobe of the k partitions.
+    * filter prunes PARTITION DIRECTORIES — IvfLayoutSpec asserts the
+    * predicate lands inside the scan's PartitionFilters (not a post-scan
+    * row filter) and that results equal the in-memory IVF path.
     */
   def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String,

@@ -31,10 +31,14 @@ class IvfLayoutSpec extends SparkSpec {
     val fromLayout = Similarity.ivfTopKFromLayout(spark, dir, "vec_id",
       "embedding", q, 10, cents, nprobe)
 
-    // the cluster filter must prune at the PARTITION level, not per-row
+    // the cluster filter must prune at the PARTITION level, not per-row:
+    // the PartitionFilters bracket itself must carry the __cluster
+    // predicate (an empty "PartitionFilters: []" with the filter applied
+    // post-scan must FAIL here)
     val plan = fromLayout.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("__cluster"),
-      s"no partition pruning in plan:\n$plan")
+    val partFilter = "PartitionFilters: \\[[^\\]]*__cluster[^\\]]*\\]".r
+    assert(partFilter.findFirstIn(plan).isDefined,
+      s"__cluster not in PartitionFilters — pruning lost:\n$plan")
 
     val a = fromLayout.collect().map(r => (r.getLong(0),
       math.rint(r.getDouble(1) * 1e6))).toSeq
@@ -42,12 +46,12 @@ class IvfLayoutSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e6))).toSeq
     assert(a === b, "layout-backed IVF must equal the in-memory IVF")
 
-    // and the probe genuinely restricts the scanned data: reading the
-    // pruned layout back yields only the probed clusters
-    val probed = Similarity.probeClusters(q, cents, nprobe).toSet
-    val seen = spark.read.parquet(dir)
-      .filter(col("__cluster").isin(probed.toSeq: _*))
-      .select("__cluster").distinct().collect().map(_.getInt(0)).toSet
-    assert(seen.subsetOf(probed))
+    // and the layout is genuinely wider than a probe: the unfiltered
+    // table holds more clusters than nprobe, so the pruned scan reads a
+    // strict subset of the directories
+    val allClusters = spark.read.parquet(dir)
+      .select("__cluster").distinct().count()
+    assert(allClusters > nprobe,
+      s"layout must span more clusters ($allClusters) than nprobe=$nprobe")
   }
 }

@@ -172,12 +172,12 @@ class TextMediaStreamSpec extends SparkSpec {
     val streamed = spark.table("qp_stream")
       .select("repo", "path", "commit", "keep").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
-      .sortBy(t => (t._1, t._2, t._3)).toSeq
+      .sortBy(identity).toSeq
     val batch = QualityPipeline.verdicts(QualityPipeline.annotate(
       QualityPipeline.score(rows.toDS()), CorpusGen.commitsDim(spark), cfg))
       .toDF().select("repo", "path", "commit", "keep").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)))
-      .sortBy(t => (t._1, t._2, t._3)).toSeq
+      .sortBy(identity).toSeq
     assert(streamed === batch, "streamed verdicts must equal batch verdicts")
     assert(streamed.nonEmpty && streamed.exists(!_._4)) // some drops occur
   }
