@@ -209,30 +209,73 @@ object Checks {
     * 1) — the reference compared strings in Teradata, which implicitly
     * casts the quoted list to the column's numeric type (GQ:2482,2566-2575);
     * a verbatim string compare would silently diverge ("1" vs "1.0").
-    * Values that don't parse as numbers can never match a numeric column
-    * and are dropped from the probe set.
+    *
+    * The numeric compare happens in a LOSSLESS domain per column type —
+    * never through double, whose 53-bit mantissa would let distinct BIGINT/
+    * DECIMAL codes above 2^53 spuriously match (a false PASS):
+    *  - integral columns compare as long (byte→long widening is exact);
+    *    rule values with a fractional part or outside long range can never
+    *    match and leave the probe set;
+    *  - decimal columns compare as exact decimal literals, dropping values
+    *    not representable at the column's precision/scale;
+    *  - float/double columns compare as double (the column itself is
+    *    already approximate — no exactness to lose).
+    * Every dropped value is WARNed, never silently ignored.
     */
   def domainViolationCol(rule: DomainRule,
       dt: org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType): Column = {
-    val isNum = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (isNum) {
-      val nums = rule.values.toSeq
-        .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-      val c = expr(rule.col).cast("double")
-      val notInSet = if (nums.isEmpty) lit(true) else !c.isin(nums: _*)
+    import org.apache.spark.sql.types._
+    def warnDropped(v: String): Unit =
+      System.err.println(s"[Checks] WARN: ${rule.family} rule '${rule.id}' " +
+        s"value '$v' is not representable in column type ${dt.simpleString}" +
+        " — it can never match and was dropped from the probe set")
+    def parsed(v: String): Option[BigDecimal] = {
+      val r = scala.util.Try(BigDecimal(v.trim)).toOption
+      if (r.isEmpty) warnDropped(v)
+      r
+    }
+    def numericCheck(c: Column, lits: Seq[Column]): Column = {
+      val notInSet = if (lits.isEmpty) lit(true) else !c.isin(lits: _*)
       // '' never occurs in a numeric column: the guard degenerates to
       // isNotNull (which pushes down to the scan)
       if (rule.isEmptyGuard) c.isNotNull && notInSet
       else notInSet || c.isNull
-    } else {
-      val c = expr(rule.col).cast("string")
-      // big value sets become Catalyst InSet (O(1) probe) automatically
-      val notInSet =
-        if (rule.values.isEmpty) lit(true) // missing dict key ⇒ everything fails (GQ:2346-2347 semantics: empty set)
-        else !c.isin(rule.values.toSeq: _*)
-      if (rule.isEmptyGuard) nonEmpty(c) && notInSet
-      else notInSet || c.isNull
+    }
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val longs = rule.values.toSeq.flatMap { v =>
+          val l = parsed(v).filter { bd =>
+            val ok = bd.isWhole && bd.isValidLong
+            if (!ok) warnDropped(v)
+            ok
+          }.map(_.toLong)
+          l
+        }
+        numericCheck(expr(rule.col).cast("long"), longs.map(lit(_)))
+      case d: DecimalType =>
+        val decs = rule.values.toSeq.flatMap { v =>
+          parsed(v).filter { bd =>
+            val n = bd.underlying.stripTrailingZeros
+            val ok = n.scale <= d.scale &&
+              (n.precision - n.scale) <= (d.precision - d.scale)
+            if (!ok) warnDropped(v)
+            ok
+          }
+        }
+        numericCheck(expr(rule.col),
+          decs.map(bd => lit(bd.underlying.setScale(d.scale)).cast(d)))
+      case _: NumericType => // float/double — approximate by nature
+        val nums = rule.values.toSeq.flatMap(parsed).map(_.toDouble)
+        numericCheck(expr(rule.col).cast("double"), nums.map(lit(_)))
+      case _ =>
+        val c = expr(rule.col).cast("string")
+        // big value sets become Catalyst InSet (O(1) probe) automatically
+        val notInSet =
+          if (rule.values.isEmpty) lit(true) // missing dict key ⇒ everything fails (GQ:2346-2347 semantics: empty set)
+          else !c.isin(rule.values.toSeq: _*)
+        if (rule.isEmptyGuard) nonEmpty(c) && notInSet
+        else notInSet || c.isNull
     }
   }
 

@@ -42,12 +42,24 @@ object RuleConfig {
     *
     * Quote runs follow SQL string-literal syntax: a quote OPENS a run only
     * when it does not directly follow an identifier character (a literal
-    * never does) AND a closing quote exists. Apostrophes inside words
-    * (`O'Brien`, `it's`) are therefore plain characters — they can't pair
-    * with a later literal's quote and swallow separators between them.
+    * never does) AND a plausible CLOSING quote exists — a later quote that
+    * is itself not followed by an identifier character (a literal's closer
+    * never is). Apostrophes inside words (`O'Brien`, `it's`) are therefore
+    * plain characters on both ends: they can neither open a run nor
+    * terminate one, so an opening quote can't pair with an unrelated
+    * word-internal apostrophe and swallow real separators up to it.
     * Unbalanced ')' never drives the paren depth negative.
     */
   def splitTop(s: String, sep: Char = ','): Seq[String] = {
+    // a quote terminates a literal only when not followed by an
+    // identifier char (it's / O'Brien apostrophes never qualify)
+    def isTerminator(j: Int): Boolean =
+      j + 1 >= s.length || !Character.isLetterOrDigit(s.charAt(j + 1))
+    def hasTerminator(from: Int): Boolean = {
+      var j = s.indexOf('\'', from)
+      while (j >= 0 && !isTerminator(j)) j = s.indexOf('\'', j + 1)
+      j >= 0
+    }
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
@@ -55,11 +67,11 @@ object RuleConfig {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      if (inQuote) { cur += c; if (c == '\'' && isTerminator(i)) inQuote = false }
       else c match {
         case '\'' =>
           val prevIdent = i > 0 && Character.isLetterOrDigit(s.charAt(i - 1))
-          inQuote = !prevIdent && s.indexOf('\'', i + 1) >= 0
+          inQuote = !prevIdent && hasTerminator(i + 1)
           cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth = math.max(depth - 1, 0); cur += c

@@ -34,22 +34,31 @@ object Runner {
       nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None): RunReport = {
     import spark.implicits._
 
+    // resume guard: checkpoints computed under a different dedup setting
+    // must never be silently reused (a 'verdicts' checkpoint short-circuits
+    // the nearDup branch entirely) — the run config is sealed into the work
+    // dir on first run and every resume must match it
+    guardRunConfig(spark, workDir, renderRunConfig(nearDup))
+
     val annotated = Checkpoint.stage(spark, workDir, "annotated") {
       QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg,
         rawKeys = Some(files.toDF().select("repo", "path", "commit")))
     }
-    val verdictsDf = Checkpoint.stage(spark, workDir, "verdicts") {
-      // content-dedup after filtering: one survivor per distinct content
-      val exact =
-        QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
-      nearDup match {
-        case None => exact
-        case Some(mh) =>
-          val staged = Checkpoint.stage(spark, workDir, "verdicts_exact")(exact)
-          QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
+    // scoped: the near-dup builders' internal caches are released when the
+    // stage's write completes, without evicting any other consumer's frames
+    val verdictsDf = graft.util.Caches.scoped {
+      Checkpoint.stage(spark, workDir, "verdicts") {
+        // content-dedup after filtering: one survivor per distinct content
+        val exact =
+          QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
+        nearDup match {
+          case None => exact
+          case Some(mh) =>
+            val staged = Checkpoint.stage(spark, workDir, "verdicts_exact")(exact)
+            QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
+        }
       }
     }
-    graft.util.Caches.release() // near-dup builder caches, post-action
     // one scan for all three run counters
     val stats = verdictsDf.selectExpr(
       "count(*) as n",
@@ -75,6 +84,44 @@ object Runner {
       }
     }
     RunReport(runId, stats.getLong(0), stats.getLong(1), lineage)
+  }
+
+  /** Canonical text form of the settings that change what a run's
+    * checkpoints CONTAIN (today: the near-dup stage and its parameters).
+    */
+  private[runner] def renderRunConfig(
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig]): String =
+    nearDup.fold("nearDup=off") { m =>
+      s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
+        s"shingle=${m.shingleSize},threshold=${m.threshold}," +
+        s"seed=${m.seed},maxBucket=${m.maxBucket})"
+    }
+
+  /** Seal the run config into the work dir on first run; on resume, refuse
+    * to proceed when the flags differ from what the checkpoints were built
+    * with — re-running `graft.Main` with a different `--near-dup` setting
+    * must fail loudly, not silently reuse stale verdicts (and emit lineage
+    * for a stage that never executed).
+    */
+  private def guardRunConfig(spark: SparkSession, workDir: String,
+      line: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$workDir/_GRAFT_RUNCONFIG")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      if (existing != line)
+        throw new IllegalStateException(
+          s"work dir $workDir holds checkpoints built with [$existing] but " +
+            s"this run asks for [$line] — clear the work dir (or point at a " +
+            "fresh one) instead of resuming across dedup settings")
+    } else {
+      val out = fs.create(p, true)
+      try out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Verdicts of a finished (or resumed) run. */

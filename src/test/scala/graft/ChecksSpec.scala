@@ -107,6 +107,33 @@ class ChecksSpec extends SparkSpec {
     assert(det.toSeq === Seq(("x", 3L), ("y", 2L)))
   }
 
+  test("VC over BIGINT: codes above 2^53 compare exactly (no double trip)") {
+    // 2^53 and 2^53+1 are distinct longs but the SAME double — a compare
+    // through double would let the 2^53 row spuriously match (false pass)
+    val big = 9007199254740992L // 2^53
+    val df = Seq(big, big + 1).toDF("c")
+    val plan = Checks.domain(
+      DomainRule("v", "t", "c", Set((big + 1).toString), isEmptyGuard = false),
+      df)
+    assert(plan.counts() === ((2L, 1L)))
+    // a fractional value can never match an integral column: it leaves the
+    // probe set (warned), it is not rounded into a false match
+    val plan2 = Checks.domain(
+      DomainRule("v2", "t", "c", Set(s"$big.5"), isEmptyGuard = false), df)
+    assert(plan2.counts() === ((2L, 2L)))
+  }
+
+  test("VC over DECIMAL: compares exactly at full precision") {
+    // 22 significant digits — far beyond double's ~16; both values collapse
+    // to the same double, so only an exact decimal compare separates them
+    val df = Seq(BigDecimal("12345678901234567890.12"),
+      BigDecimal("12345678901234567890.13")).toDF("c") // decimal(38,18)
+    val plan = Checks.domain(
+      DomainRule("v", "t", "c", Set("12345678901234567890.12"),
+        isEmptyGuard = false), df)
+    assert(plan.counts() === ((2L, 1L)))
+  }
+
   test("PC: composite code keys against broadcast dimension") {
     val df = Seq(("a", "1"), ("a", "2"), ("b", "1")).toDF("t1", "t2")
     val dim = Seq(("a", "1"), ("b", "1")).toDF("c1", "c2")

@@ -47,6 +47,20 @@ class ConfigSpec extends SparkSpec {
     assert(!vc.isEmptyGuard)
   }
 
+  test("opening quote with no plausible closer never swallows separators") {
+    // the only later apostrophe is word-internal (followed by an identifier
+    // char) — it cannot terminate a literal, so no quote run opens at 'a
+    // and the ; separator between the fields survives
+    assert(RuleConfig.splitTop("select='a; filter=it's ok", ';') ===
+      Seq("select='a", "filter=it's ok"))
+    // a word-internal apostrophe inside a real literal doesn't close it
+    assert(RuleConfig.splitTop("filter=c = 'it's fine; really'; expected=0", ';') ===
+      Seq("filter=c = 'it's fine; really'", "expected=0"))
+    // and a real literal after a word-internal apostrophe still protects ;
+    assert(RuleConfig.splitTop("desc=it's; filter=c = 'x;y'", ';') ===
+      Seq("desc=it's", "filter=c = 'x;y'"))
+  }
+
   test("rule lines split on ; outside quotes only") {
     val r = RuleConfig.parseRule(
       "UU; id=u; table=t; filter=c = 'a;b'; expected=1").get

@@ -172,6 +172,23 @@ class DedupSpec extends SparkSpec {
     assert(after.isEmpty, s"leaked cached RDDs: $after")
   }
 
+  test("scoped caches: a scope releases only its own frames") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // an outer consumer's tracked frame (global registry)
+    val outer = graft.util.Caches.track(df.select("id"))
+    outer.count()
+    graft.util.Caches.scoped {
+      Dedup.minHashPairs(df, "id", "text", MinHashConfig(threshold = 0.7)).count()
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size > 1)
+    }
+    // the scope's frames are gone; the outer consumer's frame survived —
+    // interleaved consumers can no longer evict each other's intermediates
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size === 1, s"scope should leave only the outer frame: $leftover")
+    graft.util.Caches.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("hot-bucket cap prunes degenerate buckets, leaves normal pairs intact") {
     // 40 identical docs (one degenerate bucket per band) + the normal corpus
     val flood = (100L until 140L).map(i => (i, base))
