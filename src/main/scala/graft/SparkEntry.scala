@@ -300,11 +300,25 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
-    "q_fingerprints" -> ((s, dir) =>
-      // the custom codegen Expression route (stays in whole-stage codegen);
-      // TextAnalysis.fingerprints is the equivalent typed route
-      tbl(s, dir, "documents").select(col("doc_id"),
-        size(graft.functions.expressions.winnow_fp(col("text"))).as("n_fp"))),
+    // the QUERY aggregates the custom codegen Expression route (stays in
+    // whole-stage codegen); the equivalent TYPED route's per-fingerprint
+    // rows are dumped to the oracle aux path, and DuckDB re-aggregates that
+    // dump — a cross-engine, cross-route check: any divergence between
+    // WinnowFingerprints (doGenCode) and TextAnalysis.winnow (typed) in
+    // count, membership (xor), or range (min/max) hash-mismatches
+    "q_fingerprints" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val typed = graft.text.TextAnalysis.fingerprints(docs, "doc_id", "text")
+        .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      val aux = s"$OracleAuxDir/fingerprints"
+      typed.coalesce(1).write.mode("overwrite").parquet(aux)
+      docs.select(col("doc_id"),
+          explode(graft.functions.expressions.winnow_fp(col("text"))).as("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
+          min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- streaming-shaped queries (same transform serves readStream) -----
     "q_stream_window" -> ((s, dir) =>
@@ -805,6 +819,14 @@ object SparkEntry {
              'UU; id=uu1; table=orders; filter=o_orderstatus = ''O''; expected=4000'
            FROM uuc)
          ORDER BY checkId""",
+    "q_fingerprints" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+         CAST(min(fp) AS BIGINT) AS fp_min,
+         CAST(max(fp) AS BIGINT) AS fp_max
+         FROM read_parquet('/tmp/graft_oracle_aux/fingerprints/*.parquet')
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_stream_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
          CAST(count(*) AS BIGINT) AS n
