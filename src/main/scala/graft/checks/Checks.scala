@@ -183,6 +183,7 @@ object Checks {
   // ---- O7: zipper-chain interval overlap ---------------------------------
 
   def zc(rule: ZcRule, df0: DataFrame): CheckPlan = {
+    if (rule.hotKeySafe) return zcSkewSafe(rule, df0)
     val df = applyWhere(df0, rule.where)
     val orderCols = (rule.startCol +: rule.orderTiebreak).map(expr)
     val w = Window.partitionBy(rule.keyCols.map(expr): _*).orderBy(orderCols: _*)
@@ -198,6 +199,87 @@ object Checks {
       .select(sampleProjection(projCols) :+ lit(1L).as("sampleCnt"): _*)
       .orderBy((1 to math.min(projCols.length, MaxSampleCols))
         .map(i => col(s"checkColumn$i")): _*)
+      .limit(KeySampleCap)
+    CheckPlan(rule, viol, countsDf, detail)
+  }
+
+  /** Hot-key-safe ZC: the plain path's `Window.partitionBy(keyCols)` puts
+    * an entire key in ONE task, so a mega-entity's SCD history (90% of the
+    * table under one key) becomes a single straggler at scale. Overlap
+    * checking only needs each row's PREDECESSOR in (key, start, tiebreak)
+    * order, so the total order can be RANGE-partitioned — a hot key spreads
+    * over many partitions — and solved in two bounded pieces:
+    *
+    *   1. local lag inside each (key, range-partition) segment — the window
+    *      partition is bounded by the range-partition size (~n/P rows),
+    *      never by the key's row count;
+    *   2. a segment-summary pass (first start, last end per segment; at
+    *      most P rows PER KEY, however hot) window-lagged in range order —
+    *      partition ids of `repartitionByRange` are ordered, so segment
+    *      `i+1`'s first row's true predecessor is segment `i`'s last row.
+    *
+    * Every row's predecessor is checked exactly once (same-segment rows by
+    * the local lag, each segment's first row by the boundary pass), so the
+    * counts equal the plain path's — asserted cross-path in ChecksSpec.
+    */
+  def zcSkewSafe(rule: ZcRule, df0: DataFrame, numPartitions: Int = 0)
+      : CheckPlan = {
+    val df = applyWhere(df0, rule.where)
+    val nKeys = rule.keyCols.length
+    val proj = df.select(
+      rule.keyCols.zipWithIndex.map { case (k, i) => expr(k).as(s"__zc_k$i") } ++
+        Seq(expr(rule.startCol).as("__zc_start"),
+          expr(rule.endCol).as("__zc_end")) ++
+        rule.orderTiebreak.zipWithIndex.map { case (t, i) =>
+          expr(t).as(s"__zc_t$i") }: _*)
+    val keyRefs = (0 until nKeys).map(i => col(s"__zc_k$i"))
+    val tbRefs = rule.orderTiebreak.indices.map(i => col(s"__zc_t$i"))
+    val orderRefs = col("__zc_start") +: tbRefs
+    val p =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val withPid = proj.repartitionByRange(p, keyRefs ++ orderRefs: _*)
+      .withColumn("__pid", spark_partition_id())
+    // (1) local lag: window partitions are (key, range-partition) segments
+    val wLocal = Window.partitionBy(keyRefs :+ col("__pid"): _*)
+      .orderBy(orderRefs: _*)
+    val local = withPid
+      .withColumn("prev_end", lag(col("__zc_end"), 1).over(wLocal))
+    val localViol =
+      col("prev_end").isNotNull && col("__zc_start") < col("prev_end")
+    // (2) boundary pass over segment summaries (≤ P rows per key)
+    val seg = withPid.groupBy(keyRefs :+ col("__pid"): _*)
+      .agg(min(col("__zc_start")).as("__first_start"),
+        max_by(col("__zc_end"), struct(orderRefs: _*)).as("__last_end"))
+    val wSeg = Window.partitionBy(keyRefs: _*).orderBy(col("__pid"))
+    val boundaryViol = seg
+      .withColumn("__prev_last_end", lag(col("__last_end"), 1).over(wSeg))
+      .filter(col("__prev_last_end").isNotNull &&
+        col("__first_start") < col("__prev_last_end"))
+    val countsDf = local.agg(
+        count(lit(1)).as("all_cnt"),
+        coalesce(sum(when(localViol, 1L)), lit(0L)).as("__lv"))
+      .crossJoin(boundaryViol.agg(count(lit(1)).as("__bv")))
+      .select(col("all_cnt"), (col("__lv") + col("__bv")).as("failed_cnt"))
+    // violations = local violators ∪ the boundary segments' first rows
+    // (recovered by a semi-join on (key, pid, start); boundary sets are
+    // violation-sized → broadcast)
+    val bSel = boundaryViol.select(
+      keyRefs.zipWithIndex.map { case (k, i) => k.as(s"__b_k$i") } :+
+        col("__pid").as("__b_pid") :+ col("__first_start").as("__b_start"): _*)
+    val bCond = ((0 until nKeys).map(i =>
+      col(s"__zc_k$i") <=> col(s"__b_k$i")) :+
+      (col("__pid") === col("__b_pid")) :+
+      (col("__zc_start") === col("__b_start"))).reduce(_ && _)
+    val bRows = withPid.join(broadcast(bSel), bCond, "left_semi")
+    val viol = local.filter(localViol).drop("prev_end").unionByName(bRows)
+    val projCols = keyRefs ++ Seq(col("__zc_start"), col("__zc_end"))
+    val nSample = math.min(projCols.length, MaxSampleCols)
+    val detail = viol
+      .select(projCols.take(MaxSampleCols).zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(s"checkColumn${i + 1}") } :+
+        lit(1L).as("sampleCnt"): _*)
+      .orderBy((1 to nSample).map(i => col(s"checkColumn$i")): _*)
       .limit(KeySampleCap)
     CheckPlan(rule, viol, countsDf, detail)
   }

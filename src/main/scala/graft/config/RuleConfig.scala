@@ -157,7 +157,8 @@ object RuleConfig {
         "fatherWhere", "emptyGuard", "broadcast")),
       "FC" -> (common ++ Set("cols", "where", "father", "fatherCols",
         "fatherWhere", "emptyGuard")),
-      "ZC" -> (common ++ Set("cols", "where", "start", "end", "tiebreak")),
+      "ZC" -> (common ++ Set("cols", "where", "start", "end", "tiebreak",
+        "hotKeySafe")),
       "VC" -> (common ++ Set("col", "where", "values", "isEmpty")),
       "SC" -> (common ++ Set("col", "where", "isEmpty")),
       "PC" -> (common ++ Set("cols", "where", "codeTable", "codeCols", "isEmpty")),
@@ -192,7 +193,8 @@ object RuleConfig {
         emptyGuard = !kv.get("emptyGuard").exists(_.equalsIgnoreCase("N")),
         description = desc)
       case "ZC" => ZcRule(id, table, cols(kv("cols")), kv("start"), kv("end"),
-        kv.get("tiebreak").map(cols).getOrElse(Nil), where, description = desc)
+        kv.get("tiebreak").map(cols).getOrElse(Nil), where, description = desc,
+        hotKeySafe = kv.get("hotKeySafe").exists(_.equalsIgnoreCase("Y")))
       case "VC" => DomainRule(id, table, kv("col"),
         cols(kv.getOrElse("values", "")).map(coerceNum).toSet,
         isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
@@ -256,7 +258,8 @@ object RuleConfig {
           s"; start=${r.startCol}; end=${r.endCol}" +
           opt("tiebreak",
             Some(r.orderTiebreak.mkString(",")).filter(_.nonEmpty)) +
-          opt("where", r.where) + optDesc(r.description)
+          opt("where", r.where) +
+          (if (r.hotKeySafe) "; hotKeySafe=Y" else "") + optDesc(r.description)
       case r: DomainRule =>
         s"${r.family}; id=${r.id}; table=${r.table}; col=${r.col}" +
           (if (r.family == "SC") "" // SC values come from the dictionary

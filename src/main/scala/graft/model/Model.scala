@@ -168,7 +168,12 @@ final case class ZcRule(
     orderTiebreak: Seq[String] = Nil,
     where: Option[String] = None,
     enabled: Boolean = true,
-    description: String = "") extends Rule
+    description: String = "",
+    /** true = hot-key-safe path (range-partitioned local lag + boundary
+      * merge, [[graft.checks.Checks.zcSkewSafe]]) for tables where one key
+      * owns a dominant share of rows — a plain key-partitioned window would
+      * make that key a single straggler task */
+    hotKeySafe: Boolean = false) extends Rule
 
 /** Code-value domain against a literal value list (VC, GQ:2484-2655) or a
   * dictionary (SC, GQ:2294-2476). `isEmptyGuard` ≈ reference isEmpty='Y':

@@ -84,6 +84,43 @@ class ChecksSpec extends SparkSpec {
     assert(v.map(r => (r.getString(0), r.getInt(1))).toSeq === Seq(("k1", 4)))
   }
 
+  test("ZC skew-safe path: equals window path on a 90%-hot key") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    // HOT owns 90% of rows; every adjacent HOT pair overlaps, so the count
+    // is only right if EVERY partition-boundary pair is checked too
+    val hotOverlap = (0 until 360).map(i => ("HOT", i * 2, i * 2 + 3))
+    val cold = (0 until 40).map(i => (s"c${i % 8}", i * 10, i * 10 + 1))
+    val df = (hotOverlap ++ cold).toDF("k", "st", "en")
+    val plain = Checks.zc(
+      ZcRule("z", "t", Seq("k"), "st", "en", orderTiebreak = Seq("en")), df)
+    val safe = Checks.zcSkewSafe(
+      ZcRule("z", "t", Seq("k"), "st", "en", orderTiebreak = Seq("en")),
+      df, numPartitions = 4)
+    assert(safe.counts() === plain.counts())
+    assert(safe.counts() === ((400L, 359L)))
+    // a non-overlapping hot key: the boundary pass must not false-positive
+    val clean = (0 until 360).map(i => ("HOT", i * 2, i * 2 + 2)).toDF("k", "st", "en")
+    val safeClean = Checks.zcSkewSafe(
+      ZcRule("z2", "t", Seq("k"), "st", "en"), clean, numPartitions = 4)
+    assert(safeClean.counts() === ((360L, 0L)))
+    // the skew defense itself: under range partitioning no single window
+    // task holds the hot key — its largest (key, partition) segment is a
+    // fraction of the key's rows (the plain path would hold all 360)
+    val segSizes = df.repartitionByRange(4, col("k"), col("st"))
+      .groupBy(col("k"), spark_partition_id().as("pid")).count()
+      .filter(col("k") === "HOT").collect().map(_.getLong(2))
+    assert(segSizes.length > 1 && segSizes.max < 360,
+      s"hot key must span multiple segments: ${segSizes.toSeq}")
+    // the config surface round-trips the flag and dispatches to this path
+    val rendered = graft.config.RuleConfig.render(
+      ZcRule("z3", "t", Seq("k"), "st", "en", hotKeySafe = true))
+    assert(rendered.contains("hotKeySafe=Y"))
+    val parsed = graft.config.RuleConfig.parseRule(rendered).get
+      .asInstanceOf[ZcRule]
+    assert(parsed.hotKeySafe)
+    assert(Checks.zc(parsed.copy(table = "t"), df).counts() === ((400L, 359L)))
+  }
+
   test("VC: isEmpty guard exempts empty/null values (GQ:565-574)") {
     val df = Seq("ok", "bad", "", null.asInstanceOf[String]).toDF("c")
     val guarded = Checks.domain(
