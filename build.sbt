@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// POSIX-locale hosts make the JVM's filename codec ASCII, which breaks the
+// workbook sheets' Chinese filenames (sun.jnu.encoding is locale-derived
+// and NOT overridable via -D) — force a UTF-8 locale into forked JVMs
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench's near-dup series caches signature/band frames
+  // at n=3M — 8g fails the broadcast build under that cache pressure
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -29,6 +29,12 @@ import graft.runner.Runner
   *    through 8 threads and collapses to ~9k at 32 while eff(2→8) =
   *    0.997, i.e. no serial stage exists in the pipeline (Amdahl), the
   *    decay is purely shared-resource contention.
+  *  - a CONTROL series ([[controlJob]]) measures a pure-memory,
+  *    shuffle-free job at the same three levels: matching collapse in the
+  *    saturated pair attributes the ceiling to the box, diverging collapse
+  *    attributes it to the pipeline. Headline efficiencies are clamped at
+  *    1.0 (super-linear readings are noise by definition; raw values stay
+  *    in the JSON) and every level reports its round spread (max/min).
   *  - per-level estimate = 2ND-HIGHEST round ("robust capacity"): on a
   *    shared box, noisy neighbors only SUBTRACT throughput, so the upper
   *    envelope estimates capability; 2nd-highest (vs max) discards one
@@ -37,6 +43,37 @@ import graft.runner.Runner
   *    values are reported in the JSON for transparency.
   */
 object Bench {
+
+  /** Trivially-parallel, shuffle-free, allocation-heavy control job: per
+    * row, materialize a fresh 1 KiB buffer from a cheap PRNG and fold it.
+    * No joins, no regex, no shuffle, no codegen boundary — the same
+    * alloc-then-scan memory profile as the scoring pass with every Spark
+    * plan feature removed. Purpose (VERDICT r2 item 2): if THIS job's
+    * throughput collapses quadrupling 8→32 threads the way the pipeline's
+    * does, the collapse is the box's shared memory subsystem (DRAM
+    * bandwidth / turbo / SMT), not anything in the pipeline's plan; if the
+    * control scales and the pipeline doesn't, the pipeline owns the gap.
+    */
+  private def controlJob(spark: SparkSession, n: Long, partitions: Int): Long = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).mapPartitions { it =>
+      it.map { id =>
+        val buf = new Array[Byte](1024) // fresh per row: eden churn like real rows
+        var h = id * 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 1024) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          buf(i) = (h >>> 56).toByte
+          i += 1
+        }
+        var acc = 0L
+        i = 0
+        while (i < 1024) { acc += buf(i); i += 1 }
+        acc
+      }
+    }.write.format("noop").mode("overwrite").save()
+    n
+  }
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -121,15 +158,37 @@ object Bench {
     // filter pipeline (includeDedup=false); the content-dedup extension is
     // timed separately (it pays a persist + broadcast build the north-rule
     // stage doesn't have)
-    def sessionBest(c: Int, dedup: Boolean, runs: Int): Double = {
+    def sessionBest(c: Int, dedup: Boolean, runs: Int,
+        nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None,
+        /** near-dup runs are minutes each — one small JIT warm-up, not two */
+        shortWarmup: Boolean = false,
+        nRows: Long = n): Double = {
       val s = session(c)
       try {
-        Runner.runInMemory(s, 50000L, partitions = c, includeDedup = dedup)
-        Runner.runInMemory(s, 200000L, partitions = 4 * c, includeDedup = dedup)
+        Runner.runInMemory(s, 50000L, partitions = c, includeDedup = dedup,
+          nearDup = nearDup)
+        if (!shortWarmup)
+          Runner.runInMemory(s, 200000L, partitions = 4 * c, includeDedup = dedup,
+            nearDup = nearDup)
         (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          val rows = Runner.runInMemory(s, n, partitions = 4 * c,
-            includeDedup = dedup)
+          val rows = Runner.runInMemory(s, nRows, partitions = 4 * c,
+            includeDedup = dedup, nearDup = nearDup)
+          rows / ((System.nanoTime() - t0) / 1e9)
+        }.max
+      } finally s.stop()
+    }
+    // the memory-bandwidth CONTROL series (see controlJob): same session /
+    // partitioning / warm-up shape as the pipeline levels, pure-memory work
+    val controlN = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_ROWS",
+      (4 * n).toString).toLong
+    def controlBest(c: Int, runs: Int): Double = {
+      val s = session(c)
+      try {
+        controlJob(s, controlN / 8, partitions = 4 * c)
+        (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val rows = controlJob(s, controlN, partitions = 4 * c)
           rows / ((System.nanoTime() - t0) / 1e9)
         }.max
       } finally s.stop()
@@ -155,12 +214,35 @@ object Bench {
       }
       round += 1
     }
+    // control series: 2 rounds over the same levels (enough for the
+    // 2nd-highest estimator; the control verdict is a ratio comparison,
+    // not a headline number)
+    val ctlByLevel = scala.collection.mutable.LinkedHashMap(
+      levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
+    (1 to 2).foreach { _ =>
+      levels.foreach(c => ctlByLevel(c) += controlBest(c, runs = 2))
+    }
     val tp = levels.map(c => c -> capacity(byLevel(c).toSeq)).toMap
+    val ctl = levels.map(c => c -> capacity(ctlByLevel(c).toSeq)).toMap
     // two sessions, best kept — a single session is exposed to one
     // contention window (observed 6x swings); not gated, but reported
     val tpFull = math.max(sessionBest(cpus, dedup = true, runs = 2),
       sessionBest(cpus, dedup = true, runs = 1))
-    val eff = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
+    // near-dup stage appended (exact dedup + MinHash/LSH + transitive
+    // closure) — the flagship fuzzy-dedup cost at bench scale. MinHash over
+    // every kept document is minutes per run at n=3M, so this is a
+    // SINGLE-SHOT cost indicator (one session, one run), not a
+    // noise-filtered capacity estimate like the scaling levels.
+    val nearDupCfg = Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.8))
+    val nearDupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_NEARDUP_ROWS",
+      n.toString).toLong
+    val tpNearDup = sessionBest(cpus, dedup = true, runs = 1,
+      nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
+    val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
+    // a measured eff > 1.0 is a noise artifact by definition (you cannot
+    // beat linear scaling on identical work) — the headline is clamped,
+    // the raw value stays in the JSON
+    val eff = math.min(effRaw, 1.0)
 
     val qsJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -169,23 +251,40 @@ object Bench {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-level spread = max/min over rounds — the falsifiability number
+    // the efficiency ratios must be read against
+    def spread(xs: Seq[Double]): Double =
+      if (xs.isEmpty || xs.min <= 0) -1.0 else xs.max / xs.min
     val levelJson = levels.map(c =>
-      f""""files_per_sec_n$c":${tp(c)}%.1f,"tp_rounds_n$c":${arr(byLevel(c).toSeq)}""")
+      f""""files_per_sec_n$c":${tp(c)}%.1f,"tp_rounds_n$c":${arr(byLevel(c).toSeq)},""" +
+        f""""tp_spread_n$c":${spread(byLevel(c).toSeq)}%.2f""")
       .mkString(",")
+    val ctlJson = levels.map(c =>
+      f""""control_rows_per_sec_n$c":${ctl(c)}%.1f,"control_rounds_n$c":${arr(ctlByLevel(c).toSeq)}""")
+      .mkString(",")
+    val ctlEff =
+      (ctl(midCpus) / ctl(lowCpus)) / (midCpus.toDouble / lowCpus)
     // the saturated pair exists only when the top level is distinct
     val satJson =
       if (cpus > midCpus) {
         val effSat = (tp(cpus) / tp(midCpus)) / (cpus.toDouble / midCpus)
+        val ctlSat = (ctl(cpus) / ctl(midCpus)) / (cpus.toDouble / midCpus)
         f""","scaling_saturated_n_low":$midCpus,"scaling_saturated_n_high":$cpus,""" +
-          f""""scaling_efficiency_saturated":$effSat%.3f"""
+          f""""scaling_efficiency_saturated":$effSat%.3f,""" +
+          f""""control_efficiency_saturated":$ctlSat%.3f"""
       } else ""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,""" +
       f""""errors":$errJson,"query_runs":$queryRuns,""" +
       f""""sf":"$sfDir","pipeline_rows":$n,""" +
-      levelJson + "," +
+      levelJson + "," + ctlJson + "," +
+      f""""control_rows":$controlN,"control_efficiency":${math.min(ctlEff, 1.0)}%.3f,""" +
+      f""""control_efficiency_raw":$ctlEff%.3f,""" +
       f""""files_per_sec_with_dedup_n$cpus":$tpFull%.1f,""" +
+      f""""files_per_sec_with_neardup_n$cpus":$tpNearDup%.1f,""" +
+      f""""neardup_rows":$nearDupN,""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$midCpus,""" +
-      f""""scaling_efficiency":$eff%.3f""" + satJson + "}")
+      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_raw":$effRaw%.3f""" +
+      satJson + "}")
   }
 }

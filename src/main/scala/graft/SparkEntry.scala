@@ -96,6 +96,21 @@ object SparkEntry {
         .get.asInstanceOf[CustomRule],
         tbl(s, dir, "customer")).detail),
 
+    // ---- O11 with a config-declared JOIN (the most common reference UC
+    // shape, GQ:2868-3033): base table aliased a, joined table b, predicate
+    // a typed Column expression — no SQL text anywhere ------------------
+    "q_uc_join" -> ((s, dir) =>
+      Checks.custom(graft.config.RuleConfig.parseRule(
+        "UC; id=ucj; table=lineitem; joinTable=orders; " +
+          "joinOn=a.l_orderkey = b.o_orderkey; " +
+          "filter=b.o_totalprice > 450000; " +
+          "select=a.l_orderkey, a.l_linenumber, " +
+          "cast(cast(b.o_totalprice as decimal(12,2)) * 100 as bigint) as price_cents; " +
+          "orderBy=a.l_orderkey, a.l_linenumber; limit=20",
+        tables = Some(t => tbl(s, dir, t)))
+        .get.asInstanceOf[CustomRule],
+        tbl(s, dir, "lineitem")).detail),
+
     // ---- O12: expected-count (UU) — config-built -------------------------
     "q_uu_expected" -> ((s, dir) =>
       Checks.expectedCount(graft.config.RuleConfig.parseRule(
@@ -388,6 +403,32 @@ object SparkEntry {
         .orderBy(col("checkId"))
     }),
 
+    // ---- reference-shaped 10-sheet workbook → rules → audit rows ----------
+    // the same lifecycle as q_check_batch but ingested through the CSV
+    // workbook frontend (graft.config.Workbook): Chinese sheet names (one
+    // sheet through its ASCII alias), positional rows, pdata indirection,
+    // full-width commas, float-cell coercion, blank-runInd skip, SA
+    // dictionary named by the 配置项 sheet
+    "q_workbook_batch" -> ((s, dir) => {
+      import s.implicits._
+      val wbDir = writeWorkbookFixture()
+      val tables: String => DataFrame = {
+        case "pdata.orders" => tbl(s, dir, "orders")
+        case "orders_zc" => tbl(s, dir, "orders")
+          .withColumn("end_dt", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        case "nation_dim" => tbl(s, dir, "nation").filter(col("n_regionkey") < 3)
+        case t => tbl(s, dir, t)
+      }
+      val wb = graft.config.Workbook.parse(wbDir,
+        vars = Map("PDATA" -> "pdata"), tables = Some(tables))
+      val out = graft.runner.CheckRunner.runBatch(s, "wb1", wb.rules, tables)
+      out.results.toDS().toDF().select(
+        col("checkId"), col("dbNm"), col("tabNm"), col("checkType"),
+        col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"),
+        col("reproRule"))
+        .orderBy(col("checkId"))
+    }),
+
     // ---- per-repo stats via salted two-phase aggregation ------------------
     // the annotated frame is dumped to the oracle aux path; Spark's SALTED
     // two-phase aggregation over it must equal DuckDB's direct GROUP BY —
@@ -453,6 +494,73 @@ object SparkEntry {
     val duped = emb.select(col("vec_id"), col("embedding"))
       .unionByName(copies.select(col("vec_id"), col("embedding")))
     (duped, q)
+  }
+
+  /** Write the deterministic 10-sheet CSV workbook fixture for
+    * q_workbook_batch (reference sheet layout, GQ:172-182 / 990-1180).
+    * One sheet (VC) is written under its ASCII alias so the gate also
+    * exercises the fallback filename path.
+    */
+  private def writeWorkbookFixture(): String = {
+    import java.nio.file.{Files, Paths}
+    import graft.config.Workbook._
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_wb_fixture")
+    Files.createDirectories(dir)
+    def cell(c: String) =
+      if (c.exists("\",\n".contains(_))) "\"" + c.replace("\"", "\"\"") + "\""
+      else c
+    def sheet(name: String, rows: Seq[Seq[String]]): Unit =
+      Files.writeString(dir.resolve(s"$name.csv"),
+        rows.map(_.map(cell).mkString(",")).mkString("", "\n", "\n"))
+    sheet(configSheet, Seq(Seq("配置项", "值"),
+      Seq("SA代码表位置", "codes_sa.csv")))
+    Files.writeString(dir.resolve("codes_sa.csv"),
+      "orders,o_orderpriority,1-URGENT\n" +
+        "orders,o_orderpriority,2-HIGH\n" +
+        "orders,o_orderpriority,3-MEDIUM\n")
+    val h9 = Seq("运行标志", "库名", "表名", "规则编号", "字段", "where条件",
+      "维护人", "维护信息", "备注")
+    sheet(pkSheet, Seq(h9,
+      Seq("Y", "pdata", "orders", "r1", "o_custkey", "", "", "", ""),
+      // blank runInd → skipped (reference runs only exactly 'Y')
+      Seq("", "", "lineitem", "r2", "l_orderkey", "", "", "", "")))
+    val h12 = Seq("运行标志", "库名", "表名", "字段", "where", "父库", "父表",
+      "父字段", "父where", "维护人", "信息", "备注")
+    sheet(fkSheet, Seq(h12, Seq("Y", "", "lineitem", "l_orderkey", "", "",
+      "orders", "o_orderkey", "o_totalprice > 400000", "", "", "")))
+    sheet(fcSheet, Seq(h12, Seq("Y", "", "orders", "o_custkey", "", "",
+      "customer", "c_custkey", "c_acctbal > 1000", "", "", "")))
+    sheet(zcSheet, Seq(
+      Seq("运行标志", "库名", "表名", "开始日期", "结束日期", "字段", "where",
+        "维护人", "信息", "备注"),
+      Seq("Y", "", "orders_zc", "o_orderdate", "end_dt", "o_orderkey",
+        "", "", "", "")))
+    sheet(pcSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "代码表", "代码字段", "可空",
+        "where", "维护人", "信息", "备注"),
+      Seq("Y", "", "customer", "c_nationkey", "nation_dim", "n_nationkey",
+        "", "", "", "", "")))
+    sheet(scSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "可空", "where", "维护人",
+        "信息", "备注"),
+      Seq("Y", "", "orders", "o_orderpriority", "Y", "", "", "", "")))
+    sheet(asciiAlias(vcSheet), Seq( // ASCII-alias filename on purpose
+      Seq("运行标志", "库名", "表名", "字段", "值域类型", "值域", "可空",
+        "where", "维护人", "信息", "备注"),
+      Seq("Y", "", "nation", "n_regionkey", "数字", "0.0，1,'2'", "Y",
+        "", "", "", "")))
+    sheet(ucSheet, Seq(
+      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "维护人",
+        "信息", "备注"),
+      Seq("Y", "adhoc", "", "customer", "",
+        "filter=c_acctbal < 0; select=c_custkey; orderBy=c_custkey; limit=7",
+        "", "", "")))
+    sheet(uuSheet, Seq(
+      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "期望值",
+        "维护人", "信息", "备注"),
+      Seq("Y", "recon", "", "orders", "", "filter=o_orderstatus = 'F'",
+        "3000.0", "", "", "")))
+    dir.toString
   }
 
   /** SA code dictionary fixture (CodeDict text form, readSdataCode3
@@ -545,6 +653,13 @@ object SparkEntry {
       """SELECT c_custkey,
          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
          FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5""",
+    "q_uc_join" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS price_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         ORDER BY l_orderkey, l_linenumber LIMIT 20""",
     "q_uu_expected" ->
       """SELECT CAST(count(*) AS BIGINT) AS all_cnt,
          CAST(count(*) - 4000 AS BIGINT) AS failed_cnt
@@ -817,6 +932,91 @@ object SparkEntry {
            FROM ucc
            UNION ALL SELECT 'uu1', '', 'orders', 'UU', a, f,
              'UU; id=uu1; table=orders; filter=o_orderstatus = ''O''; expected=4000'
+           FROM uuc)
+         ORDER BY checkId""",
+    "q_workbook_batch" ->
+      """WITH pkc AS (
+           SELECT CAST(coalesce(sum(cnt),0) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN cnt>1 THEN cnt END),0) AS BIGINT) f
+           FROM (SELECT count(*) cnt FROM orders GROUP BY o_custkey)),
+         fkc AS (
+           SELECT CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey IS NOT NULL) AS BIGINT) a,
+             CAST((SELECT count(*) FROM lineitem
+               WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000))
+               AS BIGINT) f),
+         fcc AS (
+           SELECT CAST((SELECT count(*) FROM orders) +
+               (SELECT count(*) FROM customer WHERE c_acctbal > 1000)
+               AS BIGINT) a,
+             CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                 (SELECT c_custkey FROM customer WHERE c_acctbal > 1000)) +
+               (SELECT count(*) FROM customer WHERE c_acctbal > 1000 AND
+                 c_custkey NOT IN (SELECT o_custkey FROM orders))
+               AS BIGINT) f),
+         zcc AS (
+           SELECT CAST(count(*) AS BIGINT) a, CAST(0 AS BIGINT) f
+           FROM orders),
+         pcc AS (
+           SELECT CAST((SELECT count(*) FROM customer) AS BIGINT) a,
+             CAST((SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+               (SELECT n_nationkey FROM nation WHERE n_regionkey < 3))
+               AS BIGINT) f),
+         scc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN coalesce(o_orderpriority,'') <> ''
+               AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+               THEN 1 END),0) AS BIGINT) f
+           FROM orders),
+         vcc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(coalesce(sum(CASE WHEN n_regionkey IS NOT NULL
+               AND n_regionkey NOT IN (0, 1, 2) THEN 1 END),0) AS BIGINT) f
+           FROM nation),
+         ucc AS (
+           SELECT CAST(least(7, count(*)) AS BIGINT) a,
+             CAST(-1 AS BIGINT) f
+           FROM customer WHERE c_acctbal < 0),
+         uuc AS (
+           SELECT CAST(count(*) AS BIGINT) a,
+             CAST(count(*) - 3000 AS BIGINT) f
+           FROM orders WHERE o_orderstatus = 'F')
+         SELECT checkId, dbNm, tabNm, checkType,
+           CASE WHEN checkType LIKE 'UU%' THEN
+                  CASE WHEN failedRowCnt = 0 THEN 'Y' ELSE 'N' END
+                WHEN checkType LIKE 'UC%' THEN ''
+                WHEN failedRowCnt = 0 THEN 'Y'
+                WHEN failedRowCnt > 0 THEN 'N' ELSE '' END AS checkResultInd,
+           allRowCnt, failedRowCnt, reproRule
+         FROM (
+           SELECT 'pk1' checkId, 'pdata' dbNm, 'orders' tabNm, 'PK' checkType,
+             a allRowCnt, f failedRowCnt,
+             'PK; id=pk1; table=pdata.orders; cols=o_custkey; desc=r1' reproRule
+           FROM pkc
+           UNION ALL SELECT 'fk1', '', 'lineitem', 'FK', a, f,
+             'FK; id=fk1; table=lineitem; cols=l_orderkey; father=orders; fatherCols=o_orderkey; fatherWhere=o_totalprice > 400000'
+           FROM fkc
+           UNION ALL SELECT 'fc1', '', 'orders', 'FC', a, f,
+             'FC; id=fc1; table=orders; cols=o_custkey; father=customer; fatherCols=c_custkey; fatherWhere=c_acctbal > 1000'
+           FROM fcc
+           UNION ALL SELECT 'zc1', '', 'orders_zc', 'ZC', a, f,
+             'ZC; id=zc1; table=orders_zc; cols=o_orderkey; start=o_orderdate; end=end_dt'
+           FROM zcc
+           UNION ALL SELECT 'pc1', '', 'customer', 'PC', a, f,
+             'PC; id=pc1; table=customer; cols=c_nationkey; codeTable=nation_dim; codeCols=n_nationkey; isEmpty=N'
+           FROM pcc
+           UNION ALL SELECT 'sc1', '', 'orders', 'SC', a, f,
+             'SC; id=sc1; table=orders; col=o_orderpriority'
+           FROM scc
+           UNION ALL SELECT 'vc1', '', 'nation', 'VC', a, f,
+             'VC; id=vc1; table=nation; col=n_regionkey; values=0,1,2'
+           FROM vcc
+           UNION ALL SELECT 'uc1', '', 'customer', 'UC-adhoc', a, f,
+             'UC; id=uc1; table=customer; filter=c_acctbal < 0; select=c_custkey; orderBy=c_custkey; limit=7; ugcType=adhoc'
+           FROM ucc
+           UNION ALL SELECT 'uu1', '', 'orders', 'UU-recon', a, f,
+             'UU; id=uu1; table=orders; filter=o_orderstatus = ''F''; expected=3000; ugcType=recon'
            FROM uuc)
          ORDER BY checkId""",
     "q_fingerprints" ->

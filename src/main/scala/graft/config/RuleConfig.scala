@@ -22,8 +22,20 @@ import graft.model._
   *
   * UC/UU (GQ:1167-1176) carry their logic as `filter=`/`select=`/`orderBy=`/
   * `limit=` fields compiled via `functions.expr` — typed Column expressions,
-  * never templated SQL. The original field text is preserved on the rule
-  * (`exprInfo`) so the audit row's reproRule round-trips.
+  * never templated SQL. A two-table join — the most common shape of the
+  * reference's free-SQL UC rules (GQ:2868-3033) — is declared with
+  * `joinTable=`/`joinOn=`/`joinType=`: the base table is aliased `a`, the
+  * joined table `b`, and `joinOn` is a Column expression over those aliases
+  * (`joinOn=a.l_orderkey = b.o_orderkey`). The original field text is
+  * preserved on the rule (`exprInfo`) so the audit row's reproRule
+  * round-trips.
+  *
+  * MIGRATION BOUNDARY (deliberate, north_rule forbids string-templated
+  * SQL): reference UC/UU rules hold ARBITRARY SQL text. The config surface
+  * here covers single-table filter/select/orderBy/limit plus one declared
+  * equi/theta join; anything beyond that (multi-joins, subqueries,
+  * aggregation pipelines) migrates to a typed `DataFrame => DataFrame`
+  * CustomRule written in Scala — same audit row, same runner.
   */
 object RuleConfig {
 
@@ -115,17 +127,37 @@ object RuleConfig {
     else expr(t)
   }
 
-  /** Compile UC/UU `filter`/`select`/`orderBy`/`limit` fields into a typed
-    * transform, plus the canonical exprInfo string that reproduces it.
+  /** Compile UC/UU `joinTable`/`joinOn`/`joinType`/`filter`/`select`/
+    * `orderBy`/`limit` fields into a typed transform, plus the canonical
+    * exprInfo string that reproduces it. A declared join resolves its
+    * second table through `tables` at RUN time (the same catalog resolver
+    * the batch runner uses); requiring the resolver at parse time surfaces
+    * a missing catalog before any rule executes.
     */
-  private def customTransform(kv: Map[String, String])
+  private def customTransform(kv: Map[String, String],
+      tables: Option[String => DataFrame])
       : (DataFrame => DataFrame, String) = {
+    val joinT = kv.get("joinTable").filter(_.nonEmpty)
+    val joinOn = kv.get("joinOn").filter(_.nonEmpty)
+    val joinType = kv.get("joinType").filter(_.nonEmpty).getOrElse("inner")
     val filterE = kv.get("filter").filter(_.nonEmpty)
     val selectE = kv.get("select").filter(_.nonEmpty)
     val orderE = kv.get("orderBy").filter(_.nonEmpty)
     val limitE = kv.get("limit").filter(_.nonEmpty).map(_.toInt)
+    joinT.foreach { jt =>
+      require(joinOn.nonEmpty, s"joinTable=$jt needs a joinOn= predicate")
+      require(tables.nonEmpty,
+        s"rule declares joinTable=$jt but no table resolver was supplied " +
+          "to RuleConfig.parse")
+    }
     val t: DataFrame => DataFrame = df0 => {
       var d = df0
+      joinT.foreach { jt =>
+        // base aliased a, joined table b — joinOn/filter/select reference
+        // a.col / b.col unambiguously even on shared column names
+        d = d.alias("a").join(tables.get(jt).alias("b"),
+          expr(joinOn.get), joinType)
+      }
       filterE.foreach(f => d = d.filter(expr(f)))
       selectE.foreach(sel => d = d.select(splitTop(sel).map(expr): _*))
       orderE.foreach(o => d = d.orderBy(splitTop(o).map(sortCol): _*))
@@ -133,6 +165,9 @@ object RuleConfig {
       d
     }
     val info = Seq(
+      joinT.map(v => s"joinTable=$v"), joinT.flatMap(_ => joinOn)
+        .map(v => s"joinOn=$v"),
+      joinT.filter(_ => joinType != "inner").map(_ => s"joinType=$joinType"),
       filterE.map(v => s"filter=$v"), selectE.map(v => s"select=$v"),
       orderE.map(v => s"orderBy=$v"), limitE.map(n => s"limit=$n"))
       .flatten.mkString("; ")
@@ -150,7 +185,8 @@ object RuleConfig {
     */
   private val knownKeys: Map[String, Set[String]] = {
     val common = Set("id", "table", "runInd", "desc")
-    val custom = common ++ Set("filter", "select", "orderBy", "limit", "ugcType")
+    val custom = common ++ Set("filter", "select", "orderBy", "limit",
+      "ugcType", "joinTable", "joinOn", "joinType")
     Map(
       "PK" -> (common ++ Set("cols", "where")),
       "FK" -> (common ++ Set("cols", "where", "father", "fatherCols",
@@ -167,7 +203,8 @@ object RuleConfig {
   }
 
   def parseRule(line: String, vars: Map[String, String] = Map.empty,
-      dict: Map[String, Set[String]] = Map.empty): Option[Rule] = {
+      dict: Map[String, Set[String]] = Map.empty,
+      tables: Option[String => DataFrame] = None): Option[Rule] = {
     val substituted = substitute(line, vars)
     val (tpe, kv) = fields(substituted)
     if (kv.getOrElse("runInd", "Y").equalsIgnoreCase("N")) return None
@@ -214,11 +251,11 @@ object RuleConfig {
         isEmptyGuard = !kv.get("isEmpty").exists(_.equalsIgnoreCase("N")),
         where = where, description = desc)
       case "UC" =>
-        val (t, info) = customTransform(kv)
+        val (t, info) = customTransform(kv, tables)
         CustomRule(id, table, t, description = desc, exprInfo = info,
           ugcType = kv.getOrElse("ugcType", ""))
       case "UU" =>
-        val (t, info) = customTransform(kv)
+        val (t, info) = customTransform(kv, tables)
         ExpectedCountRule(id, table, t,
           expected = kv.get("expected").filter(_.nonEmpty).map(_.toLong)
             .getOrElse(0L), // default correctNum = 0, GQ:3079-3080
@@ -311,10 +348,11 @@ object RuleConfig {
 
   /** Parse a whole config text into enabled rules, preserving order. */
   def parse(text: String, vars: Map[String, String] = Map.empty,
-      dict: Map[String, Set[String]] = Map.empty): Vector[Rule] =
+      dict: Map[String, Set[String]] = Map.empty,
+      tables: Option[String => DataFrame] = None): Vector[Rule] =
     text.linesIterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .flatMap(parseRule(_, vars, dict))
+      .flatMap(parseRule(_, vars, dict, tables))
       .toVector
 }

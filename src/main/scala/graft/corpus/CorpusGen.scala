@@ -90,17 +90,27 @@ object CorpusGen {
   /** Pure row derivation — the single source of truth for tests' oracles.
     * Planted duplication: id % 97 == 0 reuses the PREVIOUS id's identity
     * triple (PK violations); id % 89 == 0 reuses the previous id's CONTENT
-    * under its own identity (content-dedup targets). The two classes only
-    * coincide on ids divisible by 89·97 = 8633 — absent below n=8633, so
-    * test-sized corpora (the suites use n ≤ 5000) see strictly disjoint
-    * plantings; larger bench corpora (n=3M) do contain overlap ids, which
-    * is harmless because only the tests rely on disjointness.
+    * under its own identity (content-dedup targets); id % 83 == 0 reuses
+    * the previous id's content PLUS one appended line (NEAR-dup targets —
+    * shingle-Jaccard high but below 1.0, so exact dedup never removes
+    * them and the MinHash stage has real work). The classes only coincide
+    * on ids divisible by pairwise products (83·89 = 7387 the smallest) —
+    * absent below n=7387, so test-sized corpora (the suites use n ≤ 5000)
+    * see strictly disjoint plantings; larger bench corpora (n=3M) do
+    * contain overlap ids, which is harmless because only the tests rely
+    * on disjointness.
     */
   def rowFor(id: Long, seed: Long): FileRow = {
     if (id > 0 && id % 89 == 0) {
       val self = rowFor0(id, seed)
       val donor = rowFor0(id - 1, seed)
       return self.copy(content = donor.content)
+    }
+    if (id > 0 && id % 83 == 0) {
+      val self = rowFor0(id, seed)
+      val donor = rowFor0(id - 1, seed)
+      val r = new java.util.SplittableRandom(mix64(seed ^ ~id))
+      return self.copy(content = donor.content + codeLine(r) + "\n")
     }
     rowFor0(id, seed)
   }

@@ -135,6 +135,48 @@ class ConfigSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 30L), (3, 20L)))
   }
 
+  test("UC config: declared join compiles to a typed a/b-aliased join") {
+    val base = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "tag")
+    val other = Seq((1, 100L), (3, 300L), (4, 400L)).toDF("k", "amt")
+    val uc = RuleConfig.parseRule(
+      "UC; id=j; table=t; joinTable=o; joinOn=a.k = b.k; " +
+        "filter=b.amt > 150; select=a.k, a.tag, b.amt; orderBy=a.k",
+      tables = Some(_ => other)).get.asInstanceOf[CustomRule]
+    val out = uc.transform(base).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((3, "z", 300L)))
+    // a/b aliases disambiguate the shared column name `k` in joinOn/select
+    assert(uc.exprInfo.startsWith("joinTable=o; joinOn=a.k = b.k"))
+  }
+
+  test("UC join: left type keeps unmatched base rows; render round-trips") {
+    val base = Seq((1, "x"), (2, "y")).toDF("k", "tag")
+    val other = Seq((1, 100L)).toDF("k", "amt")
+    val uc = RuleConfig.parseRule(
+      "UC; id=j; table=t; joinTable=o; joinOn=a.k = b.k; joinType=left; " +
+        "select=a.k, b.amt; orderBy=a.k",
+      tables = Some(_ => other)).get.asInstanceOf[CustomRule]
+    val out = uc.transform(base).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq === Seq((1, 100L), (2, -1L)))
+    val again = RuleConfig.parseRule(RuleConfig.render(uc),
+      tables = Some(_ => other)).get
+    assert(RuleConfig.render(again) === RuleConfig.render(uc))
+  }
+
+  test("UC join declarations fail loudly when incomplete") {
+    // joinTable without joinOn
+    intercept[IllegalArgumentException] {
+      RuleConfig.parseRule("UC; id=j; table=t; joinTable=o; select=a.k",
+        tables = Some(_ => Seq(1).toDF("k")))
+    }
+    // joinTable without a table resolver — surfaced at PARSE time, before
+    // any rule executes
+    intercept[IllegalArgumentException] {
+      RuleConfig.parseRule("UC; id=j; table=t; joinTable=o; joinOn=a.k = b.k")
+    }
+  }
+
   test("UU config: expected count default 0 (GQ:3079-3080)") {
     val uu = RuleConfig.parseRule("UU; id=u; table=t; filter=k > 0").get
       .asInstanceOf[ExpectedCountRule]

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.config.{RuleConfig, Workbook}
+import graft.model._
+import graft.runner.CheckRunner
+import org.apache.spark.sql.DataFrame
+
+class WorkbookSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- CSV sheet parsing ----------------------------------------------------
+
+  test("parseCsv: quoted commas, \"\" escapes, embedded newlines, CRLF") {
+    val rows = Workbook.parseCsv(
+      "a,b,c\r\n\"x,y\",\"he said \"\"hi\"\"\",\"two\nlines\"\r\nplain,,end\n")
+    assert(rows === Vector(
+      Vector("a", "b", "c"),
+      Vector("x,y", "he said \"hi\"", "two\nlines"),
+      Vector("plain", "", "end")))
+  }
+
+  // ---- fixture workbook -----------------------------------------------------
+
+  private def writeSheet(dir: Path, name: String, rows: Seq[Seq[String]]): Unit = {
+    def cell(c: String) =
+      if (c.exists("\",\n".contains(_))) "\"" + c.replace("\"", "\"\"") + "\""
+      else c
+    Files.writeString(dir.resolve(s"$name.csv"),
+      rows.map(_.map(cell).mkString(",")).mkString("", "\n", "\n"))
+  }
+
+  /** A 10-sheet fixture exercising the reference's parsing quirks. */
+  private def fixtureDir(): Path = {
+    val dir = Files.createTempDirectory("graft_wb")
+    writeSheet(dir, Workbook.configSheet, Seq(
+      Seq("配置项", "值"),
+      Seq("验证通过标志", "Y"),
+      Seq("SA代码表位置", "codes_sa.csv")))
+    Files.writeString(dir.resolve("codes_sa.csv"),
+      "colors,c,red\ncolors,c,blue\n")
+    writeSheet(dir, Workbook.pkSheet, Seq(
+      Seq("运行标志", "库名", "表名", "规则编号", "字段", "where条件", "维护人", "维护信息", "备注"),
+      // full-width comma in colList + alias expression; pdata indirection
+      Seq("Y", "pdata", "child", "r1", "k，coalesce(k,'') as k2", "", "张三", "", "主键; 检查=1"),
+      // blank runInd does NOT run (reference: only exactly 'Y' runs)
+      Seq("", "", "child", "r2", "k", "", "", "", "")))
+    writeSheet(dir, Workbook.fkSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "where", "父库", "父表", "父字段", "父where", "维护人", "信息", "备注"),
+      Seq("Y", "", "child", "k", "", "", "father", "fk", "", "", "", "")))
+    writeSheet(dir, Workbook.fcSheet, Seq(
+      Seq("h") ++ Seq.fill(11)(""),
+      Seq("N", "", "child", "k", "", "", "father", "fk", "", "", "", "")))
+    writeSheet(dir, Workbook.zcSheet, Seq(
+      Seq("运行标志", "库名", "表名", "开始日期", "结束日期", "字段", "where", "维护人", "信息", "备注"),
+      Seq("Y", "", "zipper", "st", "en", "k", "", "", "", "")))
+    writeSheet(dir, Workbook.pcSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "代码表", "代码字段", "可空", "where", "维护人", "信息", "备注"),
+      // isEmpty blank → strict (reference: only exactly 'Y' is lenient)
+      Seq("Y", "", "child", "k", "codes", "code", "", "", "", "", "")))
+    writeSheet(dir, Workbook.scSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "可空", "where", "维护人", "信息", "备注"),
+      Seq("Y", "", "colors", "c", "Y", "", "", "", "")))
+    writeSheet(dir, Workbook.vcSheet, Seq(
+      Seq("运行标志", "库名", "表名", "字段", "值域类型", "值域", "可空", "where", "维护人", "信息", "备注"),
+      // float-typed cell + Chinese comma + quoted value
+      Seq("Y", "", "nums", "n", "数字", "1.0，2,'3'", "Y", "", "", "", "")))
+    writeSheet(dir, Workbook.ucSheet, Seq(
+      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "维护人", "信息", "备注"),
+      Seq("Y", "adhoc", "", "child", "", "filter=v > 1; select=k, v; orderBy=v; limit=2", "", "", "")))
+    writeSheet(dir, Workbook.uuSheet, Seq(
+      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "期望值", "维护人", "信息", "备注"),
+      // correctNum as the float xlrd would return
+      Seq("Y", "recon", "", "child", "", "filter=v > 0", "4.0", "", "", "")))
+    dir
+  }
+
+  lazy val child = Seq(("a", 1), ("a", 2), ("orph", 3), ("ok", 4)).toDF("k", "v")
+  lazy val tables: CheckRunner.Tables = {
+    case "pdata_db.child" | "child" => child
+    case "father" => Seq("a", "ok").toDF("fk")
+    case "codes" => Seq("a", "ok").toDF("code")
+    case "colors" => Seq("red", "green").toDF("c")
+    case "nums" => Seq(1, 2, 3, 9).toDF("n")
+    case "zipper" => Seq(("a", "2024-01-01", "2024-02-01"),
+      ("a", "2024-01-15", "2024-03-01")).toDF("k", "st", "en")
+  }
+
+  test("10-sheet workbook parses with every reference quirk honored") {
+    val wb = Workbook.parse(fixtureDir().toString,
+      vars = Map("PDATA" -> "pdata_db"))
+    assert(wb.config("验证通过标志") === "Y")
+    val byId = wb.rules.map(r => r.id -> r).toMap
+    // parse order = reference sheet order, disabled rows absent
+    assert(wb.rules.map(_.id) ===
+      Vector("pk1", "fk1", "zc1", "pc1", "sc1", "vc1", "uc1", "uu1"))
+    val pk = byId("pk1").asInstanceOf[PkRule]
+    assert(pk.table === "pdata_db.child") // ${PDATA} resolved from vars
+    assert(pk.keyCols === Seq("k", "coalesce(k,'') as k2")) // ，normalized
+    assert(pk.description.contains("主键")) // desc survives, sanitized
+    assert(!pk.description.contains(";") && !pk.description.contains("="))
+    val fk = byId("fk1").asInstanceOf[FkRule]
+    assert(fk.fatherTable === "father" && fk.fatherCols === Seq("fk"))
+    val pc = byId("pc1").asInstanceOf[CodeTableRule]
+    assert(!pc.isEmptyGuard) // blank isEmpty → strict
+    val sc = byId("sc1").asInstanceOf[DomainRule]
+    // SA dictionary loaded from the path in the 配置项 sheet
+    assert(sc.values === Set("red", "blue") && sc.isEmptyGuard)
+    val vc = byId("vc1").asInstanceOf[DomainRule]
+    assert(vc.values === Set("1", "2", "3")) // 1.0→1, ，→',' , quotes stripped
+    val uu = byId("uu1").asInstanceOf[ExpectedCountRule]
+    assert(uu.expected === 4L) // float correctNum coerced
+  }
+
+  test("workbook rules execute and audit like text-config rules") {
+    val wb = Workbook.parse(fixtureDir().toString,
+      vars = Map("PDATA" -> "pdata_db"), tables = Some(tables))
+    val out = CheckRunner.runBatch(spark, "wb1", wb.rules, tables)
+    val byId = out.results.map(r => r.checkId -> r).toMap
+    assert(byId("pk1").failedRowCnt === 2L) // "a" duplicated
+    assert(byId("pk1").dbNm === "pdata_db")
+    assert(byId("fk1").failedRowCnt === 1L) // "orph"
+    assert(byId("zc1").failedRowCnt === 1L) // overlapping interval
+    assert(byId("pc1").failedRowCnt === 1L) // "orph" off the code table
+    assert(byId("sc1").failedRowCnt === 1L) // "green" off-dictionary
+    assert(byId("vc1").failedRowCnt === 1L) // 9 outside {1,2,3}
+    assert(byId("uc1").failedRowCnt === -1L) // run-and-record
+    assert(byId("uu1").allRowCnt === 4L && byId("uu1").failedRowCnt === 0L)
+    // reproRule round-trips through the SAME canonical renderer
+    val again = RuleConfig.parseRule(byId("vc1").reproRule).get
+    assert(RuleConfig.render(again) === byId("vc1").reproRule)
+  }
+
+  test("free-SQL UC cell fails at the documented migration boundary") {
+    val dir = Files.createTempDirectory("graft_wb_sql")
+    writeSheet(dir, Workbook.ucSheet, Seq(
+      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "维护人", "信息", "备注"),
+      Seq("Y", "adhoc", "", "t", "", "select * from t where x > 0", "", "", "")))
+    val e = intercept[IllegalArgumentException] {
+      Workbook.parse(dir.toString)
+    }
+    assert(e.getMessage.contains("migration boundary"))
+  }
+
+  test("orchestrateDir loads a workbook directory named by the manifest") {
+    val cfgDir = Files.createTempDirectory("graft_wb_orch")
+    val wbDir = cfgDir.resolve("wb_case")
+    Files.createDirectory(wbDir)
+    writeSheet(wbDir, Workbook.pkSheet, Seq(
+      Seq("运行标志", "库名", "表名", "规则编号", "字段", "where", "维护人", "信息", "备注"),
+      Seq("Y", "", "child", "r1", "k", "", "", "", "")))
+    Files.writeString(cfgDir.resolve("manifest.txt"), "wb_case = bwb\n")
+    val outDir = Files.createTempDirectory("graft_wb_out").toString
+    val sums = CheckRunner.orchestrateDir(spark, cfgDir.toString, tables, outDir)
+    assert(sums === Seq(CheckRunner.BatchSummary("wb_case", "bwb", false, 1)))
+    val res = spark.read.parquet(s"$outDir/config=wb_case/batch=bwb/check_result")
+    assert(res.filter($"checkId" === "pk1").count() === 1L)
+  }
+}
