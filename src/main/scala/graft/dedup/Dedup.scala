@@ -45,26 +45,55 @@ object Dedup {
     h
   }
 
+  private val tokenSep = java.util.regex.Pattern.compile("[^a-z0-9_]+")
+
   def tokens(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+    else tokenSep.split(text.toLowerCase).filter(_.nonEmpty)
 
-  /** Distinct hashed word n-gram shingles. */
+  /** FNV-1a 64 over the space-joined n-gram `ts(start..start+n)` WITHOUT
+    * materializing the joined string — bit-identical to
+    * `fnv1a64(ts.slice(start, start+n).mkString(" "))`. The slice+mkString
+    * form allocates an array, a StringBuilder, and a String per shingle;
+    * at corpus scale that allocation churn (not the hashing) dominated the
+    * signature pass.
+    */
+  private def fnv1aNgram(ts: Array[String], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = 0
+    while (k < n) {
+      if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val t = ts(start + k)
+      var i = 0
+      while (i < t.length) {
+        h ^= t.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      k += 1
+    }
+    h
+  }
+
+  /** Distinct hashed word n-gram shingles (sorted — callers use them as a
+    * set; sorted order keeps the output deterministic).
+    */
   def shingles(text: String, n: Int = 3): Array[Long] = {
     val ts = tokens(text)
     if (ts.length < n) {
-      if (ts.isEmpty) Array.empty else Array(fnv1a64(ts.mkString(" ")))
+      if (ts.isEmpty) Array.empty else Array(fnv1aNgram(ts, 0, ts.length))
     } else {
-      val out = new java.util.HashSet[Long]()
+      val m = ts.length - n + 1
+      val raw = new Array[Long](m)
       var i = 0
-      while (i + n <= ts.length) {
-        out.add(fnv1a64(ts.slice(i, i + n).mkString(" ")))
-        i += 1
+      while (i < m) { raw(i) = fnv1aNgram(ts, i, n); i += 1 }
+      java.util.Arrays.sort(raw)
+      var w = 0; var r = 0 // in-place dedup of the sorted run
+      while (r < m) {
+        if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+        r += 1
       }
-      val arr = new Array[Long](out.size)
-      val it = out.iterator; var j = 0
-      while (it.hasNext) { arr(j) = it.next(); j += 1 }
-      arr
+      if (w == m) raw else java.util.Arrays.copyOf(raw, w)
     }
   }
 
@@ -211,7 +240,11 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
-    val b = dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket)
+    // cache the pruned band frame: it feeds BOTH sides of the self-join
+    // (and the hot-bucket aggregation already read the raw explode), so an
+    // uncached plan recomputes the 16×-explode + band hashing four times
+    val b = graft.util.Caches.track(
+      dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket))
     val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     val cand = left.join(right, Seq("band", "bucket"))
@@ -237,56 +270,112 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Pairs small enough to collect: below this many edges the closure runs
+    * as driver-side union-find (ids only — 16 B/pair, so the default is
+    * ~32 MB of driver heap). Post-LSH pair sets at threshold ≥ 0.8 are
+    * SPARSE (exact dups were removed upstream), so this is the common case
+    * even at corpus scale; above it the distributed loop takes over.
+    */
+  val DefaultCollectPairs = 2000000L
+
   /** Survivors under the TRANSITIVE closure of the pair graph: exactly one
     * row (the min id) survives per connected component — correct for
     * chain/star-shaped dup groups where [[survivorsFromPairs]] keeps
     * extras (e.g. pairs (1,3),(2,3): one-round keeps {1,2}; closure keeps
-    * {1}). Connected components via iterative min-label propagation over
-    * the (distinct-id) node set — each round is one join + one
-    * aggregation over IDS ONLY, converging in graph-diameter rounds (2-3
-    * for near-dup clusters); content never shuffles. Convergence is
-    * detected by the label-sum fixpoint (labels only ever decrease).
+    * {1}).
+    *
+    * Two paths, chosen by pair count:
+    *  - ≤ `collectPairs`: collect the edge list (IDS ONLY) and run
+    *    union-find with path compression on the driver — O(pairs·α). An
+    *    iterative DataFrame loop pays whole-job latency per round; for the
+    *    sparse pair sets LSH emits, the driver finishes the entire closure
+    *    in less time than one Spark round.
+    *  - larger graphs: distributed min-label propagation — each round is
+    *    one join + one aggregation over ids, converging in graph-diameter
+    *    rounds (2-3 for near-dup clusters); content never shuffles.
+    *    Convergence is detected by the label-sum fixpoint (labels only
+    *    ever decrease). Each generation is lineage-TRUNCATED (reliable
+    *    `checkpoint` when `sc.setCheckpointDir` is configured — the
+    *    production binding — else `localCheckpoint`): the new labels
+    *    reference the old twice, so without truncation the logical plan
+    *    doubles per round and Catalyst analysis time grows 2^rounds even
+    *    though the data is cached. Superseded generations are freed by
+    *    the ContextCleaner once dereferenced.
     */
   def survivorsFromPairsTransitive(df: DataFrame, idCol: String,
-      pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = graft.util.Caches.track(
-      pairs.select(col("id_a").cast("long").as("src"),
-          col("id_b").cast("long").as("dst"))
-        .unionByName(pairs.select(col("id_b").cast("long").as("src"),
-          col("id_a").cast("long").as("dst"))))
-    var labels = graft.util.Caches.track(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")))
-    // decimal, not long: a sum of 64-bit ids can overflow
-    def lblSum(l: DataFrame): java.math.BigDecimal = {
-      val r = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
-    var prevSum = lblSum(labels)
-    var it = 0
-    var converged = labels.isEmpty
-    while (!converged && it < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = graft.util.Caches.track(
-        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(labels("id"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
-      val nextSum = lblSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      // `next` is materialized (lblSum ran) — the superseded generation
-      // can go now; storage stays bounded at edges + two label frames
-      labels.unpersist()
-      labels = next
-      it += 1
-    }
-    if (!converged)
-      System.err.println(s"[Dedup] WARN: survivorsFromPairsTransitive hit " +
-        s"maxIters=$maxIters before the label fixpoint — a component with " +
-        s"diameter > $maxIters may keep more than one survivor; raise maxIters")
-    val losers = labels.filter(col("lbl") =!= col("id"))
-      .select(col("id").as(idCol))
+      pairs: DataFrame, maxIters: Int = 25,
+      collectPairs: Long = DefaultCollectPairs): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val edgeList = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // builders cache `pairs`, so this count materializes the cache the
+    // first consumer needs anyway — not an extra pass over content
+    val nPairs = edgeList.count()
+    if (nPairs == 0) return df
+    val losers: DataFrame =
+      if (nPairs <= collectPairs) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        edgeList.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min-id root ⇒ survivor = component min, same as label propagation
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        // snapshot keys before the sweep: find() compresses paths (mutates
+        // the map), which would CME a live forEach. Every non-root node has
+        // a parent entry (it got one the moment it lost a union), so the
+        // key set covers all losers.
+        val ids = new Array[Long](parent.size)
+        val kit = parent.keySet().iterator(); var ki = 0
+        while (kit.hasNext) { ids(ki) = kit.next(); ki += 1 }
+        val out = Vector.newBuilder[Long]
+        var i = 0
+        while (i < ids.length) { if (find(ids(i)) != ids(i)) out += ids(i); i += 1 }
+        broadcast(out.result().toDF(idCol))
+      } else {
+        // lineage-truncating materialization (see scaladoc)
+        val reliable = spark.sparkContext.getCheckpointDir.isDefined
+        def snap(d: DataFrame): DataFrame =
+          if (reliable) d.checkpoint(eager = true) else d.localCheckpoint(eager = true)
+        val edges = snap(
+          edgeList.toDF("src", "dst")
+            .unionByName(edgeList.toDF("dst", "src").select("src", "dst")))
+        var labels = snap(edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")))
+        // decimal, not long: a sum of 64-bit ids can overflow
+        def lblSum(l: DataFrame): java.math.BigDecimal = {
+          val r = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+          if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+        }
+        var prevSum = lblSum(labels)
+        var it = 0
+        var converged = false
+        while (!converged && it < maxIters) {
+          val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+            .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
+          val next = snap(
+            labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+              .select(labels("id"),
+                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+          val nextSum = lblSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+          labels = next
+          it += 1
+        }
+        if (!converged)
+          System.err.println(s"[Dedup] WARN: survivorsFromPairsTransitive hit " +
+            s"maxIters=$maxIters before the label fixpoint — a component with " +
+            s"diameter > $maxIters may keep more than one survivor; raise maxIters")
+        labels.filter(col("lbl") =!= col("id")).select(col("id").as(idCol))
+      }
     df.join(losers, Seq(idCol), "left_anti")
   }
 

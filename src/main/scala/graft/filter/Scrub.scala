@@ -3,36 +3,48 @@ package graft.filter
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** PII / secret scrubbing via declarative regex patterns (north_rule:
-  * "regex-driven PII/toxicity scrubbing (emails, keys, secrets)").
+/** One declarative scrub rule (north_rule: "regex-driven PII/toxicity
+  * scrubbing ... compiled from declarative patterns").
   *
-  * Patterns are applied in a FIXED declared order — scrubbing must be
-  * deterministic across partitionings so retained-content sha256s are
-  * stable (SURVEY.md §7 hard part (b)). Both the Spark path
+  * @param id          unique rule id (lineage key)
+  * @param family      grouping for lineage/reporting: "pii", "secret",
+  *                    "toxicity", ... — free-form, not an enum, so a config
+  *                    can introduce new families without code changes
+  * @param pattern     java.util.regex pattern
+  * @param replacement replacement text (scrub rules; empty for drop rules)
+  * @param prescreen   literal substring implied by the pattern — a cheap
+  *                    indexOf gate that skips the regex when absent (most
+  *                    files carry no PII, so this is the common case)
+  * @param drop        true = the match cannot be scrubbed in place and the
+  *                    whole file is dropped (e.g. private key material)
+  */
+final case class ScrubRule(
+    id: String,
+    family: String,
+    pattern: String,
+    replacement: String,
+    prescreen: Option[String],
+    drop: Boolean)
+
+/** A compiled, ordered scrub chain. Rules are applied in DECLARED order —
+  * scrubbing must be deterministic across partitionings so retained-content
+  * sha256s are stable (SURVEY.md §7 hard part (b)). Both the Spark path
   * (`regexp_replace`/`regexp_count`, which compile to java.util.regex) and
   * the JVM twin `scrubPlain` share the same pattern strings, so their
   * outputs are byte-identical by construction; tests assert it anyway.
   */
-object Scrub {
+final class Scrubber(val rules: Seq[ScrubRule]) {
 
-  /** (rule id, java-regex pattern, replacement). Order matters. */
-  val patterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("aws_key", "AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
-    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,}", "<TOKEN>"),
-    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("jwt", "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}",
-      "<JWT>"))
+  /** (rule id, java-regex pattern, replacement) for scrub rules, in order. */
+  val patterns: Seq[(String, String, String)] =
+    rules.filterNot(_.drop).map(r => (r.id, r.pattern, r.replacement))
 
-  /** Secrets that cannot be safely scrubbed in place → whole-file drop.
-    * (id, pattern, prescreen literal implied by the pattern — null-safe
-    * fast path like [[prescreens]]).
-    */
-  val dropPatterns: Seq[(String, String)] = Seq(
-    ("private_key", "-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+  /** (id, pattern) for whole-file drop rules. */
+  val dropPatterns: Seq[(String, String)] =
+    rules.filter(_.drop).map(r => (r.id, r.pattern))
 
-  private val dropPrescreens: Map[String, String] = Map(
-    "private_key" -> "-----BEGIN")
+  /** id → declared family (lineage rows are family-qualified). */
+  val families: Map[String, String] = rules.map(r => r.id -> r.family).toMap
 
   /** Per-pattern match-count columns (lineage: "scrub counts"). Each
     * pattern is counted against the text AFTER the preceding patterns have
@@ -60,21 +72,14 @@ object Scrub {
 
   // ---- plain-JVM twin (used by the fused pipeline pass and test oracles) -
 
-  /** Literal substring implied by each pattern — a cheap indexOf prescreen
-    * that skips the regex entirely when the literal is absent (most files
-    * carry no PII, so this is the common case). null = no safe prescreen.
-    */
-  private val prescreens: Map[String, String] = Map(
-    "email" -> "@", "aws_key" -> "AKIA", "slack_token" -> "xox",
-    "jwt" -> "eyJ")
-
-  private lazy val compiled =
-    patterns.map { case (id, p, r) =>
-      (id, java.util.regex.Pattern.compile(p), r, prescreens.get(id))
+  private val compiled =
+    rules.filterNot(_.drop).map { r =>
+      (r.id, java.util.regex.Pattern.compile(r.pattern), r.replacement,
+        r.prescreen)
     }
-  private lazy val compiledDrop =
-    dropPatterns.map { case (id, p) =>
-      (id, java.util.regex.Pattern.compile(p), dropPrescreens.get(id))
+  private val compiledDrop =
+    rules.filter(_.drop).map { r =>
+      (r.id, java.util.regex.Pattern.compile(r.pattern), r.prescreen)
     }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
@@ -114,4 +119,107 @@ object Scrub {
     compiledDrop.exists { case (_, p, pre) =>
       pre.forall(text.contains(_)) && p.matcher(text).find()
     }
+}
+
+/** Declarative scrub configuration + the default chain. The engine never
+  * hardcodes a pattern list: [[Scrub.default]] is itself compiled from
+  * [[Scrub.defaultConfig]] through the same parser a user-supplied config
+  * goes through.
+  *
+  * Config format — one rule per line, `#` comments, blank lines ignored:
+  * {{{
+  *   scrub <id> family=<fam> replace=<text> [pre=<literal>] pattern=<regex>
+  *   drop  <id> family=<fam>                [pre=<literal>] pattern=<regex>
+  * }}}
+  * `pattern=` consumes the REST OF THE LINE (regexes may contain spaces,
+  * `=`, anything), so it must come last. Declaration order is application
+  * order.
+  */
+object Scrub {
+
+  /** The default chain: PII + secrets (as before) + a toxicity lexicon
+    * family (north_star "PII/toxicity scrubbing"). The lexicon is a small
+    * public-wordlist-shaped seed (LDNOOBW-style); production configs are
+    * expected to extend it — which is the point of the declarative format.
+    * Toxicity has no safe prescreen literal (case-insensitive word
+    * alternation), so it always pays its regex pass.
+    */
+  val defaultConfig: String =
+    """# id            family    action
+      |scrub email family=pii replace=<EMAIL> pre=@ pattern=[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+      |scrub aws_key family=secret replace=<AWS_KEY> pre=AKIA pattern=AKIA[0-9A-Z]{16}
+      |scrub slack_token family=secret replace=<TOKEN> pre=xox pattern=xox[baprs]-[0-9A-Za-z-]{10,}
+      |scrub ipv4 family=pii replace=<IP> pattern=\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b
+      |scrub jwt family=secret replace=<JWT> pre=eyJ pattern=eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}
+      |scrub toxicity family=toxicity replace=<TOX> pattern=(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole|bastard|cunt|dickhead)\b
+      |drop private_key family=secret pre=-----BEGIN pattern=-----BEGIN [A-Z ]*PRIVATE KEY-----
+      |""".stripMargin
+
+  /** Parse a declarative scrub config. Fails fast (IllegalArgumentException)
+    * on: unknown action, missing family/pattern, `replace=` on a drop rule
+    * or missing on a scrub rule, duplicate ids, and regexes that do not
+    * compile — a config error must kill the job at submit time, not
+    * mid-corpus.
+    */
+  def parse(text: String): Seq[ScrubRule] = {
+    def fail(line: String, why: String): Nothing =
+      throw new IllegalArgumentException(s"scrub config: $why in line [$line]")
+    val rules = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val patIdx = line.indexOf("pattern=")
+        if (patIdx < 0) fail(line, "missing pattern=")
+        val pattern = line.substring(patIdx + "pattern=".length)
+        if (pattern.isEmpty) fail(line, "empty pattern")
+        try java.util.regex.Pattern.compile(pattern)
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            fail(line, s"bad regex (${e.getDescription})")
+        }
+        val head = line.substring(0, patIdx).trim.split("\\s+").toSeq
+        if (head.length < 2) fail(line, "expected: <action> <id> key=value...")
+        val action = head(0)
+        if (action != "scrub" && action != "drop")
+          fail(line, s"unknown action '$action' (want scrub|drop)")
+        val id = head(1)
+        val kvs = head.drop(2).map { t =>
+          val i = t.indexOf('=')
+          if (i <= 0) fail(line, s"expected key=value, got '$t'")
+          t.substring(0, i) -> t.substring(i + 1)
+        }.toMap
+        kvs.keySet.diff(Set("family", "replace", "pre")).foreach(k =>
+          fail(line, s"unknown key '$k'"))
+        val family = kvs.getOrElse("family", fail(line, "missing family="))
+        val drop = action == "drop"
+        if (drop && kvs.contains("replace"))
+          fail(line, "drop rules take no replace=")
+        val replacement =
+          if (drop) ""
+          else kvs.getOrElse("replace", fail(line, "scrub rules need replace="))
+        ScrubRule(id, family, pattern, replacement, kvs.get("pre"), drop)
+      }.toVector
+    val dups = rules.groupBy(_.id).collect { case (id, rs) if rs.sizeIs > 1 => id }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"scrub config: duplicate rule ids ${dups.mkString(", ")}")
+    rules
+  }
+
+  def scrubber(configText: String): Scrubber = new Scrubber(parse(configText))
+
+  /** The default chain the pipeline runs. */
+  val default: Scrubber = scrubber(defaultConfig)
+
+  // ---- static facade over the default chain (pre-declarative API) --------
+
+  def rules: Seq[ScrubRule] = default.rules
+  def patterns: Seq[(String, String, String)] = default.patterns
+  def dropPatterns: Seq[(String, String)] = default.dropPatterns
+  def families: Map[String, String] = default.families
+  def countCols(content: Column): Seq[(String, Column)] = default.countCols(content)
+  def scrubCol(content: Column): Column = default.scrubCol(content)
+  def dropCols(content: Column): Seq[(String, Column)] = default.dropCols(content)
+  def scrubPlain(text: String): (String, Map[String, Int]) = default.scrubPlain(text)
+  def scrubPlainArray(text: String): (String, Array[Int]) = default.scrubPlainArray(text)
+  def hasDropSecret(text: String): Boolean = default.hasDropSecret(text)
 }

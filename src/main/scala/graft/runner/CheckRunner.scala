@@ -109,14 +109,17 @@ object CheckRunner {
     *   manifest.txt   — `configFile = batchId1,batchId2` lines (BIC:2-59)
     *   params.txt     — optional `${VAR}` map (DBParams.txt)
     *   codes.txt      — optional SA code dictionary ([[graft.config.CodeDict]])
-    *   <configFile>   — rule lines, one file per manifest entry
+    *   <configFile>   — rule lines, one file per manifest entry; a manifest
+    *                    entry naming a DIRECTORY loads as a reference-shaped
+    *                    10-sheet workbook instead ([[graft.config.Workbook]])
     * Each (config × batchId) compiles with `BATCHID` added to the var map
     * (the reference substituted `${BATCHID}` into its volatile-table DDL,
     * GQ:665-669) and publishes to `outDir/config=<name>/batch=<id>`.
     * Already-published batches are SKIPPED before any compute (resume).
     */
   def orchestrateDir(spark: SparkSession, configDir: String, tables: Tables,
-      outDir: String): Seq[BatchSummary] = {
+      outDir: String,
+      stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): Seq[BatchSummary] = {
     import java.nio.file.{Files, Paths}
     import graft.config.{CodeDict, RuleConfig}
     def readOpt(name: String): Option[String] = {
@@ -135,14 +138,23 @@ object CheckRunner {
       b <- batchIds
     } yield {
       val dir = s"$outDir/config=$name"
-      if (Checkpoint.isDone(spark, s"$dir/batch=$b", "check_result"))
+      if (stores(spark, s"$dir/batch=$b").isDone("check_result"))
         BatchSummary(name, b, skipped = true, 0)
       else {
-        val text = readOpt(name).getOrElse(throw new IllegalArgumentException(
-          s"manifest names missing config file: $configDir/$name"))
-        val rules = RuleConfig.parse(text, vars + ("BATCHID" -> b), dict)
+        val p = Paths.get(configDir, name)
+        val rules =
+          if (Files.isDirectory(p))
+            graft.config.Workbook.parse(p.toString, vars + ("BATCHID" -> b),
+              dict, tables = Some(tables)).rules
+          else {
+            val text = readOpt(name).getOrElse(
+              throw new IllegalArgumentException(
+                s"manifest names missing config file: $configDir/$name"))
+            RuleConfig.parse(text, vars + ("BATCHID" -> b), dict,
+              tables = Some(tables))
+          }
         val out = runBatch(spark, b, rules, tables)
-        publish(spark, dir, b, out)
+        publish(spark, dir, b, out, stores)
         BatchSummary(name, b, skipped = false, out.results.length)
       }
     }
@@ -161,12 +173,13 @@ object CheckRunner {
     * detail tables forever.
     */
   def publish(spark: SparkSession, outDir: String, batchId: String,
-      out: BatchOutput): Unit = {
+      out: BatchOutput,
+      stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): Unit = {
     import spark.implicits._
-    val dir = s"$outDir/batch=$batchId"
-    if (Checkpoint.isDone(spark, dir, "check_result")) return
-    out.checkDetail.foreach(d => Checkpoint.stage(spark, dir, "check_detail")(d))
-    out.codeDetail.foreach(d => Checkpoint.stage(spark, dir, "code_detail")(d))
-    Checkpoint.stage(spark, dir, "check_result")(out.results.toDS().toDF())
+    val store = stores(spark, s"$outDir/batch=$batchId")
+    if (store.isDone("check_result")) return
+    out.checkDetail.foreach(d => store.stage("check_detail")(d))
+    out.codeDetail.foreach(d => store.stage("code_detail")(d))
+    store.stage("check_result")(out.results.toDS().toDF())
   }
 }

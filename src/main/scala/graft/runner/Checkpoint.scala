@@ -3,37 +3,24 @@ package graft.runner
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Resumable stage checkpointing ≈ the reference's per-batch volatile
+/** Static sugar over the default [[SnapshotStore.parquetMarkers]] binding —
+  * resumable stage checkpointing ≈ the reference's per-batch volatile
   * tables + final publish (GQ:665-676,770-787), recast as staged parquet
   * with an explicit completion marker. At production scale this is an
   * Iceberg snapshot commit (north_rule: "resumable from Iceberg snapshot
-  * checkpoints"); the marker-file protocol is the same shape: a stage is
-  * either fully published or invisible.
+  * checkpoints") — the [[SnapshotStore]] trait is the swap point; the
+  * marker-file protocol is the same shape: a stage is either fully
+  * published or invisible.
   */
 object Checkpoint {
 
-  private val Marker = "_GRAFT_DONE"
+  def isDone(spark: SparkSession, dir: String, name: String): Boolean =
+    SnapshotStore.parquetMarkers(spark, dir).isDone(name)
 
-  def isDone(spark: SparkSession, dir: String, name: String): Boolean = {
-    val p = new Path(s"$dir/$name/$Marker")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Run `compute` and publish it under `dir/name`, unless a completed
-    * checkpoint already exists — then read it back instead (resume).
-    * Readers downstream get a materialized frame either way, so a re-run
-    * after failure never recomputes finished stages.
-    */
+  /** See [[SnapshotStore.stage]]. */
   def stage(spark: SparkSession, dir: String, name: String)
-      (compute: => DataFrame): DataFrame = {
-    val path = s"$dir/$name"
-    if (!isDone(spark, dir, name)) {
-      compute.write.mode("overwrite").parquet(path)
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(new Path(s"$path/$Marker"), true).close()
-    }
-    spark.read.parquet(path)
-  }
+      (compute: => DataFrame): DataFrame =
+    SnapshotStore.parquetMarkers(spark, dir).stage(name)(compute)
 
   def clear(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)

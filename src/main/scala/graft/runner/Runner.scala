@@ -31,30 +31,37 @@ object Runner {
       /** opt-in transitive NEAR-DUP dedup stage after the exact one —
         * adds a "verdicts_exact" checkpoint so the fuzzy stage reads a
         * materialized frame (its MinHash builder consumes it repeatedly) */
-      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None): RunReport = {
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None,
+      /** snapshot-store binding — parquet+markers here; an Iceberg
+        * binding is a drop-in swap (see [[SnapshotStore]]) */
+      stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
     import spark.implicits._
+    val store = stores(spark, workDir)
 
     // resume guard: checkpoints computed under a different dedup setting
     // must never be silently reused (a 'verdicts' checkpoint short-circuits
-    // the nearDup branch entirely) — the run config is sealed into the work
-    // dir on first run and every resume must match it
-    guardRunConfig(spark, workDir, renderRunConfig(nearDup))
+    // the nearDup branch entirely) — the run config is sealed into the
+    // store on first run and every resume must match it
+    guardRunConfig(store, workDir, renderRunConfig(nearDup))
 
-    val annotated = Checkpoint.stage(spark, workDir, "annotated") {
+    def stage(name: String)(compute: => DataFrame): DataFrame =
+      store.stage(name)(compute)
+
+    val annotated = stage("annotated") {
       QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg,
         rawKeys = Some(files.toDF().select("repo", "path", "commit")))
     }
     // scoped: the near-dup builders' internal caches are released when the
     // stage's write completes, without evicting any other consumer's frames
     val verdictsDf = graft.util.Caches.scoped {
-      Checkpoint.stage(spark, workDir, "verdicts") {
+      stage("verdicts") {
         // content-dedup after filtering: one survivor per distinct content
         val exact =
           QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
         nearDup match {
           case None => exact
           case Some(mh) =>
-            val staged = Checkpoint.stage(spark, workDir, "verdicts_exact")(exact)
+            val staged = stage("verdicts_exact")(exact)
             QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
         }
       }
@@ -72,8 +79,8 @@ object Runner {
         stats.getLong(0), stats.getLong(2), 0L)) ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
         stats.getLong(0), stats.getLong(3), 0L))
-    if (!Checkpoint.isDone(spark, workDir, "lineage")) {
-      Checkpoint.stage(spark, workDir, "lineage") {
+    if (!store.isDone("lineage")) {
+      stage("lineage") {
         lineage.toDS().toDF()
           .unionByName(
             QualityPipeline.partitionLineage(annotated, runId)
@@ -97,32 +104,23 @@ object Runner {
         s"seed=${m.seed},maxBucket=${m.maxBucket})"
     }
 
-  /** Seal the run config into the work dir on first run; on resume, refuse
+  /** Seal the run config into the store on first run; on resume, refuse
     * to proceed when the flags differ from what the checkpoints were built
     * with — re-running `graft.Main` with a different `--near-dup` setting
     * must fail loudly, not silently reuse stale verdicts (and emit lineage
     * for a stage that never executed).
     */
-  private def guardRunConfig(spark: SparkSession, workDir: String,
-      line: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$workDir/_GRAFT_RUNCONFIG")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val existing =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      if (existing != line)
+  private def guardRunConfig(store: SnapshotStore, workDir: String,
+      line: String): Unit =
+    store.readMeta("RUNCONFIG") match {
+      case Some(existing) if existing != line =>
         throw new IllegalStateException(
           s"work dir $workDir holds checkpoints built with [$existing] but " +
             s"this run asks for [$line] — clear the work dir (or point at a " +
             "fresh one) instead of resuming across dedup settings")
-    } else {
-      val out = fs.create(p, true)
-      try out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      case Some(_) => ()
+      case None => store.writeMeta("RUNCONFIG", line)
     }
-  }
 
   /** Verdicts of a finished (or resumed) run. */
   def verdicts(spark: SparkSession, workDir: String): Dataset[FileVerdict] = {
@@ -136,7 +134,10 @@ object Runner {
     * nothing). Returns the row count it processed.
     */
   def runInMemory(spark: SparkSession, n: Long, seed: Long = 42L,
-      partitions: Int = 0, includeDedup: Boolean = true): Long = {
+      partitions: Int = 0, includeDedup: Boolean = true,
+      /** append the transitive MinHash near-dup stage after the exact one
+        * (the benchmarked analogue of Runner.run's nearDup option) */
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None): Long = {
     val files = CorpusGen.files(spark, n, seed, partitions)
     val verdicts = QualityPipeline.verdicts(QualityPipeline.annotate(
       QualityPipeline.score(files), CorpusGen.commitsDim(spark),
@@ -149,12 +150,24 @@ object Runner {
     } else {
       // dedup consumes its input 3x — materialize once (Runner.run uses a
       // parquet checkpoint for the same reason)
+      import files.sparkSession.implicits._
       val mat = verdicts
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        import files.sparkSession.implicits._
-        QualityPipeline.dedupByContent(mat.as[graft.model.FileVerdict])
-          .toDF().write.format("noop").mode("overwrite").save()
+        val exact = QualityPipeline.dedupByContent(mat.as[graft.model.FileVerdict])
+        nearDup match {
+          case None =>
+            exact.toDF().write.format("noop").mode("overwrite").save()
+          case Some(mh) =>
+            // the near-dup builders consume THEIR input repeatedly too
+            val exactMat = exact.toDF()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try graft.util.Caches.scoped {
+              QualityPipeline
+                .dedupNearDup(exactMat.as[graft.model.FileVerdict], mh)
+                .toDF().write.format("noop").mode("overwrite").save()
+            } finally { exactMat.unpersist(); () }
+        }
       } finally { mat.unpersist(); () }
     }
     n

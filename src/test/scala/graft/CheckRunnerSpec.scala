@@ -184,4 +184,66 @@ class CheckRunnerSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(det === Set(("C", "orph"), ("F", "extra")))
   }
+
+  /** A non-parquet SnapshotStore binding (in-memory frames + markers):
+    * proves the orchestration layer only ever touches the trait, so the
+    * production Iceberg binding is a dependency swap, not a rewrite.
+    * Frames are persisted+counted at publish to honor the "readers get a
+    * materialized frame" contract.
+    */
+  final class MemStore extends graft.runner.SnapshotStore {
+    val frames = scala.collection.mutable.Map[String, DataFrame]()
+    val meta = scala.collection.mutable.Map[String, String]()
+    var computes = 0
+    def isDone(name: String): Boolean = frames.contains(name)
+    def stage(name: String)(compute: => DataFrame): DataFrame =
+      frames.getOrElseUpdate(name, {
+        computes += 1
+        val d = compute.persist(); d.count(); d
+      })
+    def readMeta(key: String): Option[String] = meta.get(key)
+    def writeMeta(key: String, value: String): Unit = meta(key) = value
+  }
+
+  test("SnapshotStore seam: orchestration + pipeline run against a non-parquet binding") {
+    import java.nio.file.{Files, Paths}
+    // one store per root, as a real catalog binding would scope tables
+    val roots = scala.collection.mutable.Map[String, MemStore]()
+    val binding: graft.runner.SnapshotStore.Binding =
+      (_, root) => roots.getOrElseUpdate(root, new MemStore)
+
+    // check orchestration: nothing lands on disk; resume skips via the store
+    val cfgDir = Files.createTempDirectory("graft_cfg_mem").toString
+    val outDir = s"/nonexistent/never_written_${System.nanoTime()}"
+    Files.writeString(Paths.get(cfgDir, "manifest.txt"), "c.txt = 7\n")
+    Files.writeString(Paths.get(cfgDir, "c.txt"),
+      "PK; id=pk1; table=child; cols=k\n")
+    val first = CheckRunner.orchestrateDir(spark, cfgDir, tables, outDir, binding)
+    assert(first === Seq(CheckRunner.BatchSummary("c.txt", "7", false, 1)))
+    val store = roots(s"$outDir/config=c.txt/batch=7")
+    assert(store.isDone("check_result") && store.isDone("check_detail"))
+    assert(store.frames("check_result").count() === 1)
+    val again = CheckRunner.orchestrateDir(spark, cfgDir, tables, outDir, binding)
+    assert(again.forall(_.skipped) && store.computes === 2) // result + detail, once
+
+    // pipeline run: resume short-circuits stages; config guard via store meta
+    import graft.corpus.CorpusGen
+    import graft.runner.Runner
+    val files = CorpusGen.files(spark, 300L)
+    val dim = CorpusGen.commitsDim(spark)
+    val work = s"/nonexistent/run_${System.nanoTime()}"
+    val r1 = Runner.run(spark, files, dim, work, "mem-run", stores = binding)
+    assert(r1.rows > 0)
+    val runStore = roots(work)
+    val computed = runStore.computes
+    val r2 = Runner.run(spark, files, dim, work, "mem-run", stores = binding)
+    assert(r2.rows === r1.rows && runStore.computes === computed) // pure resume
+    val err = intercept[IllegalStateException] {
+      Runner.run(spark, files, dim, work, "mem-run", stores = binding,
+        nearDup = Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.8)))
+    }
+    assert(err.getMessage.contains("checkpoints built with"))
+    runStore.frames.values.foreach(_.unpersist())
+    store.frames.values.foreach(_.unpersist())
+  }
 }
