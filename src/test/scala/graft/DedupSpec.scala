@@ -152,6 +152,31 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.release()
   }
 
+  test("transitive survivors: distributed label propagation ≡ union-find") {
+    // collectPairs=0 forces the distributed loop (checkpoint-truncated
+    // min-label propagation) that production hits above the collect
+    // threshold; it must match the driver-side union-find exactly — on the
+    // chain/star fixture AND on a pseudo-random graph with long chains
+    val rows = (1L to 200L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val rnd = new java.util.SplittableRandom(7L)
+    val randomPairs = (1 to 150).map { _ =>
+      val a = rnd.nextLong(1L, 201L); val b = rnd.nextLong(1L, 201L)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2)
+    for (pairSet <- Seq(
+        Seq((1L, 3L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L)),
+        randomPairs)) {
+      val pairs = pairSet.toDF("id_a", "id_b")
+      val viaUnionFind = Dedup.survivorsFromPairsTransitive(rows, "id", pairs)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val viaLabelProp = Dedup.survivorsFromPairsTransitive(rows, "id", pairs,
+          collectPairs = 0L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaLabelProp === viaUnionFind)
+      graft.util.Caches.release()
+    }
+  }
+
   test("transitive survivors: empty pair set keeps everything") {
     val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
