@@ -315,6 +315,13 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
+    // Gopher-style repetition signals (duplicate-line stats + boilerplate
+    // line shapes) — exact counts so the cross-engine compare is integral
+    "q_text_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id") +: graft.text.TextAnalysis
+          .repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))),
     // the QUERY aggregates the custom codegen Expression route (stays in
     // whole-stage codegen); the equivalent TYPED route's per-fingerprint
     // rows are dumped to the oracle aux path, and DuckDB re-aggregates that
@@ -846,6 +853,25 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents ORDER BY doc_id"""),
+    "q_text_repetition" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_filter(
+               list_transform(string_split(coalesce(text, ''), chr(10)),
+                              l -> trim(l)),
+               l -> length(l) > 0) AS ls
+           FROM documents)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_line_extra,
+           CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)
+             AS BIGINT) AS line_chars,
+           CAST(len(list_filter(ls,
+             l -> substring(l, 1, 1) IN ('-', '*', '•'))) AS BIGINT)
+             AS n_bullet_lines,
+           CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS BIGINT)
+             AS n_ellipsis_lines
+         FROM d ORDER BY doc_id""",
     "q_check_batch" ->
       """WITH pkc AS (
            SELECT CAST(coalesce(sum(cnt),0) AS BIGINT) a,

@@ -65,6 +65,40 @@ object TextAnalysis {
     df.withColumns(qualityMetrics(col(textCol)).toMap)
       .withColumn("quality_score", qualityScore)
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    * the public quality-filter recipe): duplicate-line statistics plus
+    * boilerplate line shapes (bullet lists, ellipsis endings). Pure
+    * higher-order Column expressions over the split-lines array — one
+    * projection, whole-stage codegen, no UDF. Emitted as EXACT counts
+    * (BIGINT); consumers derive the fractions — and the DuckDB oracle
+    * compares integers, never floats (memory: oracle-float-parity).
+    *
+    * A line = a `\n` segment, trimmed, non-empty. "dup extra" counts
+    * instances beyond each distinct line's first occurrence — the
+    * numerator of Gopher's duplicate-line fraction with `n_lines` the
+    * denominator.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val lines = filter(
+      transform(split(coalesce(text, lit("")), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_dup_line_extra" ->
+        (size(lines) - size(array_distinct(lines))).cast("long"),
+      "line_chars" ->
+        aggregate(lines, lit(0L), (a, l) => a + length(l)),
+      "n_bullet_lines" ->
+        size(filter(lines, l => substring(l, 1, 1).isin("-", "*", "•")))
+          .cast("long"),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => l.endsWith("..."))).cast("long"))
+  }
+
+  /** Attach repetition signals to a frame. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame =
+    df.withColumns(repetitionMetrics(col(textCol)).toMap)
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** Winnowing: rolling k-gram hashes, keep the min of each window of w;

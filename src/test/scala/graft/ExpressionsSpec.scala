@@ -82,4 +82,42 @@ class ExpressionsSpec extends SparkSpec {
     graft.functions.Fnv64(
       org.apache.spark.sql.catalyst.expressions.Literal(s))
       .eval(null).asInstanceOf[Long]
+
+  test("repetitionMetrics: Column results match a plain-Scala oracle") {
+    val texts = Seq(
+      "a\nb\na\n\n  \nb\nc",            // dups a,b; blanks dropped
+      "- one\n* two\n• three\nplain",   // 3 bullet lines
+      "wait...\nno\ntrailing...",       // 2 ellipsis lines
+      "same\nsame\nsame",               // one line tripled
+      "",                               // empty doc
+      null.asInstanceOf[String],        // null doc
+      "   padded   \npadded")           // trim folds these together
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +:
+        TextAnalysis.repetitionMetrics(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    def oracle(t: String) = {
+      val ls = Option(t).getOrElse("").split("\n", -1).map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      (ls.size.toLong, (ls.size - ls.distinct.size).toLong,
+        ls.map(_.length.toLong).sum,
+        ls.count(l => "-*•".contains(l.head)).toLong,
+        ls.count(_.endsWith("...")).toLong)
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === oracle(t), s"doc $i")
+    }
+    // sanity on the fixture's intent, not just oracle agreement
+    assert(got(0L) === ((5L, 2L, 5L, 0L, 0L))) // lines a,b,a,b,c
+    assert(got(1L)._4 === 3L)
+    assert(got(2L)._5 === 2L)
+    assert(got(3L) === ((3L, 2L, 12L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(6L) === ((2L, 1L, 12L, 0L, 0L)))
+  }
 }
