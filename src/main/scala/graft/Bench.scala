@@ -82,6 +82,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // headroom for intended id-set broadcasts at n=3M (the 1g default is
+      // sized for spark-submit drivers, not a 16g local-mode JVM)
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

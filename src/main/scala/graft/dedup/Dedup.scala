@@ -237,6 +237,35 @@ object Dedup {
     * distinct pairs → signature comparison (estimate = fraction of equal
     * components). Returns (id_a, id_b, est_jaccard) with est ≥ threshold.
     */
+  /** Candidate sets up to this many pairs take the broadcast/shuffle-hash
+    * signature-fetch plan (candidate ids broadcast ≈ 16 B/pair); bigger
+    * sets fall back to sort-merge joins, which spill at any size.
+    */
+  val BroadcastCandPairs = 1000000L
+
+  /** Join a (id_a, id_b) candidate frame to per-id payload sides `sa`/`sb`
+    * with an EXPLICITLY chosen strategy. Left to static estimates the
+    * planner can broadcast the wrong side: synthesized corpora descend
+    * from `spark.range`, whose leaf stats say "a few MB", so a
+    * KiB-per-row signature/vector table looks broadcastable and the
+    * broadcast build collects gigabytes into the driver at scale. Here
+    * the ids-only candidate side is the one that may broadcast — never
+    * the payload table — and beyond [[BroadcastCandPairs]] everything is
+    * sort-merge (spills at any size). `cand` must be cached by the
+    * caller; the count that picks the strategy doubles as its
+    * materialization.
+    */
+  private[graft] def fetchPairSides(cand: DataFrame, sa: DataFrame,
+      sb: DataFrame): DataFrame = {
+    val small = cand.count() <= BroadcastCandPairs
+    val withA = (if (small) broadcast(cand) else cand.hint("merge"))
+      .join(sa, "id_a")
+    // join 2's build side carries the first payload (~KiB/row): hash-build
+    // only while bounded by the pair cap, sort-merge beyond it
+    (if (small) withA.hint("shuffle_hash") else withA.hint("merge"))
+      .join(sb, "id_b")
+  }
+
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
@@ -247,12 +276,25 @@ object Dedup {
       dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket))
     val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val cand = left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // merge hint: both sides of a band self-join are data-sized; left to
+    // static estimates (range-derived corpora report a few MB at the leaf)
+    // the planner broadcasts one side and the build collect kills the
+    // driver at scale. Sort-merge spills at any size; AQE still handles
+    // skewed buckets.
+    val cand = graft.util.Caches.track(
+      left.hint("merge").join(right, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    // materialize + count to pick the signature-fetch strategy EXPLICITLY.
+    // Left to static estimates the planner can broadcast the wrong side:
+    // synthesized corpora descend from spark.range, whose leaf stats say
+    // "a few MB", so the 1 KiB/row SIGNATURE table looks broadcastable and
+    // the build collect blows the driver's result-size cap at scale. The
+    // ids-only candidate side is the one that may broadcast; the sig table
+    // never.
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+    fetchPairSides(cand, sa, sb)
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -443,7 +485,9 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    // merge hint: see minHashPairs — self-join sides must never broadcast
+    l.hint("merge").join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
@@ -471,17 +515,21 @@ object Dedup {
       .flatMap { case (id, t) => shingles(t, n).map(g => (id, g)) }
       .toDF(idCol, "g")
     val sizes = graft.util.Caches.track(sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz")))
-    val capped = sh.join(
+    val capped = sh.hint("merge").join(
       sh.groupBy("g").agg(count(lit(1)).as("freq"))
         .filter(col("freq") <= maxPostings && col("freq") > 1)
         .select("g"),
       Seq("g"))
     val l = capped.select(col("g"), col(idCol).as("id_a"))
     val r = capped.select(col("g"), col(idCol).as("id_b"))
-    val common = l.join(r, Seq("g")).filter(col("id_a") < col("id_b"))
+    // merge hints throughout: postings/self-join sides are data-sized and
+    // must never be statically broadcast (see minHashPairs)
+    val common = l.hint("merge").join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    common
+    common.hint("merge")
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .hint("merge")
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")))
@@ -520,13 +568,15 @@ object Dedup {
     val r = index.select(col("g"), col(idCol).as("id_b"), col("sz").as("sz_b"))
     // length filter: jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune candidates
     // on two ints before touching the full shingle arrays
-    val cand = l.join(r, Seq("g")).filter(col("id_a") < col("id_b") &&
+    val cand = graft.util.Caches.track(
+      l.hint("merge").join(r, Seq("g")).filter(col("id_a") < col("id_b") &&
         col("sz_a") >= col("sz_b") * threshold &&
         col("sz_b") >= col("sz_a") * threshold)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct())
     val da = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cand.join(da, "id_a").join(db, "id_b")
+    // the shingle-array sides must never be the broadcast build
+    fetchPairSides(cand, da, db)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -231,14 +231,17 @@ object Similarity {
       maxBucket)
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = graft.util.Caches.track(
+      l.hint("merge").join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
     val sa = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       col("__sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       col("__sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
+    // explicit ids-broadcast / sort-merge strategy — the vector sides must
+    // never be the broadcast build (see Dedup.fetchPairSides)
+    graft.dedup.Dedup.fetchPairSides(cand, sa, sb)
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= hMax)
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cos"))
