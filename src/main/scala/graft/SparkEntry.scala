@@ -245,6 +245,28 @@ object SparkEntry {
         .filter(col("id_a") < 1000000L && col("id_b") - col("id_a") === 1000000L)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"))),
+    // the transitive-closure SURVIVOR SELECTION gets its own cross-engine
+    // oracle: Spark dumps the LSH pair set, derives the losers through
+    // survivorsFromPairsTransitive (union-find / label propagation), and
+    // DuckDB independently re-derives the connected components from the
+    // SAME dumped pairs with a recursive CTE — a divergence in closure
+    // reachability or the min-id survivor rule hash-mismatches
+    "q_neardup_losers" -> ((s, dir) => {
+      val pairs = graft.dedup.Dedup.minHashPairs(dupedDocs(s, dir),
+        "id", "text", graft.dedup.Dedup.MinHashConfig(threshold = 0.8))
+        .select(col("id_a"), col("id_b"))
+      val aux = s"$OracleAuxDir/neardup_pairs"
+      pairs.coalesce(1).write.mode("overwrite").parquet(aux)
+      val p = s.read.parquet(aux)
+      val participants = p.select(col("id_a").as("id"))
+        .unionByName(p.select(col("id_b").as("id"))).distinct()
+      val survivors = graft.dedup.Dedup
+        .survivorsFromPairsTransitive(participants, "id", p)
+        .select(col("id").as("__surv"))
+      participants.join(survivors, col("id") === col("__surv"), "left_anti")
+        .select(col("id").cast("bigint").as("loser_id"))
+        .orderBy("loser_id")
+    }),
     "q_dedup_ngram" -> ((s, dir) =>
       // prefix-filtered variant — same answers as the full inverted index,
       // a fraction of the join volume (the 100 TB path)
@@ -778,6 +800,18 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS id_a,
          CAST(doc_id + 1000000 AS BIGINT) AS id_b
          FROM documents ORDER BY id_a""",
+    "q_neardup_losers" ->
+      """WITH RECURSIVE p AS (
+           SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+           FROM read_parquet('/tmp/graft_oracle_aux/neardup_pairs/*.parquet')),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id)
+         SELECT id AS loser_id FROM reach GROUP BY id HAVING min(lbl) <> id
+         ORDER BY loser_id""",
     "q_ann_lsh" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id = 0),
