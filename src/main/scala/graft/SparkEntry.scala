@@ -337,6 +337,33 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
+    // deterministic corpus sampling: the decision hash is dumped for every
+    // row, the QUERY applies Spark's selection (rate predicate / salted
+    // two-phase quota window), and DuckDB re-applies the selection RULE to
+    // the same dumped hashes — any divergence in the predicate, the modulo
+    // sign handling, or the two-phase == direct-window equivalence
+    // hash-mismatches
+    "q_sample_rate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val aux = s"$OracleAuxDir/sample_hash"
+      docs.select(col("doc_id"),
+        graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.sampling.Sampling.hashRateSample(docs, 0.3, seed = 7L, col("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+    "q_sample_quota" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val aux = s"$OracleAuxDir/quota_hash"
+      docs.select(col("doc_id"), col("lang"),
+        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.sampling.Sampling.quotaPerStratum(docs, Seq("lang"), k = 25,
+        tieCols = Seq("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition signals (duplicate-line stats + boilerplate
     // line shapes) — exact counts so the cross-engine compare is integral
     "q_text_repetition" -> ((s, dir) =>
@@ -887,6 +914,17 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents ORDER BY doc_id"""),
+    "q_sample_rate" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id
+         FROM read_parquet('/tmp/graft_oracle_aux/sample_hash/*.parquet')
+         WHERE ((h % 1000000) + 1000000) % 1000000 < 300000
+         ORDER BY doc_id""",
+    "q_sample_quota" ->
+      """WITH ranked AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           FROM read_parquet('/tmp/graft_oracle_aux/quota_hash/*.parquet'))
+         SELECT doc_id, lang FROM ranked WHERE rn <= 25 ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH d AS (
            SELECT doc_id,

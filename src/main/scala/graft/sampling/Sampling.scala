@@ -1,0 +1,79 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines. Subsetting a
+  * 100 TB corpus must be REPRODUCIBLE: the selection has to be a pure
+  * function of row identity — never of partition layout, task scheduling,
+  * or an RNG stream — so a resumed run, a re-run at different parallelism,
+  * and a verification job all pick the identical subset
+  * (`df.sample()` guarantees none of that: it is seeded per-partition).
+  *
+  * Two primitives cover the common shapes:
+  *  - [[hashRateSample]] — "keep p% of rows / of groups": map-side only,
+  *    no shuffle, exact in expectation with binomial deviation;
+  *  - [[quotaPerStratum]] — "at most k rows per language/source":
+  *    uniform-within-stratum top-k by hash order, two-phase salted so a
+  *    mega-stratum (half the web is English) never lands on one reducer.
+  */
+object Sampling {
+
+  /** The hash every sampling decision derives from: 64-bit mixed, seeded,
+    * uniform across its low digits. Exposed so dumps/oracles can carry
+    * the decision input alongside the decision.
+    */
+  def sampleHash(seed: Long, keys: Seq[Column]): Column =
+    xxhash64(lit(seed) +: keys: _*)
+
+  private val RateDenom = 1000000L
+
+  /** Keep a row iff `hash(seed, keys) mod 1e6 < rate·1e6` — selection is a
+    * pure per-row predicate (map-side, codegen, no shuffle, no state).
+    * Sampling UNITS are whatever `keys` identify: pass a document id for
+    * per-row sampling, or (repo) to keep or drop whole repositories
+    * together (group-coherent sampling — the standard trick for
+    * train/holdout splits that must not leak near-duplicates across the
+    * boundary).
+    */
+  def hashRateSample(df: DataFrame, rate: Double, seed: Long,
+      keys: Column*): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    val threshold = math.round(rate * RateDenom)
+    df.filter(pmod(sampleHash(seed, keys), lit(RateDenom)) < lit(threshold))
+  }
+
+  /** At most `k` rows per stratum, chosen uniformly within the stratum by
+    * hash order (ties broken by the tie columns themselves, so the result
+    * is total-ordered and deterministic).
+    *
+    * Two-phase against stratum skew: phase 1 takes a per-(stratum, salt)
+    * top-k — the salt is derived from the SAME hash, so every salt
+    * bucket's local top-k is a superset of the global top-k's members in
+    * that bucket — then phase 2 reduces the ≤ k·saltBuckets survivors per
+    * stratum to the true top-k. A mega-stratum spreads over `saltBuckets`
+    * reducers in the expensive pass; the final pass sees at most
+    * k·saltBuckets rows per stratum.
+    */
+  def quotaPerStratum(df: DataFrame, stratumCols: Seq[String], k: Int,
+      tieCols: Seq[String], seed: Long = 42L,
+      saltBuckets: Int = 16): DataFrame = {
+    require(k > 0, s"quota k=$k must be positive")
+    require(saltBuckets > 0, s"saltBuckets=$saltBuckets must be positive")
+    val h = sampleHash(seed, tieCols.map(col))
+    val ordering = col("__sh").asc +: tieCols.map(col(_).asc)
+    val salted = df.withColumn("__sh", h)
+      .withColumn("__salt", pmod(col("__sh"), lit(saltBuckets.toLong)))
+    val phase1 = salted
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((stratumCols.map(col) :+ col("__salt")): _*)
+          .orderBy(ordering: _*)))
+      .filter(col("__rn") <= k).drop("__rn")
+    phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCols.map(col): _*).orderBy(ordering: _*)))
+      .filter(col("__rn") <= k)
+      .drop("__rn", "__sh", "__salt")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.sampling.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = (1L to 4000L).map { i =>
+    (i, s"repo${i % 37}", if (i % 5 == 0) "py" else if (i % 3 == 0) "go" else "sc")
+  }.toDF("id", "repo", "lang")
+
+  test("hashRateSample: partition-layout independent, rate within binomial bounds") {
+    val a = Sampling.hashRateSample(docs, 0.3, seed = 7L, col("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.hashRateSample(docs.repartition(13, col("lang")), 0.3,
+      seed = 7L, col("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b) // identical subset at any layout
+    // 4000 Bernoulli(0.3) draws: mean 1200, sd ~29 — 6 sd ≈ ±174
+    assert(math.abs(a.size - 1200) < 175, s"selected ${a.size}")
+    // different seed = a genuinely different subset
+    val c = Sampling.hashRateSample(docs, 0.3, seed = 8L, col("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(c !== a)
+  }
+
+  test("hashRateSample keyed by repo keeps or drops whole repos together") {
+    val kept = Sampling.hashRateSample(docs, 0.4, seed = 1L, col("repo"))
+      .select("repo", "id").collect().map(r => r.getString(0)).toSet
+    val all = docs.select("repo").distinct().collect().map(_.getString(0)).toSet
+    // every kept repo is COMPLETE: its row count matches the full corpus
+    val keptCounts = Sampling.hashRateSample(docs, 0.4, seed = 1L, col("repo"))
+      .groupBy("repo").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullCounts = docs.groupBy("repo").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptCounts.foreach { case (repo, n) => assert(n === fullCounts(repo), repo) }
+    assert(kept.nonEmpty && kept.size < all.size)
+  }
+
+  test("quotaPerStratum: exact quota, deterministic, salted == direct window") {
+    val q = Sampling.quotaPerStratum(docs, Seq("lang"), k = 50, Seq("id"))
+    val counts = q.groupBy("lang").count().collect()
+      .map(r => r.getString(r.fieldIndex("lang")) -> r.getLong(r.fieldIndex("count"))).toMap
+    assert(counts.values.forall(_ == 50L)) // every stratum larger than k
+    // small stratum: quota larger than the stratum keeps everything
+    val tiny = Sampling.quotaPerStratum(docs.filter(col("id") <= 10),
+      Seq("lang"), k = 50, Seq("id"))
+    assert(tiny.count() === 10L)
+    // the salted two-phase selection equals a DIRECT single window — the
+    // skew defense must not change WHICH rows are chosen
+    val h = Sampling.sampleHash(42L, Seq(col("id")))
+    val direct = docs.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__h").asc, col("id").asc)))
+      .filter(col("__rn") <= 50).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val salted = q.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(salted === direct)
+    // and is independent of the input partitioning
+    val reparted = Sampling.quotaPerStratum(docs.repartition(17),
+      Seq("lang"), k = 50, Seq("id")).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(reparted === direct)
+  }
+}
