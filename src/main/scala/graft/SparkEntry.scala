@@ -337,6 +337,23 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
+    // benchmark decontamination (8-gram collision vs an eval set): the
+    // shingle sets are dumped and DuckDB independently recomputes the
+    // semi-join + hit counts + flag — cross-checks the join/agg/flag logic
+    // over identical shingle input. Benchmark = every 50th document.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleAuxDir/decon_doc")
+      graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
+        .select("shingle").distinct().coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleAuxDir/decon_bench")
+      graft.text.Decontaminate
+        .contaminationFlags(docs, "doc_id", "text", bench, "text")
+        .orderBy("doc_id")
+    }),
     // deterministic corpus sampling: the decision hash is dumped for every
     // row, the QUERY applies Spark's selection (rate predicate / salted
     // two-phase quota window), and DuckDB re-applies the selection RULE to
@@ -914,6 +931,22 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents ORDER BY doc_id"""),
+    "q_decontaminate" ->
+      """WITH ds AS (
+           SELECT doc_id, shingle
+           FROM read_parquet('/tmp/graft_oracle_aux/decon_doc/*.parquet')),
+         bs AS (
+           SELECT DISTINCT shingle
+           FROM read_parquet('/tmp/graft_oracle_aux/decon_bench/*.parquet')),
+         hits AS (
+           SELECT doc_id, count(*) AS n_hits FROM ds
+           WHERE shingle IN (SELECT shingle FROM bs)
+           GROUP BY doc_id)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY doc_id""",
     "q_sample_rate" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id
          FROM read_parquet('/tmp/graft_oracle_aux/sample_hash/*.parquet')
