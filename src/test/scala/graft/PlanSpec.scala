@@ -66,6 +66,35 @@ class PlanSpec extends SparkSpec {
       s"UDF leaked into the hot path:\n$s")
   }
 
+  test("hashRateSample is map-side: a pure filter, no Exchange in the plan") {
+    import org.apache.spark.sql.functions.col
+    val s = plan(graft.sampling.Sampling.hashRateSample(
+      tbl("documents"), 0.3, seed = 7L, col("doc_id")))
+    assert(!s.contains("Exchange"), s"sampling predicate shuffled:\n$s")
+    assert(s.contains("Filter"), s"no filter in plan:\n$s")
+  }
+
+  test("decontamination probes via broadcast; corpus side never broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val docs = tbl("documents").select(col("doc_id"), col("text"))
+    val s = plan(graft.text.Decontaminate.contaminationFlags(
+      docs, "doc_id", "text", docs.filter(col("doc_id") % 50 === 0), "text"))
+    // the benchmark shingle set is the build side of a broadcast semi-join
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"benchmark shingles not broadcast:\n$s")
+  }
+
+  test("band self-joins honor the merge hint (never a static broadcast)") {
+    import org.apache.spark.sql.functions.col
+    // a range-derived frame reports tiny leaf stats — exactly the shape
+    // that once made the planner broadcast a data-sized self-join side
+    val docs = spark.range(500).selectExpr("id",
+      "repeat(concat('word', cast(id % 7 as string), ' '), 30) as text")
+    val s = plan(graft.dedup.Dedup.minHashPairs(docs, "id", "text"))
+    assert(s.contains("SortMergeJoin"),
+      s"band self-join lost its merge hint:\n$s")
+  }
+
   test("fused batch counts: one plan, no cartesian beyond 1-row scalars") {
     val rules = Vector[Rule](
       PkRule("pk", "orders", Seq("o_custkey")),
