@@ -196,10 +196,10 @@ object Bench {
         }.max
       } finally s.stop()
     }
-    // 2nd-highest round = robust capacity (see scaladoc)
+    // 2nd-highest round = robust capacity (see scaladoc); -1 = not measured
     def capacity(xs: Seq[Double]): Double = {
       val d = xs.sortBy(-_)
-      if (d.length >= 2) d(1) else d.head
+      if (d.length >= 2) d(1) else if (d.nonEmpty) d.head else -1.0
     }
     // measured runs per session sized so each level costs similar wall
     // time (narrow runs are long); the widest level is the most
@@ -219,18 +219,22 @@ object Bench {
     }
     // control series: 2 rounds over the same levels (enough for the
     // 2nd-highest estimator; the control verdict is a ratio comparison,
-    // not a headline number)
+    // not a headline number). SCALE_ONLY iteration skips it — and the
+    // dedup/near-dup series below — so the fast loop stays bounded by
+    // SPARK_GRAFT_BENCH_SCALE_BUDGET; skipped series report -1.
     val ctlByLevel = scala.collection.mutable.LinkedHashMap(
       levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
-    (1 to 2).foreach { _ =>
+    if (!scaleOnly) (1 to 2).foreach { _ =>
       levels.foreach(c => ctlByLevel(c) += controlBest(c, runs = 2))
     }
     val tp = levels.map(c => c -> capacity(byLevel(c).toSeq)).toMap
     val ctl = levels.map(c => c -> capacity(ctlByLevel(c).toSeq)).toMap
     // two sessions, best kept — a single session is exposed to one
     // contention window (observed 6x swings); not gated, but reported
-    val tpFull = math.max(sessionBest(cpus, dedup = true, runs = 2),
-      sessionBest(cpus, dedup = true, runs = 1))
+    val tpFull =
+      if (scaleOnly) -1.0
+      else math.max(sessionBest(cpus, dedup = true, runs = 2),
+        sessionBest(cpus, dedup = true, runs = 1))
     // near-dup stage appended (exact dedup + MinHash/LSH + transitive
     // closure) — the flagship fuzzy-dedup cost at bench scale. MinHash over
     // every kept document is minutes per run at n=3M, so this is a
@@ -239,8 +243,10 @@ object Bench {
     val nearDupCfg = Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.8))
     val nearDupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_NEARDUP_ROWS",
       n.toString).toLong
-    val tpNearDup = sessionBest(cpus, dedup = true, runs = 1,
-      nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
+    val tpNearDup =
+      if (scaleOnly) -1.0
+      else sessionBest(cpus, dedup = true, runs = 1,
+        nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
     val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
     // a measured eff > 1.0 is a noise artifact by definition (you cannot
     // beat linear scaling on identical work) — the headline is clamped,
@@ -266,12 +272,15 @@ object Bench {
       f""""control_rows_per_sec_n$c":${ctl(c)}%.1f,"control_rounds_n$c":${arr(ctlByLevel(c).toSeq)}""")
       .mkString(",")
     val ctlEff =
-      (ctl(midCpus) / ctl(lowCpus)) / (midCpus.toDouble / lowCpus)
+      if (ctl(midCpus) <= 0 || ctl(lowCpus) <= 0) -1.0
+      else (ctl(midCpus) / ctl(lowCpus)) / (midCpus.toDouble / lowCpus)
     // the saturated pair exists only when the top level is distinct
     val satJson =
       if (cpus > midCpus) {
         val effSat = (tp(cpus) / tp(midCpus)) / (cpus.toDouble / midCpus)
-        val ctlSat = (ctl(cpus) / ctl(midCpus)) / (cpus.toDouble / midCpus)
+        val ctlSat =
+          if (ctl(cpus) <= 0 || ctl(midCpus) <= 0) -1.0
+          else (ctl(cpus) / ctl(midCpus)) / (cpus.toDouble / midCpus)
         f""","scaling_saturated_n_low":$midCpus,"scaling_saturated_n_high":$cpus,""" +
           f""""scaling_efficiency_saturated":$effSat%.3f,""" +
           f""""control_efficiency_saturated":$ctlSat%.3f"""

@@ -578,6 +578,13 @@ object SparkEntry {
     import java.nio.file.{Files, Paths}
     import graft.config.Workbook._
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_wb_fixture")
+    // recreate from scratch: a stale sheet from an earlier code version
+    // would silently SHADOW the current fixture (the Chinese filename wins
+    // over an ASCII alias), making the gate test content invisible in source
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.delete(p); () })
+    }
     Files.createDirectories(dir)
     def cell(c: String) =
       if (c.exists("\",\n".contains(_))) "\"" + c.replace("\"", "\"\"") + "\""

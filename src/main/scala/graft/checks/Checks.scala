@@ -247,9 +247,17 @@ object Checks {
       .withColumn("prev_end", lag(col("__zc_end"), 1).over(wLocal))
     val localViol =
       col("prev_end").isNotNull && col("__zc_start") < col("prev_end")
-    // (2) boundary pass over segment summaries (≤ P rows per key)
+    // (2) boundary pass over segment summaries (≤ P rows per key).
+    // __first_start must be the start of the segment's FIRST ROW IN ORDER,
+    // not min(start): nulls sort first, so a segment whose first row has a
+    // null start has first_start = NULL (min() would skip it and compare
+    // the smallest NON-null start — counting a boundary violation the
+    // plain path's `null < prev_end` never does). count(col) counts
+    // non-nulls, so "any null start present" ⇔ the in-order first row is
+    // a null-start row.
     val seg = withPid.groupBy(keyRefs :+ col("__pid"): _*)
-      .agg(min(col("__zc_start")).as("__first_start"),
+      .agg(when(count(col("__zc_start")) < count(lit(1)), lit(null))
+          .otherwise(min(col("__zc_start"))).as("__first_start"),
         max_by(col("__zc_end"), struct(orderRefs: _*)).as("__last_end"))
     val wSeg = Window.partitionBy(keyRefs: _*).orderBy(col("__pid"))
     val boundaryViol = seg
@@ -261,17 +269,22 @@ object Checks {
         coalesce(sum(when(localViol, 1L)), lit(0L)).as("__lv"))
       .crossJoin(boundaryViol.agg(count(lit(1)).as("__bv")))
       .select(col("all_cnt"), (col("__lv") + col("__bv")).as("failed_cnt"))
-    // violations = local violators ∪ the boundary segments' first rows
-    // (recovered by a semi-join on (key, pid, start); boundary sets are
-    // violation-sized → broadcast)
+    // violations = local violators ∪ the boundary segments' first rows.
+    // The first row is recovered by row_number=1 in the SAME window the
+    // local lag uses — exactly one row per boundary segment (joining on
+    // start == first_start instead would return every row tying on the
+    // minimal start, double-reporting ties that are also local
+    // violations). Boundary sets are violation-sized → broadcast.
     val bSel = boundaryViol.select(
       keyRefs.zipWithIndex.map { case (k, i) => k.as(s"__b_k$i") } :+
-        col("__pid").as("__b_pid") :+ col("__first_start").as("__b_start"): _*)
+        col("__pid").as("__b_pid"): _*)
     val bCond = ((0 until nKeys).map(i =>
       col(s"__zc_k$i") <=> col(s"__b_k$i")) :+
-      (col("__pid") === col("__b_pid")) :+
-      (col("__zc_start") === col("__b_start"))).reduce(_ && _)
-    val bRows = withPid.join(broadcast(bSel), bCond, "left_semi")
+      (col("__pid") === col("__b_pid"))).reduce(_ && _)
+    val firstRows = withPid
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bRows = firstRows.join(broadcast(bSel), bCond, "left_semi")
     val viol = local.filter(localViol).drop("prev_end").unionByName(bRows)
     val projCols = keyRefs ++ Seq(col("__zc_start"), col("__zc_end"))
     val nSample = math.min(projCols.length, MaxSampleCols)

@@ -113,15 +113,18 @@ object Workbook {
   private def tableOf(dbNm: String, tabNm: String): String =
     if (dbNm.isEmpty) tabNm else s"${db(dbNm)}.$tabNm"
 
-  /** Only exactly-'Y' runs (GQ:994 et al). */
+  /** Only exactly-'Y' runs (GQ:994 `if 'Y' == runInd` — case-sensitive;
+    * 'y' does NOT run in the reference and must not run here).
+    */
   private def runInd(v: String): String =
-    if (v.equalsIgnoreCase("Y")) "Y" else "N"
+    if (v == "Y") "Y" else "N"
 
-  /** Strict unless exactly 'Y' (GQ:2591). Emitted only when strict —
-    * the canonical line's default is the guard ON.
+  /** Strict unless exactly 'Y' (GQ:2591, case-sensitive like runInd).
+    * Emitted only when strict — the canonical line's default is the
+    * guard ON.
     */
   private def isEmptyField(v: String): String =
-    if (v.equalsIgnoreCase("Y")) "" else "; isEmpty=N"
+    if (v == "Y") "" else "; isEmpty=N"
 
   private def opt(k: String, v: String): String =
     if (v.isEmpty) "" else s"; $k=$v"

@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // dump-based queries EAGERLY write their oracle aux parquet when the
+    // query fn is constructed — keep those writes away from the Verify
+    // dump the driver's DuckDB compare reads (same defense as Bench)
+    System.setProperty("graft.oracle.aux", "/tmp/graft_planaudit_aux")
     val sfDir = args(0)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -121,6 +121,39 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.zc(parsed.copy(table = "t"), df).counts() === ((400L, 359L)))
   }
 
+  test("ZC skew-safe: null starts match the plain path across boundaries") {
+    // null starts sort FIRST; the plain path's `null < prev_end` is never
+    // a violation. A segment whose in-order first row has a null start
+    // must report first_start = NULL (not the min non-null start), or the
+    // boundary pass counts violations the plain path doesn't.
+    val rows = (0 until 60).map(i => ("K", Integer.valueOf(i * 2), i * 2 + 3)) ++
+      (0 until 12).map(i => ("K", null.asInstanceOf[Integer], 1000 + i))
+    val df = rows.toDF("k", "st", "en")
+    val rule = ZcRule("zn", "t", Seq("k"), "st", "en", orderTiebreak = Seq("en"))
+    val plain = Checks.zc(rule, df)
+    // several partition counts so null runs straddle different boundaries
+    Seq(3, 4, 7).foreach { p =>
+      val safe = Checks.zcSkewSafe(rule, df, numPartitions = p)
+      assert(safe.counts() === plain.counts(), s"numPartitions=$p")
+    }
+  }
+
+  test("ZC skew-safe: ties on the minimal start are not double-reported") {
+    // two rows tying on a segment's first start: the boundary recovery
+    // must return exactly ONE row per violating segment, and the viol
+    // frame's row count must equal failed_cnt (plain-path invariant)
+    val hot = (0 until 200).flatMap(i =>
+      Seq(("T", i * 2, i * 2 + 3), ("T", i * 2, i * 2 + 1))) // tied starts
+    val df = hot.toDF("k", "st", "en")
+    val rule = ZcRule("zt", "t", Seq("k"), "st", "en", orderTiebreak = Seq("en"))
+    val plain = Checks.zc(rule, df)
+    val safe = Checks.zcSkewSafe(rule, df, numPartitions = 5)
+    assert(safe.counts() === plain.counts())
+    val (_, failed) = safe.counts()
+    assert(safe.violations.count() === failed,
+      "violation rows must equal failed_cnt")
+  }
+
   test("VC: isEmpty guard exempts empty/null values (GQ:565-574)") {
     val df = Seq("ok", "bad", "", null.asInstanceOf[String]).toDF("c")
     val guarded = Checks.domain(
