@@ -337,6 +337,22 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
+    // NFC text normalization (codegen NfcNormalize Expression + control
+    // strip + whitespace squash) — a TRUE cross-engine oracle: DuckDB's
+    // independent nfc_normalize + RE2 regexp_replace must produce the
+    // byte-identical cleaned string. The appended suffix carries a
+    // combining acute (e + U+0301), a NUL, and a tab run, so NFC
+    // composition, control stripping, and squashing are each exercised on
+    // every row, not just on accidental corpus content. The control probe
+    // is \u0001, not NUL: DuckDB truncates varchar values at a NUL byte,
+    // which would silently shorten the oracle side.
+    "q_text_clean" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        graft.text.TextAnalysis.cleanText(
+          concat(col("text"), lit(" cafe\u0301 \u0001x\t\ty ")))
+          .as("cleaned"))
+        .orderBy("doc_id")),
     // benchmark decontamination (8-gram collision vs an eval set): the
     // shingle sets are dumped and DuckDB independently recomputes the
     // semi-join + hit counts + flag — cross-checks the join/agg/flag logic
@@ -938,6 +954,14 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents ORDER BY doc_id"""),
+    "q_text_clean" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(regexp_replace(
+           nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(1) ||
+             'x' || chr(9) || chr(9) || 'y '),
+           '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
+           '[ \t]+', ' ', 'g')) AS cleaned
+         FROM documents ORDER BY doc_id""",
     "q_decontaminate" ->
       """WITH ds AS (
            SELECT doc_id, shingle

@@ -63,6 +63,40 @@ case class Fnv64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a codegen'd expression: string → string.
+  * The canonical pre-dedup text normalization (composed forms make
+  * byte-level dedup/hashing see "é" and "e"+combining-acute as the same
+  * document). Fast path: `Normalizer.isNormalized` is a cheap scan and
+  * virtually all real text IS already NFC, so the common case allocates
+  * nothing and returns the input UTF8String as-is.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static kernel shared by eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object expressions {
 
   /** Column-level entry points (usable without SQL registration). */
@@ -74,6 +108,9 @@ object expressions {
   def fnv64(c: Column): Column =
     Bridge.column(Fnv64(Bridge.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+
   /** SQL registration for an existing session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -83,6 +120,8 @@ object expressions {
         es.lift(2).map(_.eval().toString.toInt).getOrElse(4)), "built-in")
     reg.createOrReplaceTempFunction("graft_fnv64",
       es => Fnv64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es.head), "built-in")
   }
 }
 
@@ -103,5 +142,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "graft_fnv64"),
       (es: Seq[Expression]) => Fnv64(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
   }
 }

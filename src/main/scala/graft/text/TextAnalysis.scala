@@ -99,6 +99,20 @@ object TextAnalysis {
   def withRepetition(df: DataFrame, textCol: String): DataFrame =
     df.withColumns(repetitionMetrics(col(textCol)).toMap)
 
+  /** Canonical pre-dedup text normalization: Unicode NFC (composed forms,
+    * via the codegen [[graft.functions.NfcNormalize]] expression — so
+    * byte-level hashing sees "é" and "e"+combining-acute identically) →
+    * strip C0 control characters except `\n`/`\t` → collapse space/tab
+    * runs → trim. Entirely Column-composed, one codegen projection; runs
+    * BEFORE hashing/shingling so normalization differences never masquerade
+    * as distinct documents.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.expressions.nfc_normalize(text),
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit("")),
+      lit("[ \\t]+"), lit(" ")))
+
   // ---- winnowing fingerprints ---------------------------------------------
 
   /** Winnowing: rolling k-gram hashes, keep the min of each window of w;

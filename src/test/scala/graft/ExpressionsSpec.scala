@@ -83,6 +83,29 @@ class ExpressionsSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.expressions.Literal(s))
       .eval(null).asInstanceOf[Long]
 
+  test("nfc_normalize Column composes; cleanText strips/squashes/trims") {
+    val decomposed = "cafe\u0301 au lait" // e + combining acute (U+0301)
+    val composed = "caf\u00e9 au lait"    // precomposed
+    val df = Seq((1L, decomposed), (2L, composed), (3L, null.asInstanceOf[String]),
+      (4L, "a\u0000b\tc  d\n e")).toDF("id", "t")
+    val nfc = df.select($"id", expressions.nfc_normalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(nfc(1L) === composed) // composition actually happened
+    assert(nfc(2L) === composed) // already-NFC fast path is identity
+    assert(nfc(3L) === null)
+    val clean = df.select($"id",
+      graft.text.TextAnalysis.cleanText($"t").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(clean(4L) === "ab c d\n e") // NUL gone, tab+runs squashed, trimmed
+    assert(clean(1L) === composed)
+    // SQL registration exposes the same expression
+    expressions.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_nfc('$decomposed')").head().getString(0)
+    assert(viaSql === composed)
+  }
+
   test("repetitionMetrics: Column results match a plain-Scala oracle") {
     val texts = Seq(
       "a\nb\na\n\n  \nb\nc",            // dups a,b; blanks dropped
