@@ -101,6 +101,28 @@ object Streaming {
       .select(col("user_id"), col("n_events"), col("first_ts"),
         col("last_ts"))
 
+  /** Streaming exact content-dedup: first arrival wins, duplicates
+    * arriving within the watermark of each other are dropped — the
+    * streaming analogue of `QualityPipeline.dedupByContent`, whose global
+    * groupBy is batch-only. State holds ONE entry per distinct content
+    * hash (32 B key, never the content) and
+    * `dropDuplicatesWithinWatermark` evicts entries once event time
+    * passes the watermark, so state is bounded by the dedup horizon, not
+    * the stream's lifetime. Contract: duplicates farther apart than the
+    * watermark can BOTH survive (the horizon is the knob) — exact
+    * corpus-wide dedup remains the batch stage's job; this bounds
+    * duplication during continuous ingestion.
+    */
+  def dedupStream(files: DataFrame, tsCol: String = "ts",
+      contentCol: String = "content",
+      watermark: String = "2 hours"): DataFrame =
+    files
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sha", sha2(col(contentCol).cast("binary"), 256))
+      .dropDuplicatesWithinWatermark("__sha")
+      .drop("__sha")
+
   /** Run a streaming query over a static parquet dir via readStream →
     * memory sink, synchronously (test/backfill harness).
     */

@@ -147,6 +147,28 @@ class TextMediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content-dedup: first arrival wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streaming.dedupStream(
+      mem.toDF().toDF("id", "ts", "content"), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tms_dedup").start()
+    try {
+      mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"),
+        (3L, ts(2), "alpha")) // same-batch duplicate
+      q.processAllAvailable()
+      // cross-batch duplicate, still within the 1h horizon
+      mem.addData((4L, ts(10), "beta"), (5L, ts(11), "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("tms_dedup")
+        .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+      assert(got === Seq((1L, "alpha"), (2L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+
   test("quality pipeline runs under Structured Streaming (stream-static)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.corpus.CorpusGen
