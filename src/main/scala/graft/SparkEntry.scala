@@ -337,6 +337,32 @@ object SparkEntry {
           w => w.isin(graft.text.TextAnalysis.stopwords: _*)))
           .cast("bigint").as("stopword_cnt"))
         .orderBy(col("doc_id"))),
+    // license detection over injected headers: doc_id % 9 picks which
+    // license phrase is prepended (8 = none), so every pattern AND the
+    // unknown path is exercised on real corpus text; DuckDB re-runs the
+    // identical first-match-wins CASE chain with RE2
+    "q_license" -> ((s, dir) => {
+      val lic = Seq(
+        "Licensed under the Apache License, Version 2.0 (the License);",
+        "Permission is hereby granted, free of charge, to any person",
+        "Redistribution and use in source and binary forms, with or without",
+        "under the terms of the GNU Affero General Public License v3",
+        "under the terms of the GNU Lesser General Public License",
+        "under the terms of the GNU General Public License as published",
+        "subject to the terms of the Mozilla Public License, v. 2.0.",
+        "This is free and unencumbered software released into the public domain.")
+      val header = lic.zipWithIndex.foldLeft(lit(""): org.apache.spark.sql.Column) {
+        case (acc, (t, i)) => when(pmod(col("doc_id"), lit(9)) === i,
+          lit("// " + t + "\n")).otherwise(acc)
+      }
+      val injected = concat(header, col("text"))
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        graft.filter.License.detectCol(injected).as("license"),
+        graft.filter.License.categoryCol(
+          graft.filter.License.detectCol(injected)).as("category"))
+        .orderBy("doc_id")
+    }),
     // NFC text normalization (codegen NfcNormalize Expression + control
     // strip + whitespace squash) — a TRUE cross-engine oracle: DuckDB's
     // independent nfc_normalize + RE2 regexp_replace must produce the
@@ -954,6 +980,41 @@ object SparkEntry {
         graft.text.TextAnalysis.stopwords.map(s => s"'$s'").mkString(",") +
         """], w))) AS BIGINT) AS stopword_cnt
          FROM documents ORDER BY doc_id"""),
+    "q_license" ->
+      """WITH inj AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE CAST(doc_id % 9 AS INT)
+               WHEN 0 THEN '// Licensed under the Apache License, Version 2.0 (the License);' || chr(10)
+               WHEN 1 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+               WHEN 2 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+               WHEN 3 THEN '// under the terms of the GNU Affero General Public License v3' || chr(10)
+               WHEN 4 THEN '// under the terms of the GNU Lesser General Public License' || chr(10)
+               WHEN 5 THEN '// under the terms of the GNU General Public License as published' || chr(10)
+               WHEN 6 THEN '// subject to the terms of the Mozilla Public License, v. 2.0.' || chr(10)
+               WHEN 7 THEN '// This is free and unencumbered software released into the public domain.' || chr(10)
+               ELSE '' END || text AS t
+           FROM documents),
+         det AS (
+           SELECT doc_id, CASE
+             WHEN regexp_matches(substring(t,1,4000), '(?i)Licensed under the Apache License,? Version 2\.0') THEN 'apache-2.0'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)Permission is hereby granted, free of charge') THEN 'mit'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)Redistribution and use in source and binary forms') THEN 'bsd'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)GNU Affero General Public License') THEN 'agpl-3.0'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)GNU Lesser General Public License') THEN 'lgpl'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)GNU General Public License') THEN 'gpl'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)Mozilla Public License,? v\.? ?2\.0') THEN 'mpl-2.0'
+             WHEN regexp_matches(substring(t,1,4000), '(?i)This is free and unencumbered software') THEN 'unlicense'
+             ELSE 'unknown' END AS license
+           FROM inj)
+         SELECT doc_id, license,
+           CASE license
+             WHEN 'apache-2.0' THEN 'permissive' WHEN 'mit' THEN 'permissive'
+             WHEN 'bsd' THEN 'permissive' WHEN 'agpl-3.0' THEN 'copyleft'
+             WHEN 'lgpl' THEN 'weak-copyleft' WHEN 'gpl' THEN 'copyleft'
+             WHEN 'mpl-2.0' THEN 'weak-copyleft'
+             WHEN 'unlicense' THEN 'public-domain'
+             ELSE 'unknown' END AS category
+         FROM det ORDER BY doc_id""",
     "q_text_clean" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
          trim(regexp_replace(regexp_replace(
