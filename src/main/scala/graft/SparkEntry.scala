@@ -275,6 +275,51 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")) // jaccard==1.0 for exact copies
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- paragraph-level exact dedup (CCNet/RefinedWeb-style) -------------
+    // a shared footer paragraph is appended to EVERY document and a group
+    // paragraph to every third, plus a trailing blank paragraph — so
+    // first-occurrence-wins, partial drops, and the blank-keep rule are
+    // exercised on every row, not just on accidental corpus repetition.
+    // DuckDB independently re-splits, ranks global first occurrences with a
+    // window, and reassembles the cleaned text — any divergence in split
+    // semantics, the (id,pos) winner rule, or reassembly order mismatches.
+    "q_para_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\nShared footer boilerplate paragraph."),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\n\nGroup paragraph A")).otherwise(lit("")),
+          lit("\n\n")).as("text"))
+      graft.dedup.Dedup.paragraphDedup(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("cleaned"),
+          col("n_paras"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- fork detection over the code corpus ------------------------------
+    // two repos get a deterministic fork (80% of files copied by path hash,
+    // a tenth of those patched); the Spark-computed DISTINCT (repo, sha256)
+    // frame is dumped and BOTH engines derive overlap pairs from that same
+    // parquet — DuckDB re-runs the self-join, set sizes, and ratio rule, so
+    // natural cross-repo content reuse in the corpus is covered too (this
+    // is a rule-replay oracle, not a planted-answer list)
+    "q_fork_pairs" -> ((s, dir) => {
+      val base = CorpusGen.files(s, 4000L).toDF()
+      val sel = pmod(xxhash64(col("path")), lit(10))
+      val forked = base.filter(col("repo").isin("repo_3", "repo_11") && sel < 8)
+        .withColumn("repo", concat(lit("fork~"), col("repo")))
+        .withColumn("content", when(sel === 0,
+          concat(col("content"), lit("// fork patch\n"))).otherwise(col("content")))
+      val aux = s"$OracleAuxDir/fork_hashes"
+      base.unionByName(forked)
+        .select(col("repo"),
+          sha2(col("content").cast("binary"), 256).as("h")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.dedup.Dedup.forkPairsFromHashes(s.read.parquet(aux),
+        minShared = 2, minOverlap = 0.3)
+        .orderBy("repo_a", "repo_b")
+    }),
+
     // ---- similarity search over embeddings --------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -862,6 +907,63 @@ object SparkEntry {
          JOIN sizes sb ON sb.id = id_b
          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.95
          ORDER BY id_a, id_b""",
+    // paragraph dedup: DuckDB independently re-derives the whole operator —
+    // split on the literal separator (trailing empties kept, matching
+    // Spark's split(..., -1)), global first occurrence per paragraph via a
+    // (doc_id, pos)-ordered window, blanks always kept, reassembly with an
+    // ordered string_agg (empty strings kept, like concat_ws)
+    "q_para_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text || chr(10) || chr(10) ||
+             'Shared footer boilerplate paragraph.' ||
+             CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || chr(10) || 'Group paragraph A' ELSE '' END ||
+             chr(10) || chr(10) AS text
+           FROM documents),
+         sd AS (SELECT doc_id, str_split(text, chr(10) || chr(10)) AS ps
+                FROM docs),
+         paras AS (
+           SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS pos
+           FROM sd),
+         ranked AS (
+           SELECT doc_id, para, pos,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn,
+             length(trim(para)) >= 1 AS dedupable
+           FROM paras),
+         rebuilt AS (
+           SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned
+           FROM ranked WHERE NOT dedupable OR rn = 1 GROUP BY doc_id),
+         counts AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(sum(CASE WHEN dedupable AND rn > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped
+           FROM ranked GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned,
+           c.n_paras, c.n_dropped
+         FROM docs d
+         LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+         JOIN counts c ON c.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // fork detection: replay of the overlap rule over the identical dumped
+    // (repo, sha256) set — self-join on the hash, distinct-set sizes,
+    // shared>=2 and shared/min(|A|,|B|)>=0.3
+    "q_fork_pairs" ->
+      """WITH fh AS (SELECT repo, h
+           FROM read_parquet('/tmp/graft_oracle_aux/fork_hashes/*.parquet')),
+         sizes AS (SELECT repo, count(*) AS n FROM fh GROUP BY repo),
+         shared AS (
+           SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+           FROM fh a JOIN fh b USING (h)
+           WHERE a.repo < b.repo GROUP BY 1, 2)
+         SELECT repo_a, repo_b, CAST(shared AS BIGINT) AS shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+         FROM shared
+         JOIN sizes sa ON sa.repo = repo_a
+         JOIN sizes sb ON sb.repo = repo_b
+         WHERE shared >= 2
+           AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.3
+         ORDER BY repo_a, repo_b""",
     "q_ann_topk" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -421,6 +421,123 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // ---- paragraph-level exact dedup ----------------------------------------
+
+  /** CCNet/RefinedWeb-style PARAGRAPH-level exact dedup: across the whole
+    * corpus, only the globally FIRST occurrence of each repeated paragraph
+    * survives (first = min (id, position)); later occurrences are removed
+    * from their documents and the documents are reassembled in original
+    * order. Blank paragraphs (trimmed length < `minLen`) are never deduped
+    * — they carry document shape, not content, and a corpus-wide blank
+    * group would otherwise gut every document past the first.
+    *
+    * Scale design: the duplicate-detection shuffle carries only
+    * (sha256, id, pos) — 80 B/paragraph, never paragraph text — and only
+    * hashes with >1 occurrence enter the winner join. Document content is
+    * touched twice, both map-side: the splitting projection and the final
+    * reassembly, which joins the per-doc drop-position arrays back
+    * (broadcast while the loser set is small, shuffle-hash beyond
+    * [[BroadcastCandPairs]] docs) and rebuilds the text with a codegen'd
+    * `filter`/`concat_ws` — no posexplode→regroup round trip of content.
+    *
+    * Returns the input columns with `textCol` rewritten plus
+    * `n_paras`/`n_dropped` counts. Pure function of the dataset (no
+    * partition- or ordering-dependence). Non-null `textCol` assumed.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", minLen: Int = 1): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(textCol), quoted, -1) // -1 keeps trailing empties
+    val keys = df
+      .select(col(idCol).cast("long").as("__id"),
+        posexplode(parts).as(Seq("__pos", "__p")))
+      .filter(length(trim(col("__p"))) >= minLen)
+      .select(col("__id"), col("__pos"),
+        sha2(col("__p").cast("binary"), 256).as("__h"))
+    // winners: min (id,pos) per repeated hash — singleton hashes can have
+    // no losers and are dropped before the join
+    val firsts = keys.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    // merge hint: both sides derive from the corpus; range-derived inputs
+    // report tiny leaf stats and the planner would statically broadcast a
+    // data-sized side (see minHashPairs)
+    val losers = keys.hint("merge").join(firsts, Seq("__h"))
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .select(col("__id"), col("__pos"))
+    val dropPos = graft.util.Caches.track(
+      losers.groupBy(col("__id"))
+        .agg(sort_array(collect_list(col("__pos"))).as("__drop")))
+    // docs-with-drops is small when duplication is sparse: broadcast then;
+    // a boilerplate-dominated corpus falls back to a shuffle-hash join
+    val small = dropPos.count() <= BroadcastCandPairs
+    val joined = df.join(
+      if (small) broadcast(dropPos) else dropPos.hint("shuffle_hash"),
+      col(idCol).cast("long") === col("__id"), "left")
+    val dropArr = coalesce(col("__drop"), array().cast("array<int>"))
+    // always reassemble (round-trips byte-identically for a literal sep):
+    // one code path, same shape the cross-engine oracle recomputes
+    val kept = filter(parts, (p, i) => !array_contains(dropArr, i))
+    joined
+      .withColumn("n_paras", size(parts).cast("long"))
+      .withColumn("n_dropped", coalesce(size(col("__drop")), lit(0)).cast("long"))
+      .withColumn(textCol, concat_ws(sep, kept))
+      .drop("__id", "__drop")
+  }
+
+  // ---- fork detection (repo-overlap pairs) --------------------------------
+
+  /** Cross-repo fork detection for code corpora: repo pairs whose DISTINCT
+    * file-content sets overlap by ≥ `minOverlap` of the smaller repo (and
+    * share ≥ `minShared` files). Forks and vendored mirrors are the
+    * repo-granularity analogue of document dup — pipelines drop or
+    * downweight the duplicated side before file-level dedup ever runs.
+    *
+    * Scale design mirrors the LSH joins: the self-join key is the content
+    * sha256 (32 B), repo content sets are deduplicated FIRST, a postings
+    * cap ([[dropHotBuckets]] keyed on the hash) prunes file contents
+    * present in more than `maxPostings` repos — a vendored `LICENSE` or
+    * `jquery.min.js` sitting in 100k repos contributes candidate pairs
+    * quadratically and fork evidence ~zero — and both sides of the join
+    * carry merge hints so static stats can never pick a data-sized
+    * broadcast build.
+    */
+  def forkPairs(df: DataFrame, repoCol: String, textCol: String,
+      minShared: Long = 2, minOverlap: Double = 0.5,
+      maxPostings: Int = 4096): DataFrame = {
+    val fh = df.select(col(repoCol).as("repo"),
+      sha2(col(textCol).cast("binary"), 256).as("h")).distinct()
+    forkPairsFromHashes(fh, minShared, minOverlap, maxPostings)
+  }
+
+  /** [[forkPairs]] over a pre-hashed frame of DISTINCT (repo, h) rows —
+    * the shape a pipeline persists anyway for exact dedup. Columns:
+    * (repo_a, repo_b, shared, n_a, n_b), repo_a < repo_b.
+    */
+  def forkPairsFromHashes(fh: DataFrame, minShared: Long = 2,
+      minOverlap: Double = 0.5, maxPostings: Int = 4096): DataFrame = {
+    val cached = graft.util.Caches.track(fh.select(col("repo"), col("h")))
+    // true set sizes (the overlap denominator) come from the UNCAPPED frame
+    val sizes = graft.util.Caches.track(
+      cached.groupBy(col("repo")).agg(count(lit(1)).as("n_files")))
+    val capped = dropHotBuckets(cached, maxPostings, keys = Seq("h"))
+    val l = capped.select(col("h"), col("repo").as("repo_a"))
+    val r = capped.select(col("h"), col("repo").as("repo_b"))
+    val shared = l.hint("merge").join(r, Seq("h"))
+      .filter(col("repo_a") < col("repo_b"))
+      .groupBy(col("repo_a"), col("repo_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared.hint("merge")
+      .join(sizes.select(col("repo").as("repo_a"), col("n_files").as("n_a")), "repo_a")
+      .hint("merge")
+      .join(sizes.select(col("repo").as("repo_b"), col("n_files").as("n_b")), "repo_b")
+      .filter(col("shared") >= minShared &&
+        col("shared").cast("double") / least(col("n_a"), col("n_b")) >= minOverlap)
+      .select(col("repo_a"), col("repo_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over hashed tokens (Charikar): per-bit weighted vote. */

@@ -243,4 +243,80 @@ class DedupSpec extends SparkSpec {
     val dups = d.filter("dup_cnt > 1").count()
     assert(dups === 20L) // 2000/97 planted duplicate triples (id%97==0, id>0)
   }
+
+  // ---- paragraph-level exact dedup ----------------------------------------
+
+  test("paragraph dedup: global first occurrence wins, blanks always kept") {
+    val pdocs = Seq(
+      // doc 0 defines P1 and P2; blank middle paragraph must survive
+      (0L, "P1 shared paragraph\n\n\n\nP2 also shared\n\nU0 unique"),
+      // doc 1 repeats P1 (dropped) around its own content
+      (1L, "U1 own text\n\nP1 shared paragraph\n\nU1b more"),
+      // doc 2 repeats both (both dropped), keeps nothing of its own
+      (2L, "P1 shared paragraph\n\nP2 also shared"),
+      // doc 3 repeats its OWN paragraph — second in-doc occurrence drops
+      (3L, "D3 repeated\n\nD3 repeated\n\nD3 tail")
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDedup(pdocs, "id", "text")
+      .select("id", "text", "n_paras", "n_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) === ((0L, "P1 shared paragraph\n\n\n\nP2 also shared\n\nU0 unique", 4L, 0L)))
+    assert(out(1) === ((1L, "U1 own text\n\nU1b more", 3L, 1L)))
+    assert(out(2) === ((2L, "", 2L, 2L)))
+    assert(out(3) === ((3L, "D3 repeated\n\nD3 tail", 3L, 1L)))
+    graft.util.Caches.release()
+  }
+
+  test("paragraph dedup is partition-layout independent") {
+    import graft.corpus.CorpusGen
+    val files = CorpusGen.files(spark, 400L).toDF()
+      .selectExpr("cast(hash(repo, path, commit, content) as long) as id",
+        "content as text")
+    def run(parts: Int) = Dedup.paragraphDedup(
+        files.repartition(parts), "id", "text", sep = "\n")
+      .select("id", "text", "n_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val a = run(1); graft.util.Caches.release()
+    val b = run(13); graft.util.Caches.release()
+    assert(a === b)
+    // line-granularity dedup over generated code MUST drop something
+    assert(a.map(_._3).sum > 0L)
+  }
+
+  // ---- fork detection ------------------------------------------------------
+
+  test("fork pairs: planted fork found, low-overlap pairs excluded") {
+    val mk = (repo: String, n: Int, tag: String) =>
+      (0 until n).map(i => (repo, s"file body $tag $i"))
+    // fork~a copies 8 of a's 10 files and has 2 of its own; repo b shares
+    // just 1 file with a (below minShared=2); c is disjoint
+    val rows = (mk("a", 10, "a") ++
+      mk("a", 8, "a").map { case (_, c) => ("fork~a", c) } ++
+      Seq(("fork~a", "own f1"), ("fork~a", "own f2")) ++
+      Seq(("b", "file body a 0")) ++ mk("b", 6, "b") ++
+      mk("c", 5, "c")).toDF("repo", "content")
+    val pairs = Dedup.forkPairs(rows, "repo", "content",
+      minShared = 2, minOverlap = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(pairs.toSeq === Seq(("a", "fork~a", 8L, 10L, 10L)))
+    graft.util.Caches.release()
+  }
+
+  test("fork pairs: vendored-everywhere file is capped out of the join") {
+    // one boilerplate file in every repo; without the cap every repo pair
+    // becomes a candidate — with maxPostings below the repo count the
+    // boilerplate contributes nothing and only the real fork surfaces
+    val vendored = (0 until 30).map(i => (s"r$i", "vendored LICENSE text"))
+    val fork = Seq(("r1", "x1"), ("r1", "x2"), ("r1", "x3"),
+      ("fk", "x1"), ("fk", "x2"), ("fk", "x3"))
+    val rows = (vendored ++ fork).toDF("repo", "content")
+    val pairs = Dedup.forkPairs(rows, "repo", "content",
+      minShared = 2, minOverlap = 0.5, maxPostings = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq(("fk", "r1", 3L)))
+    graft.util.Caches.release()
+  }
 }
