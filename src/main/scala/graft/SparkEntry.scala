@@ -468,6 +468,39 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // mixture upsampling (domain weights → epochs): the decision hash is
+    // dumped per row; Spark emits floor(w) copies + a hash-gated extra,
+    // DuckDB re-derives the copy count and copy indexes from the same
+    // dump. Weights use .25-step fractions so the truncated thresholds
+    // are bit-identical across engines.
+    "q_sample_mix" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val aux = s"$OracleAuxDir/mix_hash"
+      docs.select(col("doc_id"), col("lang"),
+        graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      val weight = when(col("lang") === "en", 0.75)
+        .when(col("lang") === "de", 2.25)
+        .when(col("lang") === "fr", 0.5)
+        .when(col("lang") === "zh", 3.0)
+        .otherwise(1.0)
+      graft.sampling.Sampling.weightedRepeat(docs, weight, 11L, col("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          col("copy_idx").cast("bigint").as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+    // context-window chunking: the map-side mapPartitions chunker must
+    // equal DuckDB's window-function replay of the same prefix rule
+    // (exclusive running length // budget), incl. reassembled chunk text.
+    // The corpus documents are single-line, so spaces become line breaks
+    // first (both engines apply the identical rewrite) — every document
+    // then genuinely splits into multiple budget-packed chunks.
+    "q_chunks" -> ((s, dir) =>
+      graft.text.TextAnalysis.chunkByLines(
+        tbl(s, dir, "documents").select(col("doc_id"),
+          translate(col("text"), " ", "\n").as("text")),
+        "doc_id", "text", budgetChars = 100)
+        .orderBy("doc_id", "chunk_id")),
     // Gopher-style repetition signals (duplicate-line stats + boilerplate
     // line shapes) — exact counts so the cross-engine compare is integral
     "q_text_repetition" -> ((s, dir) =>
@@ -1146,6 +1179,49 @@ object SparkEntry {
          FROM read_parquet('/tmp/graft_oracle_aux/sample_hash/*.parquet')
          WHERE ((h % 1000000) + 1000000) % 1000000 < 300000
          ORDER BY doc_id""",
+    // mixture upsampling: replay floor(w) + hash-gated fractional epoch
+    // over the dumped decision hashes; thresholds written as exact
+    // millionths (matching the .25-step weights in the query)
+    "q_sample_mix" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, h
+           FROM read_parquet('/tmp/graft_oracle_aux/mix_hash/*.parquet')),
+         w AS (
+           SELECT doc_id, lang, h,
+             CASE lang WHEN 'en' THEN 750000 WHEN 'de' THEN 2250000
+               WHEN 'fr' THEN 500000 WHEN 'zh' THEN 3000000
+               ELSE 1000000 END AS wm
+           FROM src),
+         nc AS (
+           SELECT doc_id, lang,
+             wm // 1000000 +
+             CASE WHEN ((h % 1000000) + 1000000) % 1000000 < wm % 1000000
+               THEN 1 ELSE 0 END AS n
+           FROM w)
+         SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS copy_idx
+         FROM nc WHERE n > 0
+         ORDER BY doc_id, copy_idx""",
+    // context-window chunking: the same prefix rule the mapPartitions
+    // chunker applies, replayed as an exclusive running sum window +
+    // integer division + ordered string_agg reassembly
+    "q_chunks" ->
+      """WITH lines AS (
+           SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+           FROM (SELECT doc_id,
+                   str_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+                 FROM documents)),
+         cum AS (
+           SELECT doc_id, line, pos,
+             coalesce(sum(length(line) + 1) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM lines)
+         SELECT doc_id, CAST(c // 100 AS BIGINT) AS chunk_id,
+           string_agg(line, chr(10) ORDER BY pos) AS chunk,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS n_chars
+         FROM cum GROUP BY 1, 2
+         ORDER BY doc_id, chunk_id""",
     "q_sample_quota" ->
       """WITH ranked AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -44,6 +44,35 @@ object Sampling {
     df.filter(pmod(sampleHash(seed, keys), lit(RateDenom)) < lit(threshold))
   }
 
+  /** Deterministic mixture UPSAMPLING — the domain-weighting primitive of
+    * pretraining mixes (publicly described for SlimPajama/DoReMi-style
+    * recipes: "2.1 epochs of domain X" means every row appears twice and a
+    * 10%-of-rows subset a third time). Each row is emitted
+    * `floor(w)` times, plus once more iff `hash(seed, keys) mod 1e6 <
+    * frac(w)·1e6` — the fractional epoch is a hash-rate subset, so it is a
+    * pure function of row identity: partition-layout independent,
+    * identical on re-run, and group-coherent when keyed by repo. Copies
+    * are tagged `copy_idx` (0-based) so downstream stages can
+    * distinguish them; the explode is map-side (no shuffle, no state).
+    *
+    * Engine-parity note: the fractional threshold is
+    * `cast(frac(w)·1e6 as long)` (truncation). Weights whose fraction is
+    * exact in binary (e.g. .25/.5/.75) cross-replay bit-identically;
+    * arbitrary decimal fractions may differ by 1 ulp in the threshold
+    * across engines — quantize weights to 1e-6 when that matters.
+    */
+  def weightedRepeat(df: DataFrame, weight: Column, seed: Long,
+      keys: Column*): DataFrame = {
+    val frac = weight - floor(weight)
+    val nCopies = floor(weight).cast("int") +
+      when(pmod(sampleHash(seed, keys), lit(RateDenom)) <
+        (frac * RateDenom).cast("long"), 1).otherwise(0)
+    df.withColumn("__nc", nCopies)
+      .filter(col("__nc") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("__nc") - 1)))
+      .drop("__nc")
+  }
+
   /** At most `k` rows per stratum, chosen uniformly within the stratum by
     * hash order (ties broken by the tie columns themselves, so the result
     * is total-ordered and deterministic).

@@ -153,4 +153,63 @@ object TextAnalysis {
       .mapPartitions(_.map { case (id, t) => (id, winnow(t, k, w)) })
       .toDF(idCol, "fingerprints")
   }
+
+  // ---- context-window chunking --------------------------------------------
+
+  /** Split each document into training-window chunks of ≈ `budgetChars`
+    * characters at LINE boundaries — the context-window packing step of a
+    * pretraining pipeline. A line belongs to chunk
+    * `floor(exclusiveCumLen / budgetChars)`, where exclusiveCumLen counts
+    * the code points (+1 newline) of every PRECEDING line. The prefix rule
+    * means a chunk can overflow the budget by at most one line, chunk ids
+    * can skip when a single line spans several budgets, and — unlike
+    * greedy packing — the assignment is a pure per-line function of the
+    * document that any engine with a window function can replay (the
+    * cross-engine oracle does exactly that).
+    *
+    * Entirely map-side: a document's lines all live in its own input row,
+    * so splitting, the prefix sums, and reassembly happen in ONE
+    * mapPartitions pass — zero shuffle, no window state, linear in
+    * document length, deterministic at any parallelism. (The equivalent
+    * posexplode + per-doc window + regroup plan shuffles the whole corpus
+    * twice for the same answer.)
+    *
+    * Returns (idCol, chunk_id, chunk, n_lines, n_chars).
+    */
+  def chunkByLines(df: DataFrame, idCol: String, textCol: String,
+      budgetChars: Int): DataFrame = {
+    require(budgetChars > 0, s"budgetChars=$budgetChars must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ls = if (text == null) Array.empty[String] else text.split("\n", -1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Long, Long)]
+        var cum = 0L
+        var chunkId = -1L
+        var sb: StringBuilder = null
+        var nLines = 0L
+        var nChars = 0L
+        def flush(): Unit =
+          if (sb != null) out += ((id, chunkId, sb.toString, nLines, nChars))
+        var i = 0
+        while (i < ls.length) {
+          val line = ls(i)
+          val cp = line.codePointCount(0, line.length).toLong
+          val cid = cum / budgetChars
+          if (cid != chunkId) {
+            flush(); chunkId = cid; sb = new StringBuilder; nLines = 0; nChars = 0
+          } else sb.append('\n')
+          sb.append(line)
+          nLines += 1
+          nChars += cp
+          cum += cp + 1
+          i += 1
+        }
+        flush()
+        out
+      }
+      .toDF(idCol, "chunk_id", "chunk", "n_lines", "n_chars")
+  }
 }

@@ -64,4 +64,34 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(reparted === direct)
   }
+
+  test("weightedRepeat: floor copies + hash-gated fractional epoch") {
+    val w = when(col("lang") === "py", 2.5)
+      .when(col("lang") === "go", 0.25).otherwise(1.0)
+    val out = Sampling.weightedRepeat(docs, w, seed = 9L, col("id"))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // py: 2 copies always, a third for ~half the rows (binomial bounds)
+    assert(byLang("py") > (base("py") * 2.3).toLong &&
+      byLang("py") < (base("py") * 2.7).toLong, s"py=${byLang("py")}")
+    // go: ~25% of rows survive with one copy
+    assert(byLang("go") > (base("go") * 0.15).toLong &&
+      byLang("go") < (base("go") * 0.35).toLong, s"go=${byLang("go")}")
+    // weight 1.0 is the identity
+    assert(byLang("sc") === base("sc"))
+    // copy indexes are dense 0..n-1 per surviving row
+    val ragged = out.groupBy("id")
+      .agg(count(lit(1)).as("n"), min("copy_idx").as("mn"), max("copy_idx").as("mx"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count()
+    assert(ragged === 0L)
+    // pure function of row identity: partition layout cannot change it
+    val a = out.select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = Sampling.weightedRepeat(docs.repartition(17, col("repo")), w,
+      seed = 9L, col("id")).select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a === b)
+  }
 }

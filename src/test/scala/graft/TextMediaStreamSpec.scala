@@ -52,6 +52,25 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(fp.filter(size(col("fingerprints")) > 0).count() === docs.count())
   }
 
+  test("chunkByLines: chunks reassemble to the document, budget holds ±1 line") {
+    val doc = (1 to 20).map(i => s"line number $i padded to some width").mkString("\n")
+    val df = Seq((1L, doc), (2L, "short"), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.chunkByLines(df, "id", "text", budgetChars = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // chunks of doc 1 reassemble byte-identically in chunk order (the
+    // inter-chunk newline is the one the prefix rule consumed)
+    val ones = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(ones.length > 1, "budget 100 must split the 20-line doc")
+    assert(ones.map(_._3).mkString("\n") === doc)
+    // prefix rule: a chunk overflows its budget by at most one line
+    val maxLine = doc.split("\n").map(_.length).max
+    assert(ones.forall { c => c._4 > 0 && c._5 + c._4 <= 100 + maxLine + 1 })
+    // single-line and empty documents chunk to themselves
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "short", 1L, 5L)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "", 1L, 0L)))
+  }
+
   test("media: synth is deterministic; stub decode features are stable") {
     val m1 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
     val m2 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
