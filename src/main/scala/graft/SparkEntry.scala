@@ -501,6 +501,37 @@ object SparkEntry {
           translate(col("text"), " ", "\n").as("text")),
         "doc_id", "text", budgetChars = 100)
         .orderBy("doc_id", "chunk_id")),
+    // trained quality classifier: labels come from the heuristic band
+    // score (the classifier learns to mimic it — the CCNet-style setup);
+    // training is deterministic driver-side GD, scoring a pure projection.
+    // The feature frame is dumped ONCE and BOTH engines compute the margin
+    // from the identical parquet doubles with the identical
+    // left-associated literal weights — bit-identical z, so round(z,6)
+    // and the keep decision cross-compare exactly. The weights travel to
+    // DuckDB through a one-row dump.
+    "q_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val labeled = graft.text.TextAnalysis.withQuality(docs, "text")
+        .withColumn("y", (col("quality_score") >= 1.0).cast("int"))
+      val model = graft.filter.QualityClassifier.train(
+        labeled, "doc_id", "text", "y")
+      val aux = s"$OracleAuxDir/clf_features"
+      docs.select(col("doc_id") +:
+        graft.filter.QualityClassifier.featureCols(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      Seq((model.weights(0), model.weights(1), model.weights(2),
+        model.weights(3), model.weights(4), model.bias))
+        .toDF("w0", "w1", "w2", "w3", "w4", "b")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleAuxDir/clf_weights")
+      val z = graft.filter.QualityClassifier.marginFromFeatures(model)
+      s.read.parquet(aux)
+        .select(col("doc_id"), round(z, 6).as("z6"),
+          (z > 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition signals (duplicate-line stats + boilerplate
     // line shapes) — exact counts so the cross-engine compare is integral
     "q_text_repetition" -> ((s, dir) =>
@@ -1222,6 +1253,22 @@ object SparkEntry {
            CAST(sum(length(line)) AS BIGINT) AS n_chars
          FROM cum GROUP BY 1, 2
          ORDER BY doc_id, chunk_id""",
+    // trained classifier: the margin is replayed over the identical dumped
+    // feature doubles with the dumped weights, same left-associated order
+    // — bit-identical doubles, so round and sign cross-compare exactly
+    "q_quality_classifier" ->
+      """WITH f AS (SELECT * FROM
+           read_parquet('/tmp/graft_oracle_aux/clf_features/*.parquet')),
+         w AS (SELECT * FROM
+           read_parquet('/tmp/graft_oracle_aux/clf_weights/*.parquet'))
+         SELECT doc_id,
+           round(w.w0 * f.log_chars + w.w1 * f.log_tokens +
+             w.w2 * f.punct_ratio + w.w3 * f.stopword_ratio +
+             w.w4 * f.mean_word_len + w.b, 6) AS z6,
+           CAST(w.w0 * f.log_chars + w.w1 * f.log_tokens +
+             w.w2 * f.punct_ratio + w.w3 * f.stopword_ratio +
+             w.w4 * f.mean_word_len + w.b > 0 AS INT) AS keep
+         FROM f CROSS JOIN w ORDER BY doc_id""",
     "q_sample_quota" ->
       """WITH ranked AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -448,12 +448,15 @@ object Dedup {
       sep: String = "\n\n", minLen: Int = 1): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
     val parts = split(col(textCol), quoted, -1) // -1 keeps trailing empties
-    val keys = df
+    // cached: feeds BOTH the winner aggregation and the loser join stream —
+    // uncached, the split+sha pass over content would run twice. The cache
+    // holds (id,pos,sha) tuples (~80 B/paragraph), never the text.
+    val keys = graft.util.Caches.track(df
       .select(col(idCol).cast("long").as("__id"),
         posexplode(parts).as(Seq("__pos", "__p")))
       .filter(length(trim(col("__p"))) >= minLen)
       .select(col("__id"), col("__pos"),
-        sha2(col("__p").cast("binary"), 256).as("__h"))
+        sha2(col("__p").cast("binary"), 256).as("__h")))
     // winners: min (id,pos) per repeated hash — singleton hashes can have
     // no losers and are dropped before the join
     val firsts = keys.groupBy(col("__h"))
