@@ -95,6 +95,53 @@ class PlanSpec extends SparkSpec {
       s"band self-join lost its merge hint:\n$s")
   }
 
+  test("chunkByLines is map-side: no Exchange anywhere in the plan") {
+    val s = plan(graft.text.TextAnalysis.chunkByLines(
+      tbl("documents"), "doc_id", "text", budgetChars = 200))
+    assert(!s.contains("Exchange"), s"chunker shuffled:\n$s")
+  }
+
+  test("paragraph dedup: no shuffle carries paragraph text") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // collect every shuffle's output attributes, descending through AQE
+    // wrappers AND into cached-frame plans (the builder materializes its
+    // key frames behind InMemoryTableScan, which hides their shuffles
+    // from a plain plan walk)
+    def shuffleOutputs(p: SparkPlan): Seq[Seq[String]] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      def walk(pl: SparkPlan): Unit = pl.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan) // materialized AQE stages are leaves wrapping the exchange
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case s: ShuffleExchangeLike => buf += s.output.map(_.name).toSeq
+        case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+        case _ =>
+      }
+      walk(p)
+      buf.toSeq
+    }
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // plant a shared paragraph: with no duplicates at all, AQE's
+    // empty-relation propagation would erase the join and its shuffles
+    val docs = tbl("documents").select(col("doc_id"),
+      concat(col("text"), lit("\n\nshared footer")).as("text"))
+    val out = graft.dedup.Dedup.paragraphDedup(docs, "doc_id", "text")
+    out.collect() // AQE finalizes plans (and the builder picks its joins)
+    val shuffled = shuffleOutputs(out.queryExecution.executedPlan)
+    // every shuffle must move only ids/positions/hashes — a 'text' or
+    // raw-paragraph attribute in a shuffle output means document content
+    // went over the wire
+    assert(shuffled.nonEmpty, "expected at least the winner aggregation shuffle")
+    val leaked = shuffled.filter(_.exists(n => n == "text" || n == "__p"))
+    assert(leaked.isEmpty, s"content shuffled: $leaked")
+    graft.util.Caches.release()
+  }
+
   test("fused batch counts: one plan, no cartesian beyond 1-row scalars") {
     val rules = Vector[Rule](
       PkRule("pk", "orders", Seq("o_custkey")),
