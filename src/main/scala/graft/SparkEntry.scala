@@ -320,6 +320,32 @@ object SparkEntry {
         .orderBy("repo_a", "repo_b")
     }),
 
+    // ---- MOSS-style code-clone pairs over the corpus ----------------------
+    // partial-copy detection: files sharing >= 10 winnow fingerprints.
+    // The corpus plants near-dups (id%83: previous content + one line) and
+    // exact dups (id%89), so real clone pairs exist; the (id, fingerprint)
+    // postings are dumped and DuckDB replays the join + count + threshold
+    // over the identical set — a rule-replay oracle
+    "q_code_clones" -> ((s, dir) => {
+      val files = CorpusGen.files(s, 3000L).toDF()
+        .select(xxhash64(col("repo"), col("path"), col("commit")).as("fid"),
+          col("content"))
+      val fps = graft.text.TextAnalysis.fingerprints(files, "fid", "content")
+      val aux = s"$OracleAuxDir/clone_posts"
+      fps.select(col("fid"), explode(col("fingerprints")).as("fp")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      // maxPostings=100 on a generated corpus with a tiny line vocabulary:
+      // common-code windows appear in thousands of files and carry no
+      // clone evidence — only RARE windows (per-file numeric literals the
+      // planted copies share) survive the cap, which is both the signal
+      // and the join bound
+      graft.dedup.Dedup.clonePairsFromFingerprints(
+        s.read.parquet(aux)
+          .groupBy("fid").agg(collect_list(col("fp")).as("fingerprints")),
+        "fid", minShared = 10, maxPostings = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search over embeddings --------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1028,6 +1054,22 @@ object SparkEntry {
          WHERE shared >= 2
            AND CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.3
          ORDER BY repo_a, repo_b""",
+    // code clones: replay the postings self-join + shared-count threshold
+    // over the identical dumped (fid, fp) set; the hot-fingerprint cap
+    // (postings > 2000 dropped) is replayed too
+    "q_code_clones" ->
+      """WITH posts AS (
+           SELECT fid, fp
+           FROM read_parquet('/tmp/graft_oracle_aux/clone_posts/*.parquet')),
+         capped AS (
+           SELECT * FROM posts WHERE fp IN (
+             SELECT fp FROM posts GROUP BY fp HAVING count(*) <= 100))
+         SELECT a.fid AS id_a, b.fid AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+         FROM capped a JOIN capped b USING (fp)
+         WHERE a.fid < b.fid
+         GROUP BY 1, 2 HAVING count(*) >= 10
+         ORDER BY id_a, id_b""",
     "q_ann_topk" ->
       """SELECT vec_id,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -541,6 +541,40 @@ object Dedup {
       .select(col("repo_a"), col("repo_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
+  // ---- code-clone candidate pairs (MOSS-style) ----------------------------
+
+  /** Candidate CODE-CLONE pairs from winnowing fingerprints (Schleimer et
+    * al. 2003 — the MOSS algorithm): files sharing ≥ `minShared` distinct
+    * fingerprints. The winnow guarantee (any common substring of length ≥
+    * w+k-1 shares a fingerprint) makes this a partial-copy detector —
+    * unlike whole-document MinHash, two files that share one copied
+    * function and nothing else still pair — which is the right granularity
+    * for license-relevant code reuse and fork-lineage analysis.
+    *
+    * Takes the (id, fingerprints array) frame
+    * ([[graft.text.TextAnalysis.fingerprints]] or the codegen
+    * `winnow_fp` route) so this stays decoupled from the text layer.
+    * Scale design is the shared inverted-index shape: postings are
+    * (fp, id) pairs — 16 B — with [[dropHotBuckets]] keyed on the
+    * fingerprint pruning boilerplate fragments present in more than
+    * `maxPostings` files before they contribute quadratic candidates,
+    * and merge hints on the self-join sides.
+    */
+  def clonePairsFromFingerprints(fps: DataFrame, idCol: String,
+      minShared: Long = 5, maxPostings: Int = 1000): DataFrame = {
+    val posts = graft.util.Caches.track(
+      fps.select(col(idCol).cast("long").as("id"),
+        explode(col("fingerprints")).as("fp")).distinct())
+    val capped = dropHotBuckets(posts, maxPostings, keys = Seq("fp"))
+    val l = capped.select(col("fp"), col("id").as("id_a"))
+    val r = capped.select(col("fp"), col("id").as("id_b"))
+    l.hint("merge").join(r, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over hashed tokens (Charikar): per-bit weighted vote. */

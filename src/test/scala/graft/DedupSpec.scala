@@ -305,6 +305,21 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.release()
   }
 
+  test("clone pairs: files sharing one copied block pair up, unrelated do not") {
+    val block = "def sharedHelper(x: Int): Int = { val y = x * 31 + 7; " +
+      "y ^ (y >>> 3) } // marker 31337"
+    val fa = "object A {\n" + block + "\npadding alpha beta gamma delta\n}"
+    val fb = "class B {\n totally different body with its own words\n" +
+      block + "\n}"
+    val fc = "object C { nothing in common at all zebra quasar }"
+    val df = Seq((1L, fa), (2L, fb), (3L, fc)).toDF("id", "text")
+    val fps = graft.text.TextAnalysis.fingerprints(df, "id", "text")
+    val pairs = Dedup.clonePairsFromFingerprints(fps, "id", minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    graft.util.Caches.release()
+  }
+
   test("fork pairs: vendored-everywhere file is capped out of the join") {
     // one boilerplate file in every repo; without the cap every repo pair
     // becomes a candidate — with maxPostings below the repo count the
