@@ -285,6 +285,27 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_._3).sum > 0L)
   }
 
+  test("paragraph dedup is idempotent") {
+    import graft.corpus.CorpusGen
+    // line-granularity dedup over generated code (heavy natural dup)
+    val files = CorpusGen.files(spark, 300L).toDF()
+      .selectExpr("cast(hash(repo, path, commit, content) as long) as id",
+        "content as text")
+    val once = Dedup.paragraphDedup(files, "id", "text", sep = "\n")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    graft.util.Caches.release()
+    val again = Dedup.paragraphDedup(once.toDF("id", "text"), "id", "text",
+      sep = "\n")
+    val dropped = again.agg(org.apache.spark.sql.functions.sum("n_dropped"))
+      .head().getLong(0)
+    assert(dropped === 0L, "second pass must find nothing left to drop")
+    val againLocal = again.select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(againLocal === once)
+    graft.util.Caches.release()
+  }
+
   // ---- fork detection ------------------------------------------------------
 
   test("fork pairs: planted fork found, low-overlap pairs excluded") {
