@@ -247,6 +247,37 @@ object Bench {
       if (scaleOnly) -1.0
       else sessionBest(cpus, dedup = true, runs = 1,
         nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
+    // paragraph(=line)-level dedup cost — the content-granular dedup
+    // operator at corpus scale: split + sha every line, (sha,id,pos)
+    // winner shuffle, map-side rebuild. SINGLE-SHOT indicator like the
+    // near-dup series. Generated code is dup-heavy (tiny line
+    // vocabulary), so the loser set exceeds the broadcast cap and the
+    // run exercises the shuffle-hash rebuild path — the worst realistic
+    // shape for this operator.
+    val paraN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARADEDUP_ROWS",
+      math.min(n, 1000000L).toString).toLong
+    val tpPara =
+      if (scaleOnly) -1.0
+      else {
+        val s = session(cpus)
+        try {
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          def run(rows: Long, parts: Int): Long = {
+            val files = graft.corpus.CorpusGen
+              .files(s, rows, partitions = parts).toDF()
+              .select(xxhash64(col("repo"), col("path"), col("commit"))
+                .as("id"), col("content").as("text"))
+            graft.dedup.Dedup.paragraphDedup(files, "id", "text", sep = "\n")
+              .write.format("noop").mode("overwrite").save()
+            graft.util.Caches.release()
+            rows
+          }
+          run(50000L, cpus) // JIT warm-up
+          val t0 = System.nanoTime()
+          val rows = run(paraN, 4 * cpus)
+          rows / ((System.nanoTime() - t0) / 1e9)
+        } finally s.stop()
+      }
     val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
     // a measured eff > 1.0 is a noise artifact by definition (you cannot
     // beat linear scaling on identical work) — the headline is clamped,
@@ -295,6 +326,8 @@ object Bench {
       f""""files_per_sec_with_dedup_n$cpus":$tpFull%.1f,""" +
       f""""files_per_sec_with_neardup_n$cpus":$tpNearDup%.1f,""" +
       f""""neardup_rows":$nearDupN,""" +
+      f""""files_per_sec_paradedup_n$cpus":$tpPara%.1f,""" +
+      f""""paradedup_rows":$paraN,""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$midCpus,""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_raw":$effRaw%.3f""" +
       satJson + "}")

@@ -71,6 +71,21 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, "", 1L, 0L)))
   }
 
+  test("chunkByLines: corpus-wide reassembly is lossless") {
+    import graft.corpus.CorpusGen
+    val files = CorpusGen.files(spark, 300L).toDF()
+      .selectExpr("cast(hash(repo, path, commit, content) as long) as id",
+        "content as text")
+    val rebuilt = TextAnalysis.chunkByLines(files, "id", "text", budgetChars = 256)
+      .groupBy("id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+        s => s.getField("chunk")), "\n").as("re"))
+    val mismatches = files.join(rebuilt, "id")
+      .filter(col("text") =!= col("re")).count()
+    assert(mismatches === 0L)
+  }
+
   test("media: synth is deterministic; stub decode features are stable") {
     val m1 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
     val m2 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
