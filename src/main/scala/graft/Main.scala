@@ -6,10 +6,12 @@ import graft.runner.Runner
 
 /** spark-submit entry point with two modes:
   *
-  *   graft.Main <nRows> <workDir> [runId] [--near-dup]
+  *   graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]
   *     — run (or resume) the quality-filter pipeline over a deterministic
   *       synthetic corpus and print a run report; --near-dup adds the
-  *       transitive MinHash near-duplicate stage after exact dedup.
+  *       transitive MinHash near-duplicate stage after exact dedup;
+  *       --clf-gate distills a quality classifier from the run's own
+  *       verdicts and drops kept rows scoring below t (default 0.5).
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -24,7 +26,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.Main <nRows> <workDir> [runId]\n" +
+        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -38,13 +40,21 @@ object Main {
     }
     val (flags, positional) = args.partition(_.startsWith("--"))
     if (positional.length < 2) {
-      System.err.println("usage: graft.Main <nRows> <workDir> [runId] [--near-dup]")
+      System.err.println(
+        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]")
       sys.exit(2)
     }
     val nearDup =
       if (flags.contains("--near-dup"))
         Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
       else None
+    // --clf-gate[=threshold]: distill a classifier from this run's own
+    // verdicts and drop kept rows scoring below the threshold
+    val clfGate = flags.collectFirst {
+      case "--clf-gate" => 0.5
+      case f if f.startsWith("--clf-gate=") =>
+        f.stripPrefix("--clf-gate=").toDouble
+    }
     val n = positional(0).toLong
     val workDir = positional(1)
     val runId = if (positional.length > 2) positional(2) else s"run-$n"
@@ -61,7 +71,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val report = Runner.run(spark, CorpusGen.files(spark, n),
-      CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup)
+      CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
+      classifierGate = clfGate)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -74,6 +85,9 @@ object Main {
     }
     report.lineage.filter(_.stage == "dedup").foreach { l =>
       println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "classifier").foreach { l =>
+      println(f"[graft]   gate=${l.ruleId}%-14s dropped=${l.violations}")
     }
     spark.stop()
   }

@@ -32,6 +32,12 @@ object Runner {
         * adds a "verdicts_exact" checkpoint so the fuzzy stage reads a
         * materialized frame (its MinHash builder consumes it repeatedly) */
       nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None,
+      /** opt-in trained-classifier gate (threshold): after the dedup
+        * stages, a logistic model is DISTILLED from this run's own
+        * verdict labels (deterministic hash-ordered sample, driver GD)
+        * and kept rows scoring below the threshold flip to "clf_low" —
+        * the CCNet-style rules→model bootstrap */
+      classifierGate: Option[Double] = None,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -42,7 +48,7 @@ object Runner {
     // must never be silently reused (a 'verdicts' checkpoint short-circuits
     // the nearDup branch entirely) — the run config is sealed into the
     // store on first run and every resume must match it
-    guardRunConfig(store, workDir, renderRunConfig(nearDup))
+    guardRunConfig(store, workDir, renderRunConfig(nearDup, classifierGate))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -58,11 +64,27 @@ object Runner {
         // content-dedup after filtering: one survivor per distinct content
         val exact =
           QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
-        nearDup match {
+        val deduped = nearDup match {
           case None => exact
           case Some(mh) =>
             val staged = stage("verdicts_exact")(exact)
             QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
+        }
+        classifierGate match {
+          case None => deduped
+          case Some(th) =>
+            // materialize pre-gate: training samples it and gating reads
+            // it again — without the checkpoint the whole dedup chain
+            // recomputes per consumer
+            val staged = stage("verdicts_pregate")(deduped)
+            val labeled = staged
+              .withColumn("__cid", org.apache.spark.sql.functions
+                .xxhash64(col("repo"), col("path"), col("commit"), col("lang")))
+              .withColumn("__y", col("keep").cast("int"))
+            val model = graft.filter.QualityClassifier.train(
+              labeled, "__cid", "scrubbedContent", "__y")
+            QualityPipeline.gateByClassifier(
+              staged.as[FileVerdict], model, th).toDF()
         }
       }
     }
@@ -73,12 +95,16 @@ object Runner {
       "coalesce(sum(case when array_contains(dropReasons,'content_dup') " +
         "then 1 else 0 end),0) as dedup_drops",
       "coalesce(sum(case when array_contains(dropReasons,'near_dup') " +
-        "then 1 else 0 end),0) as neardup_drops").head()
+        "then 1 else 0 end),0) as neardup_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'clf_low') " +
+        "then 1 else 0 end),0) as clf_drops").head()
     val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
-        stats.getLong(0), stats.getLong(3), 0L))
+        stats.getLong(0), stats.getLong(3), 0L)) ++
+      classifierGate.map(_ => LineageRow(runId, "classifier", "clf_low",
+        stats.getLong(0), stats.getLong(4), 0L))
     if (!store.isDone("lineage")) {
       stage("lineage") {
         lineage.toDS().toDF()
@@ -94,15 +120,20 @@ object Runner {
   }
 
   /** Canonical text form of the settings that change what a run's
-    * checkpoints CONTAIN (today: the near-dup stage and its parameters).
+    * checkpoints CONTAIN (today: the near-dup stage and the classifier
+    * gate, with their parameters).
     */
   private[runner] def renderRunConfig(
-      nearDup: Option[graft.dedup.Dedup.MinHashConfig]): String =
-    nearDup.fold("nearDup=off") { m =>
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig],
+      classifierGate: Option[Double] = None): String = {
+    val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
         s"seed=${m.seed},maxBucket=${m.maxBucket})"
     }
+    val cg = classifierGate.fold("clfGate=off")(t => s"clfGate=$t")
+    s"$nd;$cg"
+  }
 
   /** Seal the run config into the store on first run; on resume, refuse
     * to proceed when the flags differ from what the checkpoints were built
