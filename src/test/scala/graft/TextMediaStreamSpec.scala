@@ -238,6 +238,34 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.exists(!_._4)) // some drops occur
   }
 
+  test("chunkByLines runs under Structured Streaming: stream == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the chunker is one stateless flatMap — stream-safe with no
+    // watermark, no state store, append mode, any micro-batch split
+    val mem = MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunkByLines(
+      mem.toDS().toDF("id", "text"), "id", "text", budgetChars = 64)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 12).map(j => s"doc $i line $j some padding words").mkString("\n")))
+    try {
+      mem.addData(docs.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(25): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    val streamed = norm(spark.table("chunk_stream").collect())
+    val batch = norm(TextAnalysis.chunkByLines(
+      docs.toDF("id", "text"), "id", "text", budgetChars = 64).collect())
+    assert(streamed === batch)
+    assert(streamed.count(_._2 > 0) > 0, "multi-chunk docs present")
+  }
+
   test("rule config: parse + ${VAR} substitution + full-width normalization") {
     val text =
       """# comment line
