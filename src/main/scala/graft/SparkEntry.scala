@@ -558,6 +558,23 @@ object SparkEntry {
           (z > 0).cast("int").as("keep"))
         .orderBy("doc_id")
     }),
+    // token-budget sampling: Spark's range-bucketed distributed prefix sum
+    // must pick the EXACT rows a single global window picks — DuckDB
+    // replays the rule as one window over the dumped (hash, weight) set:
+    // exclusive running sum in hash order < budget
+    "q_sample_budget" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val aux = s"$OracleAuxDir/budget_hash"
+      docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.sampling.Sampling.sampleHash(13L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.sampling.Sampling.tokenBudgetSample(docs, Seq("lang"),
+        budget = 8000L, weight = col("n_chars"), tieCols = Seq("doc_id"),
+        seed = 13L)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition signals (duplicate-line stats + boilerplate
     // line shapes) — exact counts so the cross-engine compare is integral
     "q_text_repetition" -> ((s, dir) =>
@@ -1311,6 +1328,19 @@ object SparkEntry {
              w.w2 * f.punct_ratio + w.w3 * f.stopword_ratio +
              w.w4 * f.mean_word_len + w.b > 0 AS INT) AS keep
          FROM f CROSS JOIN w ORDER BY doc_id""",
+    // token-budget sampling: one global window replays the bucketed
+    // prefix sum — keep while the EXCLUSIVE running weight < 8000
+    "q_sample_budget" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_chars, h
+           FROM read_parquet('/tmp/graft_oracle_aux/budget_hash/*.parquet')),
+         cum AS (
+           SELECT doc_id, lang,
+             coalesce(sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM src)
+         SELECT doc_id, lang FROM cum WHERE c < 8000 ORDER BY doc_id""",
     "q_sample_quota" ->
       """WITH ranked AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -73,6 +73,52 @@ object Sampling {
       .drop("__nc")
   }
 
+  /** Token-BUDGET sampling — "take ~N tokens of each language": rows are
+    * consumed in hash order (uniform, deterministic) until the stratum's
+    * cumulative `weight` (tokens, bytes, chars) reaches `budget`; the
+    * crossing row is kept, so every stratum gets at least one row and at
+    * most budget + maxRowWeight − 1. This is the mix-construction
+    * primitive quotas can't express: "10B tokens of Python" is a weight
+    * budget, not a row count.
+    *
+    * Scale design — a cumulative sum is inherently order-dependent, so
+    * instead of one global window per stratum (a mega-stratum lands on
+    * one reducer) the prefix sum is RANGE-BUCKETED: bucket = top 8 bits
+    * of the decision hash (arithmetic shift — monotone in the hash
+    * order, so buckets tile the order), per-(stratum,bucket) sums roll
+    * into exclusive bucket offsets (a |strata|×256 frame — broadcast),
+    * and within-bucket window prefix + offset = the EXACT global prefix
+    * in hash order. The expensive window partitions by (stratum,
+    * bucket): a half-the-corpus stratum spreads over 256 reducers.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCols: Seq[String],
+      budget: Long, weight: Column, tieCols: Seq[String],
+      seed: Long = 42L): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val withH = df.withColumn("__sh", sampleHash(seed, tieCols.map(col)))
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__bk", (shiftright(col("__sh"), 56) + lit(128)).cast("int"))
+    val bucketSums = withH
+      .groupBy((stratumCols.map(col) :+ col("__bk")): _*)
+      .agg(sum(col("__w")).as("__bsum"))
+    val offsets = bucketSums.withColumn("__off",
+      coalesce(sum(col("__bsum")).over(
+        Window.partitionBy(stratumCols.map(col): _*)
+          .orderBy(col("__bk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((stratumCols.map(col) :+ col("__bk") :+ col("__off")): _*)
+    val wLocal = Window
+      .partitionBy((stratumCols.map(col) :+ col("__bk")): _*)
+      .orderBy(col("__sh").asc +: tieCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH
+      .join(broadcast(offsets), stratumCols :+ "__bk")
+      .withColumn("__cum",
+        col("__off") + coalesce(sum(col("__w")).over(wLocal), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__sh", "__w", "__bk", "__off", "__cum")
+  }
+
   /** At most `k` rows per stratum, chosen uniformly within the stratum by
     * hash order (ties broken by the tie columns themselves, so the result
     * is total-ordered and deterministic).

@@ -65,6 +65,36 @@ class SamplingSpec extends SparkSpec {
     assert(reparted === direct)
   }
 
+  test("tokenBudgetSample: bucketed prefix == direct window, budget holds") {
+    val weighted = docs.withColumn("w", (col("id") % 40 + 5).cast("long"))
+    val budget = 600L
+    val out = Sampling.tokenBudgetSample(weighted, Seq("lang"), budget,
+      col("w"), Seq("id"), seed = 5L)
+    // the range-bucketed distributed prefix sum must pick the EXACT rows
+    // the direct single-window rule picks
+    val h = Sampling.sampleHash(5L, Seq(col("id")))
+    val direct = weighted.withColumn("__h", h)
+      .withColumn("__c", coalesce(sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("__h").asc, col("id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("__c") < budget).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === direct)
+    // per-stratum totals: >= budget coverage intent, <= budget + max row
+    val totals = out.groupBy("lang").agg(sum("w").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals.values.forall(t => t < budget + 45 && t > 0))
+    assert(totals.keySet === Set("py", "go", "sc"), "every stratum sampled")
+    // partition-layout independence
+    val re = Sampling.tokenBudgetSample(weighted.repartition(17, col("repo")),
+      Seq("lang"), budget, col("w"), Seq("id"), seed = 5L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(re === direct)
+  }
+
   test("weightedRepeat: floor copies + hash-gated fractional epoch") {
     val w = when(col("lang") === "py", 2.5)
       .when(col("lang") === "go", 0.25).otherwise(1.0)
