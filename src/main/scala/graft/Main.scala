@@ -49,11 +49,20 @@ object Main {
         Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
       else None
     // --clf-gate[=threshold]: distill a classifier from this run's own
-    // verdicts and drop kept rows scoring below the threshold
+    // verdicts and drop kept rows scoring below the threshold. Malformed
+    // or out-of-range values take the usage path (exit 2) like every
+    // other argument error — a sigmoid gate at t>=1 would silently drop
+    // the whole corpus
     val clfGate = flags.collectFirst {
       case "--clf-gate" => 0.5
       case f if f.startsWith("--clf-gate=") =>
-        f.stripPrefix("--clf-gate=").toDouble
+        f.stripPrefix("--clf-gate=").toDoubleOption match {
+          case Some(t) if t > 0.0 && t < 1.0 => t
+          case _ =>
+            System.err.println(
+              s"--clf-gate threshold must be a number in (0,1), got: $f")
+            sys.exit(2)
+        }
     }
     val n = positional(0).toLong
     val workDir = positional(1)

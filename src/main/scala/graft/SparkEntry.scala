@@ -338,11 +338,11 @@ object SparkEntry {
       // common-code windows appear in thousands of files and carry no
       // clone evidence — only RARE windows (per-file numeric literals the
       // planted copies share) survive the cap, which is both the signal
-      // and the join bound
-      graft.dedup.Dedup.clonePairsFromFingerprints(
-        s.read.parquet(aux)
-          .groupBy("fid").agg(collect_list(col("fp")).as("fingerprints")),
-        "fid", minShared = 10, maxPostings = 100)
+      // and the join bound. The dump IS the postings shape the operator
+      // consumes — no regroup/re-explode round trip.
+      graft.dedup.Dedup.clonePairsFromPosts(
+        s.read.parquet(aux).select(col("fid").as("id"), col("fp")),
+        minShared = 10, maxPostings = 100)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1073,7 +1073,7 @@ object SparkEntry {
          ORDER BY repo_a, repo_b""",
     // code clones: replay the postings self-join + shared-count threshold
     // over the identical dumped (fid, fp) set; the hot-fingerprint cap
-    // (postings > 2000 dropped) is replayed too
+    // (postings > 100 dropped) is replayed too
     "q_code_clones" ->
       """WITH posts AS (
            SELECT fid, fp

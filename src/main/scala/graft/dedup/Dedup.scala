@@ -561,10 +561,20 @@ object Dedup {
     * and merge hints on the self-join sides.
     */
   def clonePairsFromFingerprints(fps: DataFrame, idCol: String,
-      minShared: Long = 5, maxPostings: Int = 1000): DataFrame = {
-    val posts = graft.util.Caches.track(
+      minShared: Long = 5, maxPostings: Int = 1000): DataFrame =
+    clonePairsFromPosts(
       fps.select(col(idCol).cast("long").as("id"),
-        explode(col("fingerprints")).as("fp")).distinct())
+        explode(col("fingerprints")).as("fp")).distinct(),
+      minShared, maxPostings)
+
+  /** [[clonePairsFromFingerprints]] over an ALREADY-EXPLODED frame of
+    * DISTINCT (id, fp) postings — the shape a pipeline persists anyway
+    * (and what the fingerprint dump already is), skipping the
+    * regroup→re-explode round trip.
+    */
+  def clonePairsFromPosts(posts0: DataFrame, minShared: Long = 5,
+      maxPostings: Int = 1000): DataFrame = {
+    val posts = graft.util.Caches.track(posts0.select(col("id"), col("fp")))
     val capped = dropHotBuckets(posts, maxPostings, keys = Seq("fp"))
     val l = capped.select(col("fp"), col("id").as("id_a"))
     val r = capped.select(col("fp"), col("id").as("id_b"))

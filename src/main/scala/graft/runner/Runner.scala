@@ -77,7 +77,16 @@ object Runner {
             // it again — without the checkpoint the whole dedup chain
             // recomputes per consumer
             val staged = stage("verdicts_pregate")(deduped)
+            // train on the RULE verdicts only: dedup losers carry keep=false
+            // with features byte-identical to their kept survivor twin, so
+            // including them feeds the optimizer contradictory labels on
+            // identical vectors (on a dup-heavy corpus that pushes every
+            // duplicated-but-good document toward p≈0.5 and the gate would
+            // flip legitimate keeps) — content_dup/near_dup rows are
+            // excluded from the sample, not relabeled
             val labeled = staged
+              .filter(!array_contains(col("dropReasons"), "content_dup") &&
+                !array_contains(col("dropReasons"), "near_dup"))
               .withColumn("__cid", org.apache.spark.sql.functions
                 .xxhash64(col("repo"), col("path"), col("commit"), col("lang")))
               .withColumn("__y", col("keep").cast("int"))
@@ -141,9 +150,17 @@ object Runner {
     * must fail loudly, not silently reuse stale verdicts (and emit lineage
     * for a stage that never executed).
     */
+  /** Settings absent from an OLDER binary's sealed config default to
+    * "off" — off is byte-identical behavior to the code that predated the
+    * setting, so a valid checkpoint set must keep resuming after an
+    * upgrade (refusing would discard hours of work over a format change).
+    */
+  private[graft] def upgradeRunConfig(stored: String): String =
+    if (stored.contains(";clfGate=")) stored else s"$stored;clfGate=off"
+
   private def guardRunConfig(store: SnapshotStore, workDir: String,
       line: String): Unit =
-    store.readMeta("RUNCONFIG") match {
+    store.readMeta("RUNCONFIG").map(upgradeRunConfig) match {
       case Some(existing) if existing != line =>
         throw new IllegalStateException(
           s"work dir $workDir holds checkpoints built with [$existing] but " +

@@ -56,17 +56,20 @@ object Sampling {
     * distinguish them; the explode is map-side (no shuffle, no state).
     *
     * Engine-parity note: the fractional threshold is
-    * `cast(frac(w)·1e6 as long)` (truncation). Weights whose fraction is
-    * exact in binary (e.g. .25/.5/.75) cross-replay bit-identically;
-    * arbitrary decimal fractions may differ by 1 ulp in the threshold
-    * across engines — quantize weights to 1e-6 when that matters.
+    * `round(frac(w)·1e6)` — ROUNDED, the same rule [[hashRateSample]]
+    * applies, so `weightedRepeat(w=1.3)` selects the identical
+    * fractional-epoch subset as `hashRateSample(rate=0.3)` (truncation
+    * would put the two one millionth apart at e.g. 0.3, whose frac is
+    * 0.29999…94 in binary). Weights exact in binary (.25 steps)
+    * cross-replay bit-identically in any engine; arbitrary decimals may
+    * differ by 1 ulp before rounding — quantize to 1e-6 when it matters.
     */
   def weightedRepeat(df: DataFrame, weight: Column, seed: Long,
       keys: Column*): DataFrame = {
     val frac = weight - floor(weight)
     val nCopies = floor(weight).cast("int") +
       when(pmod(sampleHash(seed, keys), lit(RateDenom)) <
-        (frac * RateDenom).cast("long"), 1).otherwise(0)
+        round(frac * RateDenom).cast("long"), 1).otherwise(0)
     df.withColumn("__nc", nCopies)
       .filter(col("__nc") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0), col("__nc") - 1)))
@@ -95,9 +98,14 @@ object Sampling {
       budget: Long, weight: Column, tieCols: Seq[String],
       seed: Long = 42L): DataFrame = {
     require(budget > 0, s"budget=$budget must be positive")
-    val withH = df.withColumn("__sh", sampleHash(seed, tieCols.map(col)))
-      .withColumn("__w", weight.cast("long"))
-      .withColumn("__bk", (shiftright(col("__sh"), 56) + lit(128)).cast("int"))
+    // cached: the hashed/weighted frame feeds BOTH the bucket-sum
+    // aggregation and the main windowed join — uncached, the source scan
+    // + hash projection would run twice (the exchanges differ, so Spark
+    // can't reuse them). Caller releases via graft.util.Caches.release().
+    val withH = graft.util.Caches.track(
+      df.withColumn("__sh", sampleHash(seed, tieCols.map(col)))
+        .withColumn("__w", weight.cast("long"))
+        .withColumn("__bk", (shiftright(col("__sh"), 56) + lit(128)).cast("int")))
     val bucketSums = withH
       .groupBy((stratumCols.map(col) :+ col("__bk")): _*)
       .agg(sum(col("__w")).as("__bsum"))

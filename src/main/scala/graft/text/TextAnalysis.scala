@@ -174,7 +174,11 @@ object TextAnalysis {
     * posexplode + per-doc window + regroup plan shuffles the whole corpus
     * twice for the same answer.)
     *
-    * Returns (idCol, chunk_id, chunk, n_lines, n_chars).
+    * Returns (idCol, chunk_id, chunk, n_lines, n_chars). Non-null
+    * `textCol` assumed (same contract as paragraphDedup): a null text
+    * yields ZERO chunk rows — its document disappears from the output —
+    * while an empty string yields one empty chunk; coalesce nulls
+    * upstream if row preservation matters.
     */
   def chunkByLines(df: DataFrame, idCol: String, textCol: String,
       budgetChars: Int): DataFrame = {
