@@ -1059,9 +1059,14 @@ object SparkEntry {
       """WITH fh AS (SELECT repo, h
            FROM read_parquet('/tmp/graft_oracle_aux/fork_hashes/*.parquet')),
          sizes AS (SELECT repo, count(*) AS n FROM fh GROUP BY repo),
+         -- replay the maxPostings=4096 hot-hash cap (dropHotBuckets):
+         -- content present in more repos than that never joins; set sizes
+         -- (the overlap denominator) still come from the UNCAPPED frame
+         capped AS (SELECT * FROM fh WHERE h IN (
+           SELECT h FROM fh GROUP BY h HAVING count(*) <= 4096)),
          shared AS (
            SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
-           FROM fh a JOIN fh b USING (h)
+           FROM capped a JOIN capped b USING (h)
            WHERE a.repo < b.repo GROUP BY 1, 2)
          SELECT repo_a, repo_b, CAST(shared AS BIGINT) AS shared,
            CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b

@@ -64,11 +64,16 @@ object QualityClassifier {
       .select((col(labelCol).cast("double").as("__y") +:
         col(idCol).as("__id") +:
         feats.map { case (n, c) => c.as(n) }): _*)
+      // a null label or a null-producing feature (null text nulls every
+      // quality metric) must not surface as an opaque NPE mid-collect:
+      // such rows carry no usable signal — drop them from the sample
+      .na.drop("any", "__y" +: featureNames)
       .orderBy(xxhash64(lit(seed), col("__id")), col("__id"))
       .limit(maxSample)
       .collect()
     val n = sample.length
-    require(n > 0, "empty training sample")
+    require(n > 0,
+      "empty training sample (no rows with non-null label and features)")
     val d = featureNames.length
     val xs = Array.ofDim[Double](n, d)
     val ys = new Array[Double](n)

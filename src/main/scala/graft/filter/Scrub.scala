@@ -46,6 +46,22 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
   /** id → declared family (lineage rows are family-qualified). */
   val families: Map[String, String] = rules.map(r => r.id -> r.family).toMap
 
+  /** 16-hex content fingerprint of the chain — every field that changes
+    * scrubbed OUTPUT participates (id/family are lineage metadata but kept
+    * in: a renamed rule changes what lineage a resumed run would mix).
+    * Sealed into a run's work dir ([[graft.runner.Runner]]) so checkpoints
+    * built under a different chain refuse to resume instead of silently
+    * mixing differently-scrubbed content/sha256s across stages.
+    */
+  lazy val fingerprint: String = {
+    val canon = rules.map(r => Seq(r.id, r.family, r.pattern, r.replacement,
+      r.prescreen.getOrElse(""), r.drop.toString).mkString("\u0001"))
+      .mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Per-pattern match-count columns (lineage: "scrub counts"). Each
     * pattern is counted against the text AFTER the preceding patterns have
     * been applied — the same progressive semantics as [[scrubPlain]], so

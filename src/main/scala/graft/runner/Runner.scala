@@ -129,8 +129,11 @@ object Runner {
   }
 
   /** Canonical text form of the settings that change what a run's
-    * checkpoints CONTAIN (today: the near-dup stage and the classifier
-    * gate, with their parameters).
+    * checkpoints CONTAIN: the near-dup stage, the classifier gate, and the
+    * SCRUB CHAIN (annotated/verdicts checkpoints embed scrubbed content
+    * and sha256s, so a binary with a different default chain must not
+    * resume into them — found the hard way when round 3 added the toxicity
+    * rule and pre-existing work dirs resumed cleanly under the new binary).
     */
   private[runner] def renderRunConfig(
       nearDup: Option[graft.dedup.Dedup.MinHashConfig],
@@ -141,8 +144,15 @@ object Runner {
         s"seed=${m.seed},maxBucket=${m.maxBucket})"
     }
     val cg = classifierGate.fold("clfGate=off")(t => s"clfGate=$t")
-    s"$nd;$cg"
+    s"$nd;$cg;scrub=${graft.filter.Scrub.default.fingerprint}"
   }
+
+  /** Fingerprint of the default scrub chain as shipped in round 3 (email /
+    * aws_key / slack_token / ipv4 / jwt / toxicity / private_key) — the
+    * chain every seal written BEFORE the scrub field existed was built
+    * with. A spec pins this constant to the historical config text.
+    */
+  private[graft] val LegacyR3ScrubFp = "0bdf2ad8f94858c9"
 
   /** Seal the run config into the store on first run; on resume, refuse
     * to proceed when the flags differ from what the checkpoints were built
@@ -155,8 +165,17 @@ object Runner {
     * setting, so a valid checkpoint set must keep resuming after an
     * upgrade (refusing would discard hours of work over a format change).
     */
-  private[graft] def upgradeRunConfig(stored: String): String =
-    if (stored.contains(";clfGate=")) stored else s"$stored;clfGate=off"
+  private[graft] def upgradeRunConfig(stored: String): String = {
+    val withClf =
+      if (stored.contains(";clfGate=")) stored else s"$stored;clfGate=off"
+    // seals without a scrub field were written by the round-3 binary, whose
+    // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
+    // absent = off = identical behavior), this is NOT a free pass: if the
+    // current default chain differs, the guard refuses the resume — which
+    // is exactly the point (the old checkpoints hold old-chain content).
+    if (withClf.contains(";scrub=")) withClf
+    else s"$withClf;scrub=$LegacyR3ScrubFp"
+  }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,
       line: String): Unit =

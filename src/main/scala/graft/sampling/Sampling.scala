@@ -119,8 +119,21 @@ object Sampling {
       .partitionBy((stratumCols.map(col) :+ col("__bk")): _*)
       .orderBy(col("__sh").asc +: tieCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe (<=>) stratum keys: a NULL stratum (missing language tag,
+    // absent domain) is a legitimate group with its own budget — a plain
+    // equi-join would silently drop every such row, breaking the "every
+    // stratum gets at least one row" guarantee. The offsets frame derives
+    // FROM withH, so its key columns are renamed before the join (same-
+    // lineage df("c") references resolve to one attribute and produce a
+    // trivially-true predicate).
+    val offsetsR = offsets.select(
+      (stratumCols.map(c => col(c).as(s"__o_$c")) :+
+        col("__bk").as("__o_bk") :+ col("__off")): _*)
+    val joinCond = (stratumCols.map(c => col(c) <=> col(s"__o_$c")) :+
+      (col("__bk") <=> col("__o_bk"))).reduce(_ && _)
     withH
-      .join(broadcast(offsets), stratumCols :+ "__bk")
+      .join(broadcast(offsetsR), joinCond)
+      .drop(("__o_bk" +: stratumCols.map(c => s"__o_$c")): _*)
       .withColumn("__cum",
         col("__off") + coalesce(sum(col("__w")).over(wLocal), lit(0L)))
       .filter(col("__cum") < budget)

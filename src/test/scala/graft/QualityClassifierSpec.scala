@@ -31,6 +31,19 @@ class QualityClassifierSpec extends SparkSpec {
       s"held-out accuracy ${correct.toDouble / holdout.length}")
   }
 
+  test("train drops null-label / null-text rows instead of NPEing; " +
+    "all-null sample fails with a clear message") {
+    val withNulls = labeled
+      .withColumn("y", when(col("id") % 7 === 0, lit(null)).otherwise(col("y")))
+      .withColumn("text", when(col("id") % 11 === 0, lit(null)).otherwise(col("text")))
+    val m = QualityClassifier.train(withNulls, "id", "text", "y") // no NPE
+    assert(m.weights.forall(w => !w.isNaN))
+    val allNull = labeled.withColumn("y", lit(null).cast("int"))
+    val e = intercept[IllegalArgumentException](
+      QualityClassifier.train(allNull, "id", "text", "y"))
+    assert(e.getMessage.contains("non-null"))
+  }
+
   test("training is deterministic and partition-layout independent") {
     val m1 = QualityClassifier.train(labeled, "id", "text", "y")
     val m2 = QualityClassifier.train(labeled.repartition(13, col("y")),

@@ -95,6 +95,21 @@ class SamplingSpec extends SparkSpec {
     assert(re === direct)
   }
 
+  test("tokenBudgetSample: a NULL stratum is a real group with its own budget") {
+    // rows with a missing language tag must not silently vanish (the
+    // offsets join is null-safe) — they form their own stratum
+    val weighted = docs
+      .withColumn("lang", when(col("id") % 4 =!= 0, col("lang"))) // 1/4 NULL
+      .withColumn("w", (col("id") % 40 + 5).cast("long"))
+    val out = Sampling.tokenBudgetSample(weighted, Seq("lang"), 600L,
+      col("w"), Seq("id"), seed = 5L)
+    val byLang = out.groupBy("lang").agg(sum("w").as("t")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byLang.contains(None), "NULL stratum sampled")
+    assert(byLang.values.forall(t => t > 0 && t < 600L + 45))
+    assert(byLang.keySet.flatten === Set("py", "go", "sc"))
+  }
+
   test("weightedRepeat: floor copies + hash-gated fractional epoch") {
     val w = when(col("lang") === "py", 2.5)
       .when(col("lang") === "go", 0.25).otherwise(1.0)

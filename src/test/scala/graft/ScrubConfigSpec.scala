@@ -21,6 +21,33 @@ class ScrubConfigSpec extends SparkSpec {
     assert(Scrub.rules.find(_.id == "aws_key").get.prescreen === Some("AKIA"))
   }
 
+  test("chain fingerprint: pins the round-3 legacy constant, " +
+    "moves when any output-affecting field moves") {
+    // the EXACT default chain round 3 shipped — seals written before the
+    // scrub field existed were built with it, and Runner.upgradeRunConfig
+    // assumes this constant is its fingerprint
+    val r3Config =
+      """scrub email family=pii replace=<EMAIL> pre=@ pattern=[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+        |scrub aws_key family=secret replace=<AWS_KEY> pre=AKIA pattern=AKIA[0-9A-Z]{16}
+        |scrub slack_token family=secret replace=<TOKEN> pre=xox pattern=xox[baprs]-[0-9A-Za-z-]{10,}
+        |scrub ipv4 family=pii replace=<IP> pattern=\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b
+        |scrub jwt family=secret replace=<JWT> pre=eyJ pattern=eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}
+        |scrub toxicity family=toxicity replace=<TOX> pattern=(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole|bastard|cunt|dickhead)\b
+        |drop private_key family=secret pre=-----BEGIN pattern=-----BEGIN [A-Z ]*PRIVATE KEY-----
+        |""".stripMargin
+    assert(Scrub.scrubber(r3Config).fingerprint ===
+      graft.runner.Runner.LegacyR3ScrubFp)
+    // sensitivity: a changed pattern or replacement moves the fingerprint
+    val base = Scrub.scrubber("scrub a family=pii replace=<A> pattern=a+")
+    assert(base.fingerprint !==
+      Scrub.scrubber("scrub a family=pii replace=<A> pattern=a*").fingerprint)
+    assert(base.fingerprint !==
+      Scrub.scrubber("scrub a family=pii replace=<B> pattern=a+").fingerprint)
+    // stable: same config, same fingerprint
+    assert(base.fingerprint ===
+      Scrub.scrubber("scrub a family=pii replace=<A> pattern=a+").fingerprint)
+  }
+
   test("parse: declaration order, pre=, and pattern-to-end-of-line") {
     val rules = Scrub.parse(
       """# comment
