@@ -467,6 +467,43 @@ object SparkEntry {
         .contaminationFlags(docs, "doc_id", "text", bench, "text")
         .orderBy("doc_id")
     }),
+    // entropy-gated secret detection (truffleHog-style): candidates come
+    // from a PLANTED corpus — natural >=20-char runs are stripped first so
+    // every remaining candidate has a provable >=0.5-bit margin from its
+    // threshold — and the per-token keep/scrub DECISION is made by the
+    // codegen'd EntropyGatedCount expression. The planted text is dumped;
+    // DuckDB re-extracts the same candidates and recomputes Shannon char
+    // entropy + the decision with its own log2 (decision parity is exact
+    // because no planted token sits near a threshold)
+    "q_secret_entropy" -> ((s, dir) => {
+      val hexPat = "\\b[0-9a-fA-F]{24,}\\b"
+      val b64Pat = "[A-Za-z0-9+/]{24,}={0,2}"
+      val base = tbl(s, dir, "documents").select(col("doc_id"),
+        // strip to a SPACE so shorter neighbors cannot merge into new
+        // candidate runs
+        regexp_replace(col("text"), lit("[A-Za-z0-9+/=]{20,}"), lit(" "))
+          .as("text"))
+      val planted = base.withColumn("text", concat_ws(" ", col("text"),
+        sha2(concat(lit("hex"), col("doc_id").cast("string")), 256), // uniform hex, H≈3.8 ≥ 3.0
+        lit("aaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // H=0 — same charset, kept
+        base64(unhex(sha2(concat(lit("b64"), col("doc_id").cast("string")),
+          256))), // 44-char random base64, H≈5.2 ≥ 4.5
+        lit("abcdabcdabcdabcdabcdabcdabcd"))) // H=2 — kept by both rules
+      val aux = s"$OracleAuxDir/entropy_docs"
+      planted.coalesce(1).write.mode("overwrite").parquet(aux)
+      val docs = s.read.parquet(aux)
+      def cands(rule: String, pat: String, minBits: Double) =
+        docs.select(col("doc_id"),
+            posexplode(regexp_extract_all(col("text"), lit(pat), lit(0)))
+              .as(Seq("tok_idx", "tok")))
+          .select(lit(rule).as("rule"), col("doc_id"),
+            col("tok_idx").cast("long").as("tok_idx"), col("tok"),
+            (graft.functions.expressions
+              .entropy_count(col("tok"), pat, minBits) > 0)
+              .cast("int").as("flagged"))
+      cands("b64", b64Pat, 4.5).unionByName(cands("hex", hexPat, 3.0))
+        .orderBy("rule", "doc_id", "tok_idx")
+    }),
     // deterministic corpus sampling: the decision hash is dumped for every
     // row, the QUERY applies Spark's selection (rate predicate / salted
     // two-phase quota window), and DuckDB re-applies the selection RULE to
@@ -1253,6 +1290,37 @@ object SparkEntry {
            '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'),
            '[ \t]+', ' ', 'g')) AS cleaned
          FROM documents ORDER BY doc_id""",
+    // per-candidate entropy decisions: DuckDB re-extracts the candidates
+    // from the dumped planted text, builds each token's char histogram,
+    // computes Shannon entropy with its own log2, and applies the same
+    // bit thresholds — decisions match exactly because every planted
+    // token is >= 0.5 bits away from its threshold
+    "q_secret_entropy" ->
+      """WITH d AS (SELECT doc_id, text
+           FROM read_parquet('/tmp/graft_oracle_aux/entropy_docs/*.parquet')),
+         rules AS (SELECT * FROM (VALUES
+           ('hex', '\b[0-9a-fA-F]{24,}\b', 3.0),
+           ('b64', '[A-Za-z0-9+/]{24,}={0,2}', 4.5)) t(rule, pat, minbits)),
+         toks AS (
+           SELECT r.rule, d.doc_id,
+             generate_subscripts(regexp_extract_all(d.text, r.pat), 1) - 1
+               AS tok_idx,
+             unnest(regexp_extract_all(d.text, r.pat)) AS tok,
+             r.minbits
+           FROM d CROSS JOIN rules r),
+         hist AS (
+           SELECT rule, doc_id, tok_idx, tok, minbits, ch, count(*) AS c
+           FROM (SELECT t.*, unnest(regexp_extract_all(tok, '.')) AS ch
+                 FROM toks t)
+           GROUP BY rule, doc_id, tok_idx, tok, minbits, ch),
+         ent AS (
+           SELECT rule, doc_id, tok_idx, tok, minbits,
+             -sum((c * 1.0 / length(tok)) * log2(c * 1.0 / length(tok))) AS h
+           FROM hist GROUP BY rule, doc_id, tok_idx, tok, minbits)
+         SELECT rule, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(tok_idx AS BIGINT) AS tok_idx, tok,
+           CAST(h >= minbits AS INT) AS flagged
+         FROM ent ORDER BY rule, doc_id, tok_idx""",
     "q_decontaminate" ->
       """WITH ds AS (
            SELECT doc_id, shingle

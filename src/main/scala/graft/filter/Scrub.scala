@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *                    files carry no PII, so this is the common case)
   * @param drop        true = the match cannot be scrubbed in place and the
   *                    whole file is dropped (e.g. private key material)
+  * @param minBits     entropy gate: when set, a match only fires if the
+  *                    Shannon entropy over its characters is >= this many
+  *                    bits — the public secret-scanner heuristic for keys
+  *                    WITHOUT a known prefix (random base64/hex runs are
+  *                    high-entropy; same-charset identifiers are not).
+  *                    See [[graft.functions.SecretEntropy]].
   */
 final case class ScrubRule(
     id: String,
@@ -24,7 +30,8 @@ final case class ScrubRule(
     pattern: String,
     replacement: String,
     prescreen: Option[String],
-    drop: Boolean)
+    drop: Boolean,
+    minBits: Option[Double] = None)
 
 /** A compiled, ordered scrub chain. Rules are applied in DECLARED order —
   * scrubbing must be deterministic across partitionings so retained-content
@@ -54,8 +61,11 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
     * mixing differently-scrubbed content/sha256s across stages.
     */
   lazy val fingerprint: String = {
-    val canon = rules.map(r => Seq(r.id, r.family, r.pattern, r.replacement,
-      r.prescreen.getOrElse(""), r.drop.toString).mkString("\u0001"))
+    // minBits appends as an extra field only when present, so every
+    // pre-entropy chain's canon (and thus Runner.LegacyR3ScrubFp) is stable
+    val canon = rules.map(r => (Seq(r.id, r.family, r.pattern, r.replacement,
+      r.prescreen.getOrElse(""), r.drop.toString) ++
+      r.minBits.map(_.toString)).mkString("\u0001"))
       .mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -69,33 +79,63 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
     */
   def countCols(content: Column): Seq[(String, Column)] = {
     var cur = content
-    patterns.map { case (id, p, r) =>
-      val c = s"scrub_$id" -> regexp_count(cur, lit(p))
-      cur = regexp_replace(cur, lit(p), lit(r))
+    rules.filterNot(_.drop).map { r =>
+      val c = s"scrub_${r.id}" -> (r.minBits match {
+        case None => regexp_count(cur, lit(r.pattern))
+        case Some(b) =>
+          graft.functions.expressions.entropy_count(cur, r.pattern, b)
+      })
+      cur = r.minBits match {
+        case None => regexp_replace(cur, lit(r.pattern), lit(r.replacement))
+        case Some(b) =>
+          graft.functions.expressions.entropy_scrub(cur, r.pattern,
+            r.replacement, b)
+      }
       c
     }
   }
 
-  /** The scrubbed content: ordered regexp_replace chain, one projection. */
+  /** The scrubbed content: ordered replace chain, one projection —
+    * `regexp_replace` for plain rules, the codegen'd entropy-gated
+    * expression for `minBits=` rules.
+    */
   def scrubCol(content: Column): Column =
-    patterns.foldLeft(content) { case (c, (_, p, r)) =>
-      regexp_replace(c, lit(p), lit(r))
+    rules.filterNot(_.drop).foldLeft(content) { (c, r) =>
+      r.minBits match {
+        case None => regexp_replace(c, lit(r.pattern), lit(r.replacement))
+        case Some(b) =>
+          graft.functions.expressions.entropy_scrub(c, r.pattern,
+            r.replacement, b)
+      }
     }
 
   /** Drop-rule columns for unsalvageable secrets. */
   def dropCols(content: Column): Seq[(String, Column)] =
-    dropPatterns.map { case (id, p) => id -> content.rlike(p) }
+    rules.filter(_.drop).map { r =>
+      r.id -> (r.minBits match {
+        case None => content.rlike(r.pattern)
+        case Some(b) =>
+          graft.functions.expressions.entropy_count(content, r.pattern, b) > 0
+      })
+    }
 
   // ---- plain-JVM twin (used by the fused pipeline pass and test oracles) -
 
   private val compiled =
     rules.filterNot(_.drop).map { r =>
-      (r.id, java.util.regex.Pattern.compile(r.pattern), r.replacement,
-        r.prescreen)
+      // entropy rules replace LITERALLY (SecretEntropy quotes) — quote here
+      // too so the fused pass stays byte-identical to the Column route;
+      // plain rules keep java $-group semantics (same as regexp_replace)
+      val rep = if (r.minBits.isDefined)
+        java.util.regex.Matcher.quoteReplacement(r.replacement)
+      else r.replacement
+      (r.id, java.util.regex.Pattern.compile(r.pattern), rep,
+        r.prescreen, r.minBits)
     }
   private val compiledDrop =
     rules.filter(_.drop).map { r =>
-      (r.id, java.util.regex.Pattern.compile(r.pattern), r.prescreen)
+      (r.id, java.util.regex.Pattern.compile(r.pattern), r.prescreen,
+        r.minBits)
     }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
@@ -112,16 +152,22 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
     var out = text
     val counts = new Array[Int](patterns.length)
     var idx = 0
-    compiled.foreach { case (_, p, r, pre) =>
+    compiled.foreach { case (_, p, r, pre, minBits) =>
       if (pre.forall(lit => out.indexOf(lit) >= 0)) {
-        // single matcher pass: count and replace together
+        // single matcher pass: count and replace together; entropy-gated
+        // rules skip non-qualifying matches (no appendReplacement ⇒ the
+        // skipped region flows through verbatim), sharing the same kernel
+        // as the Column route so the twin guarantee holds by construction
         val m = p.matcher(out)
         var n = 0
         var sb: java.lang.StringBuilder = null
         while (m.find()) {
-          if (n == 0) sb = new java.lang.StringBuilder(out.length)
-          n += 1
-          m.appendReplacement(sb, r)
+          if (minBits.forall(b => graft.functions.SecretEntropy
+            .qualifies(out, m.start, m.end, b))) {
+            if (n == 0) sb = new java.lang.StringBuilder(out.length)
+            n += 1
+            m.appendReplacement(sb, r)
+          }
         }
         if (n > 0) { m.appendTail(sb); out = sb.toString }
         counts(idx) = n
@@ -132,8 +178,15 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
   }
 
   def hasDropSecret(text: String): Boolean =
-    compiledDrop.exists { case (_, p, pre) =>
-      pre.forall(text.contains(_)) && p.matcher(text).find()
+    compiledDrop.exists { case (_, p, pre, minBits) =>
+      pre.forall(text.contains(_)) && {
+        val m = p.matcher(text)
+        var found = false
+        while (!found && m.find())
+          found = minBits.forall(b => graft.functions.SecretEntropy
+            .qualifies(text, m.start, m.end, b))
+        found
+      }
     }
 }
 
@@ -144,21 +197,28 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
   *
   * Config format — one rule per line, `#` comments, blank lines ignored:
   * {{{
-  *   scrub <id> family=<fam> replace=<text> [pre=<literal>] pattern=<regex>
-  *   drop  <id> family=<fam>                [pre=<literal>] pattern=<regex>
+  *   scrub <id> family=<fam> replace=<text> [pre=<literal>] [minBits=<b>] pattern=<regex>
+  *   drop  <id> family=<fam>                [pre=<literal>] [minBits=<b>] pattern=<regex>
   * }}}
   * `pattern=` consumes the REST OF THE LINE (regexes may contain spaces,
   * `=`, anything), so it must come last. Declaration order is application
-  * order.
+  * order. `minBits=` makes the rule entropy-gated: a match only fires when
+  * the Shannon entropy over its characters reaches the threshold — the
+  * high-entropy secret detector for keys without a known prefix.
   */
 object Scrub {
 
   /** The default chain: PII + secrets (as before) + a toxicity lexicon
-    * family (north_star "PII/toxicity scrubbing"). The lexicon is a small
-    * public-wordlist-shaped seed (LDNOOBW-style); production configs are
-    * expected to extend it — which is the point of the declarative format.
-    * Toxicity has no safe prescreen literal (case-insensitive word
-    * alternation), so it always pays its regex pass.
+    * family (north_star "PII/toxicity scrubbing") + entropy-gated secret
+    * rules for keys WITHOUT a known prefix (the public truffleHog-style
+    * heuristic: hex runs >= 3.0 bits of char entropy, base64 runs >= 4.5).
+    * The lexicon is a small public-wordlist-shaped seed (LDNOOBW-style);
+    * production configs are expected to extend it — which is the point of
+    * the declarative format. Toxicity has no safe prescreen literal
+    * (case-insensitive word alternation), so it always pays its regex pass.
+    * Entropy rules run LAST among scrubs: prefix-keyed secrets (AKIA, xox,
+    * eyJ) are consumed by their specific rules first, so the generic
+    * detectors only see what those left behind.
     */
   val defaultConfig: String =
     """# id            family    action
@@ -168,6 +228,8 @@ object Scrub {
       |scrub ipv4 family=pii replace=<IP> pattern=\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b
       |scrub jwt family=secret replace=<JWT> pre=eyJ pattern=eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}
       |scrub toxicity family=toxicity replace=<TOX> pattern=(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole|bastard|cunt|dickhead)\b
+      |scrub hex_secret family=secret replace=<SECRET:HEX> minBits=3.0 pattern=\b[0-9a-fA-F]{24,}\b
+      |scrub b64_secret family=secret replace=<SECRET:B64> minBits=4.5 pattern=[A-Za-z0-9+/]{24,}={0,2}
       |drop private_key family=secret pre=-----BEGIN pattern=-----BEGIN [A-Z ]*PRIVATE KEY-----
       |""".stripMargin
 
@@ -203,7 +265,7 @@ object Scrub {
           if (i <= 0) fail(line, s"expected key=value, got '$t'")
           t.substring(0, i) -> t.substring(i + 1)
         }.toMap
-        kvs.keySet.diff(Set("family", "replace", "pre")).foreach(k =>
+        kvs.keySet.diff(Set("family", "replace", "pre", "minBits")).foreach(k =>
           fail(line, s"unknown key '$k'"))
         val family = kvs.getOrElse("family", fail(line, "missing family="))
         val drop = action == "drop"
@@ -212,7 +274,12 @@ object Scrub {
         val replacement =
           if (drop) ""
           else kvs.getOrElse("replace", fail(line, "scrub rules need replace="))
-        ScrubRule(id, family, pattern, replacement, kvs.get("pre"), drop)
+        val minBits = kvs.get("minBits").map { v =>
+          v.toDoubleOption.filter(b => b > 0.0 && !b.isNaN).getOrElse(
+            fail(line, s"minBits must be a positive number, got '$v'"))
+        }
+        ScrubRule(id, family, pattern, replacement, kvs.get("pre"), drop,
+          minBits)
       }.toVector
     val dups = rules.groupBy(_.id).collect { case (id, rs) if rs.sizeIs > 1 => id }
     if (dups.nonEmpty)

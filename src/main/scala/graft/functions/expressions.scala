@@ -97,6 +97,151 @@ object NfcNormalize {
   }
 }
 
+/** Entropy-gated secret scrubbing kernel — the public secret-scanner
+  * technique (truffleHog-style) the fixed-prefix regex families cannot
+  * cover: random API keys and tokens have no known prefix, but they DO
+  * have high Shannon entropy over their characters, while same-charset
+  * natural text (identifiers, words) does not. A candidate regex finds
+  * hex/base64-ish runs; each match is kept or scrubbed by its entropy
+  * against a bit threshold (the published heuristic: ~3.0 bits for hex
+  * runs, ~4.5 for base64 runs of 20+ chars).
+  *
+  * One static kernel backs BOTH execution routes — the codegen'd Column
+  * expressions below and the fused JVM pass ([[graft.filter.Scrubber]]) —
+  * so the twin guarantee (byte-identical outputs) holds by construction.
+  */
+object SecretEntropy {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def pattern(p: String): java.util.regex.Pattern =
+    cache.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
+
+  private val Ln2 = math.log(2.0)
+
+  /** Shannon entropy in bits over the chars of `s[start, end)`. */
+  def entropyBits(s: CharSequence, start: Int, end: Int): Double = {
+    val n = end - start
+    if (n <= 0) return 0.0
+    // candidate charsets are ASCII by construction (hex/base64 runs); the
+    // wide-char fallback keeps the kernel total for arbitrary patterns
+    val ascii = new Array[Int](128)
+    var wide: java.util.HashMap[Character, Array[Int]] = null
+    var i = start
+    while (i < end) {
+      val c = s.charAt(i)
+      if (c < 128) ascii(c) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap
+        var a = wide.get(Character.valueOf(c))
+        if (a == null) { a = new Array[Int](1); wide.put(Character.valueOf(c), a) }
+        a(0) += 1
+      }
+      i += 1
+    }
+    var h = 0.0
+    var j = 0
+    while (j < 128) {
+      if (ascii(j) > 0) {
+        val p = ascii(j).toDouble / n
+        h -= p * math.log(p) / Ln2
+      }
+      j += 1
+    }
+    if (wide != null) {
+      val it = wide.values.iterator()
+      while (it.hasNext) {
+        val p = it.next()(0).toDouble / n
+        h -= p * math.log(p) / Ln2
+      }
+    }
+    h
+  }
+
+  def qualifies(s: CharSequence, start: Int, end: Int, minBits: Double): Boolean =
+    entropyBits(s, start, end) >= minBits
+
+  /** Replace every match of `pat` whose entropy is >= `minBits`; matches
+    * below the threshold stay verbatim (appendReplacement is only invoked
+    * for qualifying matches, so skipped regions flow through untouched).
+    */
+  def scrubAll(text: String, pat: String, replacement: String,
+      minBits: Double): String = {
+    val m = pattern(pat).matcher(text)
+    var sb: java.lang.StringBuilder = null
+    while (m.find()) {
+      if (qualifies(text, m.start, m.end, minBits)) {
+        if (sb == null) sb = new java.lang.StringBuilder(text.length)
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(replacement))
+      }
+    }
+    if (sb == null) text else { m.appendTail(sb); sb.toString }
+  }
+
+  /** Count of matches of `pat` with entropy >= `minBits`. */
+  def countAll(text: String, pat: String, minBits: Double): Int = {
+    val m = pattern(pat).matcher(text)
+    var n = 0
+    while (m.find()) if (qualifies(text, m.start, m.end, minBits)) n += 1
+    n
+  }
+}
+
+/** Entropy-gated scrub as a codegen'd expression: string → string.
+  * Pattern/replacement/threshold are construction-time parameters
+  * (embedded as codegen references, so regex metachars never round-trip
+  * through generated-source string literals).
+  */
+case class EntropyGatedScrub(child: Expression, pattern: String,
+    replacement: String, minBits: Double) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_entropy_scrub"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(SecretEntropy.scrubAll(
+      input.asInstanceOf[UTF8String].toString, pattern, replacement, minBits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("entropyPat", pattern, "java.lang.String")
+    val repRef = ctx.addReferenceObj("entropyRep", replacement, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.SecretEntropy.scrubAll($c.toString(), $patRef, $repRef, ${minBits}D))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EntropyGatedScrub =
+    copy(child = newChild)
+}
+
+/** Count of entropy-qualifying matches: string → int (lineage counters and
+  * drop-rule predicates: `count > 0`).
+  */
+case class EntropyGatedCount(child: Expression, pattern: String,
+    minBits: Double) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_entropy_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    SecretEntropy.countAll(
+      input.asInstanceOf[UTF8String].toString, pattern, minBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("entropyPat", pattern, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SecretEntropy.countAll($c.toString(), $patRef, ${minBits}D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EntropyGatedCount =
+    copy(child = newChild)
+}
+
 object expressions {
 
   /** Column-level entry points (usable without SQL registration). */
@@ -111,6 +256,14 @@ object expressions {
   def nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
 
+  def entropy_scrub(c: Column, pattern: String, replacement: String,
+      minBits: Double): Column =
+    Bridge.column(EntropyGatedScrub(Bridge.expression(c), pattern,
+      replacement, minBits))
+
+  def entropy_count(c: Column, pattern: String, minBits: Double): Column =
+    Bridge.column(EntropyGatedCount(Bridge.expression(c), pattern, minBits))
+
   /** SQL registration for an existing session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -122,6 +275,12 @@ object expressions {
       es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_entropy_scrub",
+      es => EntropyGatedScrub(es.head, es(1).eval().toString,
+        es(2).eval().toString, es(3).eval().toString.toDouble), "built-in")
+    reg.createOrReplaceTempFunction("graft_entropy_count",
+      es => EntropyGatedCount(es.head, es(1).eval().toString,
+        es(2).eval().toString.toDouble), "built-in")
   }
 }
 
@@ -146,5 +305,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_entropy_scrub"),
+      new ExpressionInfo(classOf[EntropyGatedScrub].getName, "graft_entropy_scrub"),
+      (es: Seq[Expression]) => EntropyGatedScrub(es.head,
+        es(1).eval().toString, es(2).eval().toString,
+        es(3).eval().toString.toDouble)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_entropy_count"),
+      new ExpressionInfo(classOf[EntropyGatedCount].getName, "graft_entropy_count"),
+      (es: Seq[Expression]) => EntropyGatedCount(es.head,
+        es(1).eval().toString, es(2).eval().toString.toDouble)))
   }
 }

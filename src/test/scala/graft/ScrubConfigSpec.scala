@@ -14,11 +14,15 @@ class ScrubConfigSpec extends SparkSpec {
   test("default chain is compiled from the declarative config") {
     val ids = Scrub.rules.map(_.id)
     assert(ids === Seq("email", "aws_key", "slack_token", "ipv4", "jwt",
-      "toxicity", "private_key"))
+      "toxicity", "hex_secret", "b64_secret", "private_key"))
     assert(Scrub.families("toxicity") === "toxicity")
     assert(Scrub.families("email") === "pii")
     assert(Scrub.rules.filter(_.drop).map(_.id) === Seq("private_key"))
     assert(Scrub.rules.find(_.id == "aws_key").get.prescreen === Some("AKIA"))
+    // the entropy-gated secret detectors (truffleHog-style public
+    // thresholds: hex 3.0 bits, base64 4.5) sit last among scrub rules
+    assert(Scrub.rules.find(_.id == "hex_secret").get.minBits === Some(3.0))
+    assert(Scrub.rules.find(_.id == "b64_secret").get.minBits === Some(4.5))
   }
 
   test("chain fingerprint: pins the round-3 legacy constant, " +
@@ -111,6 +115,55 @@ class ScrubConfigSpec extends SparkSpec {
     assert(custom.scrubPlain(texts.head)._1
       === "see <TICKET>: this <TOX> code")
     assert(custom.hasDropSecret("has \u0000 byte") && !custom.hasDropSecret("no"))
+  }
+
+  test("entropy gate: high-entropy tokens scrubbed, same-charset " +
+    "low-entropy tokens kept — JVM and Column twins byte-identical") {
+    // random-looking hex (H≈3.9 bits) vs an all-'a' run (H=0) vs a long
+    // camelCase identifier (b64 charset, H≈3.7 < 4.5) vs a base64-ish
+    // random token (H≈5 > 4.5); margins are >= 0.5 bits from thresholds
+    val hexSecret = "3f9c02d4a17be85e6690cbd41f2a7d08"
+    val b64Secret = "q7Zx2Kf9TgWm4Vr8pLc3HnB6sYd0JeAu"
+    val lowHex = "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    val ident = "getUserAccountManagerFactoryInstance"
+    val text = s"""val k = "$hexSecret"; val t = "$b64Secret"; """ +
+      s"""val z = "$lowHex"; def $ident() = 1"""
+    val (out, counts) = Scrub.scrubPlain(text)
+    assert(out.contains("<SECRET:HEX>") && !out.contains(hexSecret))
+    assert(out.contains("<SECRET:B64>") && !out.contains(b64Secret))
+    assert(out.contains(lowHex), "low-entropy hex run kept")
+    assert(out.contains(ident), "identifier kept")
+    assert(counts("hex_secret") === 1 && counts("b64_secret") === 1)
+    // Column route (codegen'd EntropyGatedScrub) is byte-identical
+    val gotCol = Seq(Tuple1(text)).toDF("text")
+      .select(Scrub.scrubCol($"text")).head().getString(0)
+    assert(gotCol === out)
+    // and so are the per-rule counts
+    val colCounts = Seq(Tuple1(text)).toDF("text")
+      .select(Scrub.countCols($"text").map { case (n, c) => c.as(n) }: _*)
+      .head()
+    assert(colCounts.getAs[Int]("scrub_hex_secret") === counts("hex_secret"))
+    assert(colCounts.getAs[Int]("scrub_b64_secret") === counts("b64_secret"))
+    // idempotent: replacements are below the length floor / wrong charset
+    assert(Scrub.scrubPlain(out)._1 === out)
+  }
+
+  test("minBits on a drop rule gates hasDropSecret; parse validates it") {
+    val chain = Scrub.scrubber(
+      "drop anykey family=secret minBits=4.5 pattern=[A-Za-z0-9+/]{24,}")
+    assert(chain.hasDropSecret("key: q7Zx2Kf9TgWm4Vr8pLc3HnB6sYd0JeAu"))
+    assert(!chain.hasDropSecret("val aaaaaaaaaaaaaaaaaaaaaaaaaaaa = 1"))
+    // Column route agrees
+    val got = Seq(("q7Zx2Kf9TgWm4Vr8pLc3HnB6sYd0JeAu ok", true),
+      ("aaaaaaaaaaaaaaaaaaaaaaaaaaaa no", false)).toDF("text", "want")
+      .select($"want", chain.dropCols($"text").head._2.as("got")).collect()
+    got.foreach(r => assert(r.getBoolean(1) === r.getBoolean(0)))
+    val e = intercept[IllegalArgumentException](Scrub.parse(
+      "scrub x family=a replace=<X> minBits=nope pattern=x+"))
+    assert(e.getMessage.contains("minBits"))
+    val e2 = intercept[IllegalArgumentException](Scrub.parse(
+      "scrub x family=a replace=<X> minBits=-1 pattern=x+"))
+    assert(e2.getMessage.contains("minBits"))
   }
 
   test("family-qualified scrub lineage rows") {
