@@ -769,6 +769,27 @@ object SparkEntry {
           sum(col("n_bytes")).cast("bigint").as("total_bytes"),
           sum(col("frames_sampled")).cast("bigint").as("total_frames"))
         .orderBy(col("kind"))
+    }),
+
+    // ---- REAL image decode (JDK ImageIO) ----------------------------------
+    // the fixture encodes actual PNGs whose pixel stats are closed-form in
+    // the construction params (two solid half-width bands); the QUERY
+    // decodes the PNG bytes back through ImageIoCodec and reports measured
+    // width/height/channels/channel-means, while the oracle derives the
+    // EXPECTED stats from the dumped params alone. They only agree if real
+    // pixels were read — a metadata pass-through cannot fake the means.
+    "q_media_pixels" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.multimodal.Media.synthPngs(s, 500L)
+      val params = s.range(500L).as[Long]
+        .map { id =>
+          val p = graft.multimodal.Media.pngParams(id)
+          (id, p.w, p.h, p.ra, p.ga, p.ba, p.rb, p.gb, p.bb)
+        }
+        .toDF("media_id", "w", "h", "ra", "ga", "ba", "rb", "gb", "bb")
+      val aux = s"$OracleAuxDir/png_params"
+      params.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.multimodal.Media.imageStats(media).toDF().orderBy("media_id")
     }))
 
   /** Location where queries dump engine-synthesized inputs so the driver's
@@ -1221,6 +1242,19 @@ object SparkEntry {
            AS total_frames
          FROM read_parquet('/tmp/graft_oracle_aux/media/*.parquet')
          GROUP BY kind ORDER BY kind""",
+    // expected pixel stats in closed form from the PNG construction params:
+    // n = w*h, sum_channel = h*(w/2)*(colorA + colorB), mean_e4 truncating
+    "q_media_pixels" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         w AS width, h AS height, 3 AS channels,
+         CAST(CAST(h AS BIGINT) * (w // 2) * (ra + rb) * 10000
+           // (CAST(w AS BIGINT) * h) AS BIGINT) AS mean_r_e4,
+         CAST(CAST(h AS BIGINT) * (w // 2) * (ga + gb) * 10000
+           // (CAST(w AS BIGINT) * h) AS BIGINT) AS mean_g_e4,
+         CAST(CAST(h AS BIGINT) * (w // 2) * (ba + bb) * 10000
+           // (CAST(w AS BIGINT) * h) AS BIGINT) AS mean_b_e4
+         FROM read_parquet('/tmp/graft_oracle_aux/png_params/*.parquet')
+         ORDER BY media_id""",
     "q_repo_stats" ->
       """SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
          CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,

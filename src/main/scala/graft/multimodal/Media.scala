@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * batching: iterate a partition, amortize per-batch setup, emit rows).
   *
   * The Spark-side plumbing — schema, batch shape, partition sizing,
-  * deterministic feature rows — is real and tested. The codec itself is a
-  * STUB (`StubCodec`): no image/audio libraries exist in this container,
-  * so "decode" derives deterministic pseudo-features from the bytes. The
-  * seam to a real decoder is exactly [[MediaCodec]].
+  * deterministic feature rows — is real and tested. IMAGE decode is real
+  * too: [[ImageIoCodec]] reads actual pixels through JDK ImageIO
+  * (PNG/JPEG/GIF/BMP, no external dependency). Audio/video decode stays a
+  * deterministic stub ([[StubCodec]]) — no AV codec ships with the JDK —
+  * behind the same [[MediaCodec]]/[[ImageCodec]] seams a real library
+  * would plug into.
   */
 final case class MediaRow(
     media_id: Long,
@@ -38,7 +40,75 @@ trait MediaCodec extends Serializable {
   def decode(row: MediaRow): MediaFeatures
 }
 
-/** Deterministic stand-in codec (container has no media libraries). */
+/** Per-image pixel statistics from a REAL decode. `channels == 0` marks an
+  * undecodable payload (truncated file, unknown format) — corrupt rows are
+  * a fact of web-scale media corpora, so the schema carries the failure
+  * instead of the task throwing. Channel means are e4-scaled truncating
+  * integers (sum*10000/nPixels) so a cross-engine oracle can reproduce
+  * them exactly.
+  */
+final case class ImageStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    mean_r_e4: Long,
+    mean_g_e4: Long,
+    mean_b_e4: Long)
+
+/** Pixel-decode seam: image bytes → stats, or None when undecodable. */
+trait ImageCodec extends Serializable {
+  /** Called once per PARTITION before any row — expensive setup belongs
+    * here, never in [[decodeImage]].
+    */
+  def init(): Unit = ()
+  def decodeImage(bytes: Array[Byte]): Option[ImageStats]
+}
+
+/** Real image decoder on JDK ImageIO — PNG/JPEG/GIF/BMP readers ship with
+  * Java 17 itself (`javax.imageio`), so actual pixel decode needs no
+  * external dependency. Reference treats media payloads as opaque blobs;
+  * this is the §2.5 extension surface's decode stage made real.
+  */
+object ImageIoCodec extends ImageCodec {
+  /** Disable ImageIO's disk-backed stream cache: executor-local temp files
+    * per image would dominate decode cost at scale. Once per partition.
+    */
+  override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  override def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None // unknown format or truncated payload
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB-converted ARGB regardless of raster layout
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(ImageStats(0L, w, h, img.getColorModel.getNumComponents,
+        sr * 10000L / n, sg * 10000L / n, sb * 10000L / n))
+    }
+  }
+}
+
+/** Deterministic stand-in codec for AUDIO/VIDEO payloads (no audio/video
+  * codec ships with the JDK; images have the real [[ImageIoCodec]]):
+  * "decode" derives byte-level pseudo-features so the batching/plumbing
+  * stays exercised for every media kind.
+  */
 object StubCodec extends MediaCodec {
   override def decode(r: MediaRow): MediaFeatures = {
     val bytes = r.data
@@ -94,6 +164,76 @@ object Media {
         width = 64 + r.nextInt(1024), height = 64 + r.nextInt(1024),
         duration_ms = if (kind == "image") 0 else 1000 + r.nextInt(60000))
     })
+  }
+
+  /** Deterministic REAL-PNG fixture: each row is an actual PNG (encoded
+    * through ImageIO) of a small two-band image — left half one solid
+    * color, right half another, both derived from the id. Every pixel
+    * statistic is therefore known in closed form from (w, h, colors), so
+    * an oracle can verify DECODED pixels without itself decoding: the
+    * stats only come out right if the PNG encode→decode round trip read
+    * real pixel data. Width is even so the halves are exact.
+    */
+  def synthPngs(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val p = pngParams(id, seed)
+        MediaRow(id, "image", encodePng(p), p.w, p.h, 0)
+      }
+    }
+  }
+
+  /** The closed-form construction parameters of [[synthPngs]] row `id` —
+    * the independent path an oracle derives expected pixel stats from.
+    */
+  final case class PngParams(w: Int, h: Int,
+      ra: Int, ga: Int, ba: Int, rb: Int, gb: Int, bb: Int)
+
+  def pngParams(id: Long, seed: Long = 42L): PngParams = {
+    val r = new java.util.SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+    PngParams(w = 2 * (2 + r.nextInt(7)), h = 3 + r.nextInt(12),
+      ra = r.nextInt(256), ga = r.nextInt(256), ba = r.nextInt(256),
+      rb = r.nextInt(256), gb = r.nextInt(256), bb = r.nextInt(256))
+  }
+
+  private def encodePng(p: PngParams): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(p.w, p.h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val a = (p.ra << 16) | (p.ga << 8) | p.ba
+    val b = (p.rb << 16) | (p.gb << 8) | p.bb
+    var y = 0
+    while (y < p.h) {
+      var x = 0
+      while (x < p.w) {
+        img.setRGB(x, y, if (x < p.w / 2) a else b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched pixel decode over image rows: codec init once per PARTITION,
+    * rows stream through (executor memory bounded by one decoded image).
+    * Non-image kinds are filtered out up front — decode work never runs
+    * on payloads the codec cannot own.
+    */
+  def imageStats(media: Dataset[MediaRow],
+      codec: ImageCodec = ImageIoCodec): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      codec.init()
+      it.map { r =>
+        codec.decodeImage(r.data) match {
+          case Some(s) => s.copy(media_id = r.media_id)
+          case None => ImageStats(r.media_id, 0, 0, 0, 0L, 0L, 0L)
+        }
+      }
+    }
   }
 
   /** Batched decode/feature-extract. Contract for a real codec:

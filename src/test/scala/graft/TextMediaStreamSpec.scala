@@ -102,6 +102,39 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(StubCodec.decode(row).mean_byte === f.head.mean_byte)
   }
 
+  test("media: ImageIO decodes real PNG pixels — stats match the " +
+    "closed-form construction params") {
+    import graft.multimodal.{ImageIoCodec, ImageStats}
+    val stats = Media.imageStats(Media.synthPngs(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    assert(stats.length === 100)
+    stats.foreach { s =>
+      val p = Media.pngParams(s.media_id)
+      val n = p.w.toLong * p.h
+      val half = p.h.toLong * (p.w / 2)
+      assert(s.width === p.w && s.height === p.h && s.channels === 3,
+        s"id=${s.media_id}")
+      assert(s.mean_r_e4 === half * (p.ra + p.rb) * 10000L / n)
+      assert(s.mean_g_e4 === half * (p.ga + p.gb) * 10000L / n)
+      assert(s.mean_b_e4 === half * (p.ba + p.bb) * 10000L / n)
+    }
+    // independent single-row path (no Spark, no batching) agrees
+    val one = Media.synthPngs(spark, 1L).collect().head
+    val direct = ImageIoCodec.decodeImage(one.data).get
+    val viaSpark = stats.find(_.media_id == 0L).get
+    assert(direct.copy(media_id = 0L) === viaSpark)
+    // undecodable payload is a carried failure, not a task crash
+    val junk = Media.synth(spark, 5L) // random bytes, kind mix
+      .map(r => r.copy(kind = "image"))
+    val bad = Media.imageStats(junk).collect()
+    assert(bad.length === 5 && bad.forall(_.channels === 0))
+    assert(ImageIoCodec.decodeImage(Array[Byte](1, 2, 3)) === None)
+    // partition-layout independence
+    val re = Media.imageStats(Media.synthPngs(spark, 100L).repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(re.map(s => s: ImageStats).toSeq === stats.toSeq)
+  }
+
   test("media: frame-sample plan explodes one row per sampled frame") {
     val plan = Media.frameSamplePlan(Media.synth(spark, 300L), fps = 1.0)
     val videos = Media.synth(spark, 300L).filter(_.kind == "video").collect()
