@@ -732,6 +732,30 @@ object SparkEntry {
         col("reproRule"))
         .orderBy(col("checkId"))
     }),
+    // the IDENTICAL batch ingested from a REAL .xlsx file through the
+    // native zip+XML reader (graft.config.Xlsx) — the reference's actual
+    // input format (xlrd-opened workbooks, GQ:867). Same rules, same
+    // oracle: any reader divergence (shared vs inline strings, sparse
+    // cells, numeric-cell coercion, sheet resolution) hash-mismatches
+    "q_workbook_xlsx" -> ((s, dir) => {
+      import s.implicits._
+      val wbPath = writeWorkbookXlsxFixture()
+      val tables: String => DataFrame = {
+        case "pdata.orders" => tbl(s, dir, "orders")
+        case "orders_zc" => tbl(s, dir, "orders")
+          .withColumn("end_dt", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        case "nation_dim" => tbl(s, dir, "nation").filter(col("n_regionkey") < 3)
+        case t => tbl(s, dir, t)
+      }
+      val wb = graft.config.Workbook.parse(wbPath,
+        vars = Map("PDATA" -> "pdata"), tables = Some(tables))
+      val out = graft.runner.CheckRunner.runBatch(s, "wbx1", wb.rules, tables)
+      out.results.toDS().toDF().select(
+        col("checkId"), col("dbNm"), col("tabNm"), col("checkType"),
+        col("checkResultInd"), col("allRowCnt"), col("failedRowCnt"),
+        col("reproRule"))
+        .orderBy(col("checkId"))
+    }),
 
     // ---- per-repo stats via salted two-phase aggregation ------------------
     // the annotated frame is dumped to the oracle aux path; Spark's SALTED
@@ -821,79 +845,114 @@ object SparkEntry {
     (duped, q)
   }
 
-  /** Write the deterministic 10-sheet CSV workbook fixture for
-    * q_workbook_batch (reference sheet layout, GQ:172-182 / 990-1180).
-    * One sheet (VC) is written under its ASCII alias so the gate also
-    * exercises the fallback filename path.
+  /** Sheet content shared by the CSV-directory and native-xlsx gate
+    * fixtures (reference sheet layout, GQ:172-182 / 990-1180) — identical
+    * rules through both frontends must produce identical batch results.
     */
-  private def writeWorkbookFixture(): String = {
-    import java.nio.file.{Files, Paths}
+  private def workbookFixtureSheets: Seq[(String, Seq[Seq[String]])] = {
     import graft.config.Workbook._
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_wb_fixture")
-    // recreate from scratch: a stale sheet from an earlier code version
-    // would silently SHADOW the current fixture (the Chinese filename wins
-    // over an ASCII alias), making the gate test content invisible in source
+    val h9 = Seq("运行标志", "库名", "表名", "规则编号", "字段", "where条件",
+      "维护人", "维护信息", "备注")
+    val h12 = Seq("运行标志", "库名", "表名", "字段", "where", "父库", "父表",
+      "父字段", "父where", "维护人", "信息", "备注")
+    Seq(
+      configSheet -> Seq(Seq("配置项", "值"),
+        Seq("SA代码表位置", "codes_sa.csv")),
+      pkSheet -> Seq(h9,
+        Seq("Y", "pdata", "orders", "r1", "o_custkey", "", "", "", ""),
+        // blank runInd → skipped (reference runs only exactly 'Y')
+        Seq("", "", "lineitem", "r2", "l_orderkey", "", "", "", "")),
+      fkSheet -> Seq(h12, Seq("Y", "", "lineitem", "l_orderkey", "", "",
+        "orders", "o_orderkey", "o_totalprice > 400000", "", "", "")),
+      fcSheet -> Seq(h12, Seq("Y", "", "orders", "o_custkey", "", "",
+        "customer", "c_custkey", "c_acctbal > 1000", "", "", "")),
+      zcSheet -> Seq(
+        Seq("运行标志", "库名", "表名", "开始日期", "结束日期", "字段", "where",
+          "维护人", "信息", "备注"),
+        Seq("Y", "", "orders_zc", "o_orderdate", "end_dt", "o_orderkey",
+          "", "", "", "")),
+      pcSheet -> Seq(
+        Seq("运行标志", "库名", "表名", "字段", "代码表", "代码字段", "可空",
+          "where", "维护人", "信息", "备注"),
+        Seq("Y", "", "customer", "c_nationkey", "nation_dim", "n_nationkey",
+          "", "", "", "", "")),
+      scSheet -> Seq(
+        Seq("运行标志", "库名", "表名", "字段", "可空", "where", "维护人",
+          "信息", "备注"),
+        Seq("Y", "", "orders", "o_orderpriority", "Y", "", "", "", "")),
+      vcSheet -> Seq(
+        Seq("运行标志", "库名", "表名", "字段", "值域类型", "值域", "可空",
+          "where", "维护人", "信息", "备注"),
+        Seq("Y", "", "nation", "n_regionkey", "数字", "0.0，1,'2'", "Y",
+          "", "", "", "")),
+      ucSheet -> Seq(
+        Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "维护人",
+          "信息", "备注"),
+        Seq("Y", "adhoc", "", "customer", "",
+          "filter=c_acctbal < 0; select=c_custkey; orderBy=c_custkey; limit=7",
+          "", "", "")),
+      uuSheet -> Seq(
+        Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "期望值",
+          "维护人", "信息", "备注"),
+        Seq("Y", "recon", "", "orders", "", "filter=o_orderstatus = 'F'",
+          "3000.0", "", "", "")))
+  }
+
+  private val workbookSaDictCsv: String =
+    "orders,o_orderpriority,1-URGENT\n" +
+      "orders,o_orderpriority,2-HIGH\n" +
+      "orders,o_orderpriority,3-MEDIUM\n"
+
+  /** Recreate a fixture dir from scratch: a stale sheet from an earlier
+    * code version would silently SHADOW the current fixture (the Chinese
+    * filename wins over an ASCII alias), making the gate test content
+    * invisible in source.
+    */
+  private def recreateDir(name: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), name)
     if (Files.exists(dir)) {
       Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => { Files.delete(p); () })
     }
     Files.createDirectories(dir)
+    dir
+  }
+
+  /** Write the deterministic 10-sheet CSV workbook fixture for
+    * q_workbook_batch. One sheet (VC) is written under its ASCII alias so
+    * the gate also exercises the fallback filename path.
+    */
+  private def writeWorkbookFixture(): String = {
+    import java.nio.file.Files
+    import graft.config.Workbook._
+    val dir = recreateDir("graft_wb_fixture")
     def cell(c: String) =
       if (c.exists("\",\n".contains(_))) "\"" + c.replace("\"", "\"\"") + "\""
       else c
-    def sheet(name: String, rows: Seq[Seq[String]]): Unit =
-      Files.writeString(dir.resolve(s"$name.csv"),
+    Files.writeString(dir.resolve("codes_sa.csv"), workbookSaDictCsv)
+    workbookFixtureSheets.foreach { case (name, rows) =>
+      val fileName = if (name == vcSheet) asciiAlias(vcSheet) else name
+      Files.writeString(dir.resolve(s"$fileName.csv"),
         rows.map(_.map(cell).mkString(",")).mkString("", "\n", "\n"))
-    sheet(configSheet, Seq(Seq("配置项", "值"),
-      Seq("SA代码表位置", "codes_sa.csv")))
-    Files.writeString(dir.resolve("codes_sa.csv"),
-      "orders,o_orderpriority,1-URGENT\n" +
-        "orders,o_orderpriority,2-HIGH\n" +
-        "orders,o_orderpriority,3-MEDIUM\n")
-    val h9 = Seq("运行标志", "库名", "表名", "规则编号", "字段", "where条件",
-      "维护人", "维护信息", "备注")
-    sheet(pkSheet, Seq(h9,
-      Seq("Y", "pdata", "orders", "r1", "o_custkey", "", "", "", ""),
-      // blank runInd → skipped (reference runs only exactly 'Y')
-      Seq("", "", "lineitem", "r2", "l_orderkey", "", "", "", "")))
-    val h12 = Seq("运行标志", "库名", "表名", "字段", "where", "父库", "父表",
-      "父字段", "父where", "维护人", "信息", "备注")
-    sheet(fkSheet, Seq(h12, Seq("Y", "", "lineitem", "l_orderkey", "", "",
-      "orders", "o_orderkey", "o_totalprice > 400000", "", "", "")))
-    sheet(fcSheet, Seq(h12, Seq("Y", "", "orders", "o_custkey", "", "",
-      "customer", "c_custkey", "c_acctbal > 1000", "", "", "")))
-    sheet(zcSheet, Seq(
-      Seq("运行标志", "库名", "表名", "开始日期", "结束日期", "字段", "where",
-        "维护人", "信息", "备注"),
-      Seq("Y", "", "orders_zc", "o_orderdate", "end_dt", "o_orderkey",
-        "", "", "", "")))
-    sheet(pcSheet, Seq(
-      Seq("运行标志", "库名", "表名", "字段", "代码表", "代码字段", "可空",
-        "where", "维护人", "信息", "备注"),
-      Seq("Y", "", "customer", "c_nationkey", "nation_dim", "n_nationkey",
-        "", "", "", "", "")))
-    sheet(scSheet, Seq(
-      Seq("运行标志", "库名", "表名", "字段", "可空", "where", "维护人",
-        "信息", "备注"),
-      Seq("Y", "", "orders", "o_orderpriority", "Y", "", "", "", "")))
-    sheet(asciiAlias(vcSheet), Seq( // ASCII-alias filename on purpose
-      Seq("运行标志", "库名", "表名", "字段", "值域类型", "值域", "可空",
-        "where", "维护人", "信息", "备注"),
-      Seq("Y", "", "nation", "n_regionkey", "数字", "0.0，1,'2'", "Y",
-        "", "", "", "")))
-    sheet(ucSheet, Seq(
-      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "维护人",
-        "信息", "备注"),
-      Seq("Y", "adhoc", "", "customer", "",
-        "filter=c_acctbal < 0; select=c_custkey; orderBy=c_custkey; limit=7",
-        "", "", "")))
-    sheet(uuSheet, Seq(
-      Seq("运行标志", "类型", "库名", "表名", "字段", "SQL", "期望值",
-        "维护人", "信息", "备注"),
-      Seq("Y", "recon", "", "orders", "", "filter=o_orderstatus = 'F'",
-        "3000.0", "", "", "")))
+    }
     dir.toString
   }
+
+  /** Write the SAME fixture as a real .xlsx (native [[graft.config.Xlsx]]
+    * writer: zip + hand-built SpreadsheetML, shared AND inline strings,
+    * native number cells) with the SA dictionary beside it — the
+    * reference's actual input format, ingested by the native reader.
+    */
+  private def writeWorkbookXlsxFixture(): String = {
+    import java.nio.file.Files
+    val dir = recreateDir("graft_wb_xlsx")
+    Files.writeString(dir.resolve("codes_sa.csv"), workbookSaDictCsv)
+    val path = dir.resolve("workbook.xlsx").toString
+    graft.config.Xlsx.write(path, workbookFixtureSheets)
+    path
+  }
+
 
   /** SA code dictionary fixture (CodeDict text form, readSdataCode3
     * semantics): the o_orderpriority domain with 5-LOW deliberately absent
@@ -917,7 +976,13 @@ object SparkEntry {
     d.unionByName(d.select((col("id") + 1000000).as("id"), col("text")))
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    // the xlsx frontend must yield byte-identical batch results to the
+    // CSV frontend: same fixture content, same oracle SQL
+    oracleSqlBase + ("q_workbook_xlsx" -> oracleSqlBase("q_workbook_batch"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_pk_check" ->
       """SELECT CAST(coalesce(sum(cnt),0) AS BIGINT) AS all_cnt,
          CAST(coalesce(sum(CASE WHEN cnt>1 THEN cnt END),0) AS BIGINT) AS failed_cnt

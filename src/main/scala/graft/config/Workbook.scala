@@ -8,13 +8,17 @@ import graft.model.Rule
   * The reference ingests rules from .xlsx workbooks via xlrd: ten sheets
   * addressed by Chinese name (GQ:172-182), each parsed POSITIONALLY from
   * row 1 (row 0 = header, column names never inspected) into per-type
-  * field dicts (GQ:990-1180). No xlsx codec exists in this environment,
-  * so a workbook here is a DIRECTORY of CSV sheets — one
-  * `<sheetName>.csv` per reference sheet, SAME Chinese names, SAME column
-  * order, header row skipped the same way. A user holding the reference's
-  * 34 workbooks is one sheet-export away (any xlsx→csv tool) from this
-  * layout; swapping this reader for a POI-backed one that walks the same
-  * `(sheetName, rowIndex) → cells` surface is mechanical.
+  * field dicts (GQ:990-1180). Two frontends feed the same
+  * `(sheetName, rowIndex) → cells` surface here:
+  *  - a real `.xlsx` FILE, read natively by [[Xlsx]] (zip + XML via the
+  *    JDK alone) — the reference's actual input format, so a migrator's
+  *    34 workbooks open directly;
+  *  - a DIRECTORY of CSV sheets — one `<sheetName>.csv` per reference
+  *    sheet, SAME Chinese names, SAME column order (the export-friendly
+  *    fallback, and the fixture format most tests use).
+  * [[parse]] dispatches on the path: regular file = xlsx, directory = CSV
+  * sheets. All rule semantics live BELOW this surface, so the two
+  * frontends cannot diverge.
   *
   * Each sheet row is LOWERED to the canonical rule-line form and fed
   * through [[RuleConfig.parseRule]] — one parser owns rule semantics
@@ -217,28 +221,45 @@ object Workbook {
     "PC" -> pcSheet, "SC" -> scSheet, "VC" -> vcSheet, "UC" -> ucSheet,
     "UU" -> uuSheet)
 
-  /** Parse a workbook directory into enabled rules + the 配置项 map.
-    * `dict` merges UNDER the workbook's own SA dictionary (a caller-
-    * supplied dictionary wins on key collision, mirroring params.txt
-    * precedence in [[graft.runner.CheckRunner.orchestrateDir]]).
+  /** Parse a workbook — a `.xlsx` file or a CSV-sheet directory — into
+    * enabled rules + the 配置项 map. `dict` merges UNDER the workbook's
+    * own SA dictionary (a caller-supplied dictionary wins on key
+    * collision, mirroring params.txt precedence in
+    * [[graft.runner.CheckRunner.orchestrateDir]]).
     */
   def parse(dir: String, vars: Map[String, String] = Map.empty,
       dict: Map[String, Set[String]] = Map.empty,
       tables: Option[String => DataFrame] = None,
       warn: String => Unit = _ => ()): Parsed = {
     import java.nio.file.{Files, InvalidPathException, Path, Paths}
-    def sheet(name: String): Option[Vector[Vector[String]]] = {
-      def existing(n: String): Option[Path] =
-        // a POSIX-locale JVM throws on the non-ASCII path rather than
-        // returning absent — treat both as "not this filename"
-        try Some(Paths.get(dir, s"$n.csv")).filter(Files.exists(_))
-        catch { case _: InvalidPathException => None }
-      existing(name).orElse(existing(asciiAlias(name))) match {
-        case Some(p) => Some(parseCsv(Files.readString(p)))
-        case None =>
-          warn(s"workbook $dir has no sheet '$name' — skipped"); None
+    val isXlsx = Files.isRegularFile(Paths.get(dir))
+    // xlsx sheets load once up front (one zip walk); the ASCII alias also
+    // resolves so a transliterating export round-trips
+    val xlsxSheets: Map[String, Vector[Vector[String]]] =
+      if (isXlsx) Xlsx.read(dir) else Map.empty
+    // relative paths named by the workbook (the SA dictionary) resolve
+    // against the directory holding the workbook
+    val baseDir =
+      if (isXlsx) Option(Paths.get(dir).getParent).getOrElse(Paths.get("."))
+      else Paths.get(dir)
+    def sheet(name: String): Option[Vector[Vector[String]]] =
+      if (isXlsx)
+        xlsxSheets.get(name).orElse(xlsxSheets.get(asciiAlias(name)))
+          .orElse {
+            warn(s"workbook $dir has no sheet '$name' — skipped"); None
+          }
+      else {
+        def existing(n: String): Option[Path] =
+          // a POSIX-locale JVM throws on the non-ASCII path rather than
+          // returning absent — treat both as "not this filename"
+          try Some(Paths.get(dir, s"$n.csv")).filter(Files.exists(_))
+          catch { case _: InvalidPathException => None }
+        existing(name).orElse(existing(asciiAlias(name))) match {
+          case Some(p) => Some(parseCsv(Files.readString(p)))
+          case None =>
+            warn(s"workbook $dir has no sheet '$name' — skipped"); None
+        }
       }
-    }
     val config = sheet(configSheet).map { rows =>
       rows.drop(1).filter(_.exists(_.trim.nonEmpty))
         .map(r => cellAt(r, 0) -> cellAt(r, 1)).toMap
@@ -246,7 +267,7 @@ object Workbook {
     // SA dictionary named by the config sheet (readSdataCode3's trigger):
     // resolved relative to the workbook dir
     val saDict = config.get("SA代码表位置").filter(_.nonEmpty).flatMap { f =>
-      val p = Paths.get(dir).resolve(f)
+      val p = baseDir.resolve(f)
       if (Files.exists(p)) Some(CodeDict.parse(Files.readString(p)))
       else { warn(s"SA code dictionary $p not found — SC rules resolve empty"); None }
     }.getOrElse(Map.empty)

@@ -112,6 +112,96 @@ class WorkbookSpec extends SparkSpec {
     assert(uu.expected === 4L) // float correctNum coerced
   }
 
+  // ---- native .xlsx frontend ------------------------------------------------
+
+  test("xlsx: write→read round trip — shared+inline strings, native " +
+    "numbers, sparse cells, Chinese sheet names") {
+    import graft.config.Xlsx
+    val path = Files.createTempDirectory("graft_xlsx").resolve("t.xlsx").toString
+    Xlsx.write(path, Seq(
+      "配置项" -> Seq(Seq("配置项", "值"), Seq("SA代码表位置", "codes.csv")),
+      "data" -> Seq(
+        Seq("a", "", "c", "4000.0"), // gap at B, native number cell at D
+        Seq(), // entirely empty row keeps its index
+        Seq("x,y", "he said \"hi\"", "多字节值"))))
+    val sheets = Xlsx.read(path)
+    assert(sheets.keySet === Set("配置项", "data"))
+    assert(sheets("配置项") ===
+      Vector(Vector("配置项", "值"), Vector("SA代码表位置", "codes.csv")))
+    val d = sheets("data")
+    assert(d(0) === Vector("a", "", "c", "4000.0"))
+    assert(d(1) === Vector()) // positional indexing preserved through gaps
+    assert(d(2) === Vector("x,y", "he said \"hi\"", "多字节值"))
+    assert(Xlsx.colIndex("A1") === 0 && Xlsx.colIndex("AA3") === 26 &&
+      Xlsx.colIndex("BC7") === 54)
+  }
+
+  test("xlsx: rich-text runs concatenate; prefixed namespaces resolve; " +
+    "DOCTYPE is rejected (XXE hardening)") {
+    import graft.config.Xlsx
+    val dir = Files.createTempDirectory("graft_xlsx_raw")
+    def zip(path: Path, parts: Seq[(String, String)]): Unit = {
+      val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+      try parts.foreach { case (n, c) =>
+        out.putNextEntry(new java.util.zip.ZipEntry(n))
+        out.write(c.getBytes("UTF-8")); out.closeEntry()
+      } finally out.close()
+    }
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    // every part under an explicit x: prefix + a rich-text shared string —
+    // exactly the shapes a writer other than ours may emit
+    val rich = dir.resolve("rich.xlsx")
+    zip(rich, Seq(
+      "xl/workbook.xml" ->
+        s"""<x:workbook xmlns:x="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><x:sheets><x:sheet name="s1" sheetId="1" r:id="rId1"/></x:sheets></x:workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/sharedStrings.xml" ->
+        s"""<x:sst xmlns:x="$ns"><x:si><x:r><x:t>he</x:t></x:r><x:r><x:t>llo</x:t></x:r></x:si></x:sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        s"""<x:worksheet xmlns:x="$ns"><x:sheetData><x:row r="1"><x:c r="A1" t="s"><x:v>0</x:v></x:c><x:c r="C1" t="inlineStr"><x:is><x:t>in</x:t></x:is></x:c></x:row></x:sheetData></x:worksheet>"""))
+    val sheets = Xlsx.read(rich.toString)
+    assert(sheets("s1") === Vector(Vector("hello", "", "in")))
+    // a workbook part carrying a DOCTYPE must be rejected outright
+    val evil = dir.resolve("evil.xlsx")
+    zip(evil, Seq("xl/workbook.xml" ->
+      s"""<!DOCTYPE foo [<!ENTITY xxe SYSTEM "file:///etc/hostname">]><workbook xmlns="$ns"><sheets/></workbook>"""))
+    intercept[Exception](Xlsx.read(evil.toString))
+  }
+
+  test("the 10-sheet fixture parses identically from .xlsx and CSV sheets") {
+    import graft.config.Xlsx
+    // re-emit the CSV fixture's sheet content as a real xlsx next to the
+    // SA dictionary, then compare the parsed rule sets frontend-to-frontend
+    val csvDir = fixtureDir()
+    val names = Seq(Workbook.configSheet, Workbook.pkSheet, Workbook.fkSheet,
+      Workbook.fcSheet, Workbook.zcSheet, Workbook.pcSheet, Workbook.scSheet,
+      Workbook.vcSheet, Workbook.ucSheet, Workbook.uuSheet)
+    val sheets = names.map { n =>
+      n -> Workbook.parseCsv(Files.readString(csvDir.resolve(s"$n.csv")))
+        .map(_.toSeq).toSeq
+    }
+    val xdir = Files.createTempDirectory("graft_wb_as_xlsx")
+    Files.copy(csvDir.resolve("codes_sa.csv"), xdir.resolve("codes_sa.csv"))
+    val xlsxPath = xdir.resolve("rules.xlsx").toString
+    Xlsx.write(xlsxPath, sheets)
+    val fromCsv = Workbook.parse(csvDir.toString, vars = Map("PDATA" -> "pdata_db"))
+    val fromXlsx = Workbook.parse(xlsxPath, vars = Map("PDATA" -> "pdata_db"))
+    assert(fromXlsx.config === fromCsv.config)
+    // custom rules hold transform lambdas (never equal by reference):
+    // compare their declarative source instead; all others byte-equal
+    def key(r: Rule): String = r match {
+      case u: CustomRule =>
+        s"UC:${u.id}|${u.table}|${u.exprInfo}|${u.ugcType}|${u.description}"
+      case u: ExpectedCountRule =>
+        s"UU:${u.id}|${u.table}|${u.exprInfo}|${u.expected}|${u.ugcType}|${u.description}"
+      case other => other.toString
+    }
+    assert(fromXlsx.rules.map(key) === fromCsv.rules.map(key))
+    assert(fromXlsx.rules.map(_.id) ===
+      Vector("pk1", "fk1", "zc1", "pc1", "sc1", "vc1", "uc1", "uu1"))
+  }
+
   test("workbook rules execute and audit like text-config rules") {
     val wb = Workbook.parse(fixtureDir().toString,
       vars = Map("PDATA" -> "pdata_db"), tables = Some(tables))
