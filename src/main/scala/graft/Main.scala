@@ -7,11 +7,14 @@ import graft.runner.Runner
 /** spark-submit entry point with two modes:
   *
   *   graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]
+  *              [--decontaminate=<parquet>]
   *     — run (or resume) the quality-filter pipeline over a deterministic
   *       synthetic corpus and print a run report; --near-dup adds the
   *       transitive MinHash near-duplicate stage after exact dedup;
   *       --clf-gate distills a quality classifier from the run's own
-  *       verdicts and drops kept rows scoring below t (default 0.5).
+  *       verdicts and drops kept rows scoring below t (default 0.5);
+  *       --decontaminate drops kept rows colliding with the eval set in
+  *       the given parquet (a `text` column) on 8-gram shingles.
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -26,7 +29,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]\n" +
+        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
+          "[--clf-gate[=t]] [--decontaminate=<parquet>]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -41,7 +45,8 @@ object Main {
     val (flags, positional) = args.partition(_.startsWith("--"))
     if (positional.length < 2) {
       System.err.println(
-        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]")
+        "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
+          "[--clf-gate[=t]] [--decontaminate=<parquet>]")
       sys.exit(2)
     }
     val nearDup =
@@ -64,6 +69,20 @@ object Main {
             sys.exit(2)
         }
     }
+    // --decontaminate=<parquet>: benchmark set with a `text` column; the
+    // DataFrame is read after the session exists (path validated here)
+    val deconPath = flags.collectFirst {
+      case f if f.startsWith("--decontaminate=") =>
+        val p = f.stripPrefix("--decontaminate=")
+        if (p.isEmpty) {
+          System.err.println("--decontaminate needs =<parquetPath>")
+          sys.exit(2)
+        }
+        p
+      case "--decontaminate" =>
+        System.err.println("--decontaminate needs =<parquetPath>")
+        sys.exit(2)
+    }
     val n = positional(0).toLong
     val workDir = positional(1)
     val runId = if (positional.length > 2) positional(2) else s"run-$n"
@@ -79,9 +98,11 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
+    val decon = deconPath.map(p =>
+      Runner.DeconConfig(spark.read.parquet(p)))
     val report = Runner.run(spark, CorpusGen.files(spark, n),
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
-      classifierGate = clfGate)
+      classifierGate = clfGate, decontaminate = decon)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -94,6 +115,9 @@ object Main {
     }
     report.lineage.filter(_.stage == "dedup").foreach { l =>
       println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "decontaminate").foreach { l =>
+      println(f"[graft]   decon=${l.ruleId}%-14s dropped=${l.violations}")
     }
     report.lineage.filter(_.stage == "classifier").foreach { l =>
       println(f"[graft]   gate=${l.ruleId}%-14s dropped=${l.violations}")

@@ -19,6 +19,31 @@ object Runner {
       kept: Long,
       lineage: Seq[LineageRow])
 
+  /** Opt-in benchmark-decontamination stage config: the eval set to probe
+    * (small by nature — its shingle set broadcasts), the column holding
+    * its text, and the n-gram/threshold knobs (defaults = the published
+    * 8-gram / single-collision recipe).
+    */
+  final case class DeconConfig(
+      benchmark: DataFrame,
+      textCol: String = "text",
+      n: Int = 8,
+      minHits: Int = 1) {
+    /** Order-independent content fingerprint of the eval set — sealed into
+      * the work dir so a resume against a DIFFERENT benchmark refuses
+      * instead of silently reusing stale decontamination verdicts.
+      */
+    def fingerprint: String = {
+      val row = benchmark.select(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col(textCol))).as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c")).head()
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
+      f"$s%016x-${row.getLong(1)}"
+    }
+  }
+
   /** Run (or resume) the pipeline. Stages:
     *   1. "annotated" — scored + rule-annotated frame (the expensive pass)
     *   2. "verdicts"  — narrowed keep/drop output (the published dataset)
@@ -38,6 +63,10 @@ object Runner {
         * and kept rows scoring below the threshold flip to "clf_low" —
         * the CCNet-style rules→model bootstrap */
       classifierGate: Option[Double] = None,
+      /** opt-in benchmark decontamination after the dedup stages (and
+        * before the classifier gate): kept rows colliding with the eval
+        * set's n-gram shingles flip to "decontaminated" */
+      decontaminate: Option[DeconConfig] = None,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -48,7 +77,8 @@ object Runner {
     // must never be silently reused (a 'verdicts' checkpoint short-circuits
     // the nearDup branch entirely) — the run config is sealed into the
     // store on first run and every resume must match it
-    guardRunConfig(store, workDir, renderRunConfig(nearDup, classifierGate))
+    guardRunConfig(store, workDir,
+      renderRunConfig(nearDup, classifierGate, decontaminate))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -70,23 +100,36 @@ object Runner {
             val staged = stage("verdicts_exact")(exact)
             QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
         }
-        classifierGate match {
+        val decond = decontaminate match {
           case None => deduped
+          case Some(dc) =>
+            // materialize pre-decon: the stage consumes its input twice
+            // (shingle probe + final join)
+            val staged = stage("verdicts_predecon")(deduped)
+            QualityPipeline.decontaminate(staged.as[FileVerdict],
+              dc.benchmark, dc.textCol, dc.n, dc.minHits).toDF()
+        }
+        classifierGate match {
+          case None => decond
           case Some(th) =>
             // materialize pre-gate: training samples it and gating reads
             // it again — without the checkpoint the whole dedup chain
             // recomputes per consumer
-            val staged = stage("verdicts_pregate")(deduped)
+            val staged = stage("verdicts_pregate")(decond)
             // train on the RULE verdicts only: dedup losers carry keep=false
             // with features byte-identical to their kept survivor twin, so
             // including them feeds the optimizer contradictory labels on
             // identical vectors (on a dup-heavy corpus that pushes every
             // duplicated-but-good document toward p≈0.5 and the gate would
             // flip legitimate keeps) — content_dup/near_dup rows are
-            // excluded from the sample, not relabeled
+            // excluded from the sample, not relabeled. Decontaminated rows
+            // are excluded for the complementary reason: they are typically
+            // GOOD content dropped for leakage, and a 0-label would teach
+            // the model their STYLE is bad
             val labeled = staged
               .filter(!array_contains(col("dropReasons"), "content_dup") &&
-                !array_contains(col("dropReasons"), "near_dup"))
+                !array_contains(col("dropReasons"), "near_dup") &&
+                !array_contains(col("dropReasons"), "decontaminated"))
               .withColumn("__cid", org.apache.spark.sql.functions
                 .xxhash64(col("repo"), col("path"), col("commit"), col("lang")))
               .withColumn("__y", col("keep").cast("int"))
@@ -106,12 +149,16 @@ object Runner {
       "coalesce(sum(case when array_contains(dropReasons,'near_dup') " +
         "then 1 else 0 end),0) as neardup_drops",
       "coalesce(sum(case when array_contains(dropReasons,'clf_low') " +
-        "then 1 else 0 end),0) as clf_drops").head()
+        "then 1 else 0 end),0) as clf_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'decontaminated') " +
+        "then 1 else 0 end),0) as decon_drops").head()
     val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
         stats.getLong(0), stats.getLong(3), 0L)) ++
+      decontaminate.map(_ => LineageRow(runId, "decontaminate",
+        "decontaminated", stats.getLong(0), stats.getLong(5), 0L)) ++
       classifierGate.map(_ => LineageRow(runId, "classifier", "clf_low",
         stats.getLong(0), stats.getLong(4), 0L))
     if (!store.isDone("lineage")) {
@@ -137,14 +184,17 @@ object Runner {
     */
   private[runner] def renderRunConfig(
       nearDup: Option[graft.dedup.Dedup.MinHashConfig],
-      classifierGate: Option[Double] = None): String = {
+      classifierGate: Option[Double] = None,
+      decontaminate: Option[DeconConfig] = None): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
         s"seed=${m.seed},maxBucket=${m.maxBucket})"
     }
     val cg = classifierGate.fold("clfGate=off")(t => s"clfGate=$t")
-    s"$nd;$cg;scrub=${graft.filter.Scrub.default.fingerprint}"
+    val dc = decontaminate.fold("decon=off")(d =>
+      s"decon=ngram(n=${d.n},minHits=${d.minHits},bench=${d.fingerprint})")
+    s"$nd;$cg;$dc;scrub=${graft.filter.Scrub.default.fingerprint}"
   }
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
@@ -168,13 +218,20 @@ object Runner {
   private[graft] def upgradeRunConfig(stored: String): String = {
     val withClf =
       if (stored.contains(";clfGate=")) stored else s"$stored;clfGate=off"
+    // absent decon = off = byte-identical behavior (like clfGate); the
+    // field sits BEFORE scrub in the canonical order
+    val withDecon =
+      if (withClf.contains(";decon=")) withClf
+      else if (withClf.contains(";scrub="))
+        withClf.replace(";scrub=", ";decon=off;scrub=")
+      else s"$withClf;decon=off"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
-    if (withClf.contains(";scrub=")) withClf
-    else s"$withClf;scrub=$LegacyR3ScrubFp"
+    if (withDecon.contains(";scrub=")) withDecon
+    else s"$withDecon;scrub=$LegacyR3ScrubFp"
   }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,
