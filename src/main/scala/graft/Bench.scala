@@ -243,10 +243,15 @@ object Bench {
     val nearDupCfg = Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.8))
     val nearDupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_NEARDUP_ROWS",
       n.toString).toLong
+    graft.util.Diag.clear()
     val tpNearDup =
       if (scaleOnly) -1.0
       else sessionBest(cpus, dedup = true, runs = 1,
         nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
+    // which physical paths the measured run exercised (broadcast vs
+    // sort-merge signature fetch, union-find vs label-prop closure) — two
+    // runs of "the same" bench are only comparable when they name them
+    val nearDupDiag = graft.util.Diag.snapshot()
     // paragraph(=line)-level dedup cost — the content-granular dedup
     // operator at corpus scale: split + sha every line, (sha,id,pos)
     // winner shuffle, map-side rebuild. SINGLE-SHOT indicator like the
@@ -256,27 +261,92 @@ object Bench {
     // shape for this operator.
     val paraN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARADEDUP_ROWS",
       math.min(n, 1000000L).toString).toLong
+    def paraDedupShot(s: SparkSession, rows: Long, parts: Int): Long = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val files = graft.corpus.CorpusGen
+        .files(s, rows, partitions = parts).toDF()
+        .select(xxhash64(col("repo"), col("path"), col("commit"))
+          .as("id"), col("content").as("text"))
+      graft.dedup.Dedup.paragraphDedup(files, "id", "text", sep = "\n")
+        .write.format("noop").mode("overwrite").save()
+      graft.util.Caches.release()
+      rows
+    }
+    // TWO timed rounds (best kept, both reported): a single shot sits
+    // fully exposed to one contention window — round 3's driver run and
+    // the builder's quiet-window run disagreed 10x on this series with no
+    // way to tell noise from a path flip. The exercised rebuild path +
+    // dup density are reported alongside for exactly that reason.
+    val paraRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    var paraDiag = Map.empty[String, String]
     val tpPara =
       if (scaleOnly) -1.0
       else {
         val s = session(cpus)
         try {
-          import org.apache.spark.sql.functions.{col, xxhash64}
-          def run(rows: Long, parts: Int): Long = {
-            val files = graft.corpus.CorpusGen
-              .files(s, rows, partitions = parts).toDF()
-              .select(xxhash64(col("repo"), col("path"), col("commit"))
-                .as("id"), col("content").as("text"))
-            graft.dedup.Dedup.paragraphDedup(files, "id", "text", sep = "\n")
-              .write.format("noop").mode("overwrite").save()
-            graft.util.Caches.release()
-            rows
+          paraDedupShot(s, 50000L, cpus) // JIT warm-up
+          (1 to 2).foreach { _ =>
+            graft.util.Diag.clear()
+            val t0 = System.nanoTime()
+            val rows = paraDedupShot(s, paraN, 4 * cpus)
+            paraRounds += rows / ((System.nanoTime() - t0) / 1e9)
+            paraDiag = graft.util.Diag.snapshot()
           }
-          run(50000L, cpus) // JIT warm-up
-          val t0 = System.nanoTime()
-          val rows = run(paraN, 4 * cpus)
-          rows / ((System.nanoTime() - t0) / 1e9)
+          paraRounds.max
         } finally s.stop()
+      }
+    // ---- scale-shape stress: single-shot series at a 10x-bench n ---------
+    // catches threshold crossovers a 1-3M-row run cannot (broadcast caps,
+    // closure collect limits, fetch-strategy flips). Minutes-to-an-hour of
+    // wall, so it only RUNS when SPARK_GRAFT_BENCH_STRESS_ROWS is set; a
+    // prior run's recorded file (committed) is inlined otherwise so the
+    // per-round bench JSON still carries the series.
+    val stressN = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS_ROWS", "0").toLong
+    val stressFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS_FILE",
+      "BENCH_STRESS.json")
+    def mapJson(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          val asNum = v.toLongOption.map(_.toString)
+          s"${jsonStr(k)}:${asNum.getOrElse(jsonStr(v))}"
+        }.mkString("{", ",", "}")
+    // runs whenever the env knob is set — combine with SCALE_ONLY=1 and a
+    // tiny scaling budget for a stress-only invocation
+    val stressJson: String =
+      if (stressN > 0) {
+        def shot(f: SparkSession => Long): (Double, Map[String, String]) = {
+          val s = session(cpus)
+          try {
+            graft.util.Diag.clear()
+            val t0 = System.nanoTime()
+            val rows = f(s)
+            (rows / ((System.nanoTime() - t0) / 1e9),
+              graft.util.Diag.snapshot())
+          } finally s.stop()
+        }
+        val (tpP, _) = shot(s =>
+          Runner.runInMemory(s, stressN, partitions = 4 * cpus,
+            includeDedup = true))
+        val (tpNd, ndDiag) = shot(s =>
+          Runner.runInMemory(s, stressN, partitions = 4 * cpus,
+            includeDedup = true, nearDup = nearDupCfg))
+        val (tpPd, pdDiag) = shot(s => paraDedupShot(s, stressN, 4 * cpus))
+        val j =
+          f"""{"rows":$stressN,"pipeline_dedup_files_per_sec":$tpP%.1f,""" +
+            f""""neardup_files_per_sec":$tpNd%.1f,""" +
+            f""""neardup_diag":${mapJson(ndDiag)},""" +
+            f""""paradedup_files_per_sec":$tpPd%.1f,""" +
+            f""""paradedup_diag":${mapJson(pdDiag)}}"""
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(stressFile), j)
+        catch { case _: java.io.IOException => () }
+        j
+      } else {
+        try {
+          val p = java.nio.file.Paths.get(stressFile)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.readString(p).trim
+          else ""
+        } catch { case _: java.io.IOException => "" }
       }
     val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
     // a measured eff > 1.0 is a noise artifact by definition (you cannot
@@ -316,7 +386,13 @@ object Bench {
           f""""scaling_efficiency_saturated":$effSat%.3f,""" +
           f""""control_efficiency_saturated":$ctlSat%.3f"""
       } else ""
-    println(
+    val stressMode =
+      if (stressN > 0) "measured_this_run" else "recorded_prior_run"
+    val stressField =
+      if (stressJson.nonEmpty)
+        s""","stress":$stressJson,"stress_mode":${jsonStr(stressMode)}"""
+      else ""
+    val out =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,""" +
       f""""errors":$errJson,"query_runs":$queryRuns,""" +
       f""""sf":"$sfDir","pipeline_rows":$n,""" +
@@ -326,10 +402,22 @@ object Bench {
       f""""files_per_sec_with_dedup_n$cpus":$tpFull%.1f,""" +
       f""""files_per_sec_with_neardup_n$cpus":$tpNearDup%.1f,""" +
       f""""neardup_rows":$nearDupN,""" +
+      f""""neardup_diag":${mapJson(nearDupDiag)},""" +
       f""""files_per_sec_paradedup_n$cpus":$tpPara%.1f,""" +
       f""""paradedup_rows":$paraN,""" +
+      f""""paradedup_rounds":${arr(paraRounds.toSeq)},""" +
+      f""""paradedup_diag":${mapJson(paraDiag)},""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$midCpus,""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_raw":$effRaw%.3f""" +
-      satJson + "}")
+      satJson + stressField + "}"
+    println(out)
+    // the driver captures stdout's tail, which truncated a third of
+    // BENCH_r03's queries map — the COMPLETE line also lands in a file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[Bench] WARN: could not write $outPath: $e")
+    }
   }
 }

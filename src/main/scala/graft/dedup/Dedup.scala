@@ -257,7 +257,11 @@ object Dedup {
     */
   private[graft] def fetchPairSides(cand: DataFrame, sa: DataFrame,
       sb: DataFrame): DataFrame = {
-    val small = cand.count() <= BroadcastCandPairs
+    val nCand = cand.count()
+    val small = nCand <= BroadcastCandPairs
+    graft.util.Diag.put("neardup.cand_pairs", nCand)
+    graft.util.Diag.put("neardup.fetch_path",
+      if (small) "broadcast" else "sort_merge")
     val withA = (if (small) broadcast(cand) else cand.hint("merge"))
       .join(sa, "id_a")
     // join 2's build side carries the first payload (~KiB/row): hash-build
@@ -353,6 +357,11 @@ object Dedup {
     // builders cache `pairs`, so this count materializes the cache the
     // first consumer needs anyway — not an extra pass over content
     val nPairs = edgeList.count()
+    graft.util.Diag.put("neardup.closure_pairs", nPairs)
+    graft.util.Diag.put("neardup.closure_path",
+      if (nPairs == 0) "none"
+      else if (nPairs <= collectPairs) "driver_union_find"
+      else "label_propagation")
     if (nPairs == 0) return df
     val losers: DataFrame =
       if (nPairs <= collectPairs) {
@@ -475,7 +484,11 @@ object Dedup {
         .agg(sort_array(collect_list(col("__pos"))).as("__drop")))
     // docs-with-drops is small when duplication is sparse: broadcast then;
     // a boilerplate-dominated corpus falls back to a shuffle-hash join
-    val small = dropPos.count() <= BroadcastCandPairs
+    val nDrop = dropPos.count()
+    val small = nDrop <= BroadcastCandPairs
+    graft.util.Diag.put("paradedup.docs_with_drops", nDrop)
+    graft.util.Diag.put("paradedup.rebuild_path",
+      if (small) "broadcast" else "shuffle_hash")
     val joined = df.join(
       if (small) broadcast(dropPos) else dropPos.hint("shuffle_hash"),
       col(idCol).cast("long") === col("__id"), "left")
