@@ -814,6 +814,28 @@ object SparkEntry {
       val aux = s"$OracleAuxDir/png_params"
       params.coalesce(1).write.mode("overwrite").parquet(aux)
       graft.multimodal.Media.imageStats(media).toDF().orderBy("media_id")
+    }),
+
+    // ---- REAL audio decode (javax.sound.sampled) --------------------------
+    // the fixture encodes actual RIFF/WAVE files holding a 16-bit PCM
+    // square wave whose sample sums are closed-form in the construction
+    // params; the QUERY decodes the WAV bytes back through JavaSoundCodec
+    // and reports measured rate/channels/frames/Σ|s|/Σs, while the oracle
+    // derives the EXPECTED stats from the dumped params alone. They only
+    // agree if real PCM samples were read — a header pass-through cannot
+    // fake the signed sum.
+    "q_media_audio" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.multimodal.Media.synthWavs(s, 500L)
+      val params = s.range(500L).as[Long]
+        .map { id =>
+          val p = graft.multimodal.Media.wavParams(id)
+          (id, p.rate, p.channels, p.frames, p.amp, p.half)
+        }
+        .toDF("media_id", "rate", "channels", "frames", "amp", "half")
+      val aux = s"$OracleAuxDir/wav_params"
+      params.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.multimodal.Media.audioStats(media).toDF().orderBy("media_id")
     }))
 
   /** Location where queries dump engine-synthesized inputs so the driver's
@@ -1319,6 +1341,20 @@ object SparkEntry {
          CAST(CAST(h AS BIGINT) * (w // 2) * (ba + bb) * 10000
            // (CAST(w AS BIGINT) * h) AS BIGINT) AS mean_b_e4
          FROM read_parquet('/tmp/graft_oracle_aux/png_params/*.parquet')
+         ORDER BY media_id""",
+    // expected sample stats in closed form from the WAV construction
+    // params: every sample has magnitude amp (sum_abs = frames*ch*amp);
+    // full square-wave periods cancel in the signed sum, the tail
+    // r = frames mod 2*half is positive for its first min(r,half) frames
+    "q_media_audio" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         rate AS sample_rate, channels, 16 AS bits,
+         CAST(frames AS BIGINT) AS n_frames,
+         CAST(frames AS BIGINT) * channels * amp AS sum_abs,
+         CAST(channels AS BIGINT) * amp *
+           (least(frames % (2*half), half)
+            - greatest(frames % (2*half) - half, 0)) AS sum_signed
+         FROM read_parquet('/tmp/graft_oracle_aux/wav_params/*.parquet')
          ORDER BY media_id""",
     "q_repo_stats" ->
       """SELECT repo, CAST(count(*) AS BIGINT) AS n_files,

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * batching: iterate a partition, amortize per-batch setup, emit rows).
   *
   * The Spark-side plumbing — schema, batch shape, partition sizing,
-  * deterministic feature rows — is real and tested. IMAGE decode is real
-  * too: [[ImageIoCodec]] reads actual pixels through JDK ImageIO
-  * (PNG/JPEG/GIF/BMP, no external dependency). Audio/video decode stays a
-  * deterministic stub ([[StubCodec]]) — no AV codec ships with the JDK —
-  * behind the same [[MediaCodec]]/[[ImageCodec]] seams a real library
-  * would plug into.
+  * deterministic feature rows — is real and tested. IMAGE decode is real:
+  * [[ImageIoCodec]] reads actual pixels through JDK ImageIO
+  * (PNG/JPEG/GIF/BMP, no external dependency). AUDIO decode is real too:
+  * [[JavaSoundCodec]] parses RIFF/AIFF/AU containers and reads actual PCM
+  * samples through `javax.sound.sampled` (also in the JDK). Only VIDEO
+  * stays a deterministic stub ([[StubCodec]]) — no video codec ships with
+  * Java — behind the same [[MediaCodec]] seam a real library would plug
+  * into.
   */
 final case class MediaRow(
     media_id: Long,
@@ -104,8 +106,97 @@ object ImageIoCodec extends ImageCodec {
   }
 }
 
-/** Deterministic stand-in codec for AUDIO/VIDEO payloads (no audio/video
-  * codec ships with the JDK; images have the real [[ImageIoCodec]]):
+/** Per-clip sample statistics from a REAL PCM decode. `channels == 0`
+  * marks an undecodable payload (truncated container, unknown codec) —
+  * carried in the schema, never thrown. The sums are exact integers over
+  * the decoded samples so a cross-engine oracle can reproduce them from
+  * the construction parameters alone: `sum_abs` = Σ|s| and `sum_signed`
+  * = Σs over every sample of every channel.
+  */
+final case class AudioStats(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    sum_abs: Long,
+    sum_signed: Long)
+
+/** PCM-decode seam for audio payloads, mirroring [[ImageCodec]]. */
+trait AudioCodec extends Serializable {
+  /** Once per PARTITION before any row — expensive setup belongs here. */
+  def init(): Unit = ()
+  def decodeAudio(bytes: Array[Byte]): Option[AudioStats]
+}
+
+/** Real audio decoder on `javax.sound.sampled` — WAV/AIFF/AU PCM readers
+  * ship with Java 17 itself, so actual sample decode needs no external
+  * dependency (compressed codecs like MP3/AAC genuinely don't, and fall
+  * out as `None`). Streams the clip in bounded chunks: executor memory
+  * holds one 64 KiB buffer, never the decoded clip.
+  */
+object JavaSoundCodec extends AudioCodec {
+  import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+  override def decodeAudio(bytes: Array[Byte]): Option[AudioStats] = {
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (in == null) None
+    else
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val bits = f.getSampleSizeInBits
+        // only uncompressed integer PCM is in scope (the WAV/AIFF/AU cases
+        // the JDK can actually produce); anything else is "undecodable"
+        if (!(signed || enc == AudioFormat.Encoding.PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16)) None
+        else {
+          val ch = f.getChannels
+          val frameSize = f.getFrameSize
+          val big = f.isBigEndian
+          val buf = new Array[Byte](65536 - 65536 % math.max(frameSize, 1))
+          var sumAbs = 0L; var sumSigned = 0L; var nBytes = 0L
+          var havePrev = false // first byte of a sample straddling reads
+          var prev: Byte = 0
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) {
+              if (bits == 8) {
+                val v = if (signed) buf(i).toInt else (buf(i) & 0xff) - 128
+                sumAbs += math.abs(v); sumSigned += v
+              } else if (!havePrev) { prev = buf(i); havePrev = true }
+              else {
+                val cur = buf(i)
+                // the HIGH byte sign-extends (Byte → Int), the low masks
+                val raw = if (big) (prev.toInt << 8) | (cur & 0xff)
+                          else (cur.toInt << 8) | (prev & 0xff)
+                val v = if (signed) raw else (raw & 0xffff) - 32768
+                sumAbs += math.abs(v); sumSigned += v
+                havePrev = false
+              }
+              i += 1
+            }
+            nBytes += read
+            read = in.read(buf)
+          }
+          val frames = nBytes / math.max(frameSize, 1)
+          Some(AudioStats(0L, f.getSampleRate.toInt, ch, bits, frames,
+            sumAbs, sumSigned))
+        }
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+  }
+}
+
+/** Deterministic stand-in codec for VIDEO payloads (no video codec ships
+  * with the JDK; images have [[ImageIoCodec]], audio [[JavaSoundCodec]]):
   * "decode" derives byte-level pseudo-features so the batching/plumbing
   * stays exercised for every media kind.
   */
@@ -215,6 +306,85 @@ object Media {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic REAL-WAV fixture: each row is an actual RIFF/WAVE file
+    * (encoded through `javax.sound.sampled`) holding a 16-bit signed
+    * little-endian PCM square wave — every sample is `+amp` or `-amp`,
+    * flipping each `half` frames, identical across channels. Every sample
+    * statistic is therefore known in closed form from
+    * (frames, channels, amp, half), so an oracle can verify DECODED
+    * samples without itself decoding: Σ|s| and Σs only come out right if
+    * the WAV encode→decode round trip read real PCM data.
+    */
+  def synthWavs(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { id =>
+      val p = wavParams(id, seed)
+      MediaRow(id, "audio", encodeWav(p), 0, 0,
+        duration_ms = (p.frames * 1000L / p.rate).toInt)
+    })
+  }
+
+  /** The closed-form construction parameters of [[synthWavs]] row `id` —
+    * the independent path an oracle derives expected sample stats from.
+    * Expected: `n_frames = frames`, `sum_abs = frames*channels*amp`
+    * (every sample has magnitude amp), and with period `p = 2*half`,
+    * remainder `r = frames mod p`:
+    * `sum_signed = channels*amp*(min(r,half) - max(r-half,0))`
+    * (full periods cancel; the tail is positive for its first half).
+    */
+  final case class WavParams(rate: Int, channels: Int, frames: Int,
+      amp: Int, half: Int)
+
+  def wavParams(id: Long, seed: Long = 42L): WavParams = {
+    val r = new java.util.SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+    WavParams(rate = Array(8000, 16000, 22050, 44100)(r.nextInt(4)),
+      channels = 1 + r.nextInt(2), frames = 200 + r.nextInt(2001),
+      amp = 1000 + r.nextInt(29001), half = 1 + r.nextInt(20))
+  }
+
+  private def encodeWav(p: WavParams): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](p.frames * p.channels * 2)
+    var i = 0
+    var off = 0
+    while (i < p.frames) {
+      val v = if ((i / p.half) % 2 == 0) p.amp else -p.amp
+      var c = 0
+      while (c < p.channels) {
+        pcm(off) = (v & 0xff).toByte // little-endian 16-bit signed
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        off += 2; c += 1
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(p.rate.toFloat, 16, p.channels,
+      /*signed=*/ true, /*bigEndian=*/ false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, p.frames.toLong)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Batched PCM decode over audio rows: codec init once per PARTITION,
+    * rows stream through, executor memory bounded by one read buffer (the
+    * codec streams the clip — never materializes decoded samples).
+    * Non-audio kinds are filtered out up front.
+    */
+  def audioStats(media: Dataset[MediaRow],
+      codec: AudioCodec = JavaSoundCodec): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      codec.init()
+      it.map { r =>
+        codec.decodeAudio(r.data) match {
+          case Some(s) => s.copy(media_id = r.media_id)
+          case None => AudioStats(r.media_id, 0, 0, 0, 0L, 0L, 0L)
+        }
+      }
+    }
   }
 
   /** Batched pixel decode over image rows: codec init once per PARTITION,

@@ -135,6 +135,41 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(re.map(s => s: ImageStats).toSeq === stats.toSeq)
   }
 
+  test("media: JavaSound decodes real WAV samples — stats match the " +
+    "closed-form construction params") {
+    import graft.multimodal.{AudioStats, JavaSoundCodec}
+    val stats = Media.audioStats(Media.synthWavs(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    assert(stats.length === 100)
+    stats.foreach { s =>
+      val p = Media.wavParams(s.media_id)
+      val r = p.frames % (2 * p.half)
+      val tail = math.min(r, p.half).toLong - math.max(r - p.half, 0)
+      assert(s.sample_rate === p.rate && s.channels === p.channels &&
+        s.bits === 16 && s.n_frames === p.frames.toLong,
+        s"id=${s.media_id}")
+      assert(s.sum_abs === p.frames.toLong * p.channels * p.amp)
+      assert(s.sum_signed === p.channels * p.amp * tail, s"id=${s.media_id}")
+    }
+    // independent single-row path (no Spark, no batching) agrees
+    val one = Media.synthWavs(spark, 1L).collect().head
+    val direct = JavaSoundCodec.decodeAudio(one.data).get
+    assert(direct.copy(media_id = 0L) ===
+      stats.find(_.media_id == 0L).get)
+    // undecodable payload is a carried failure, not a task crash
+    val junk = Media.synth(spark, 5L).map(r => r.copy(kind = "audio"))
+    val bad = Media.audioStats(junk).collect()
+    assert(bad.length === 5 && bad.forall(_.channels === 0))
+    assert(JavaSoundCodec.decodeAudio(Array[Byte](1, 2, 3)) === None)
+    // a TRUNCATED but well-headed WAV must not crash either
+    val cut = one.data.take(one.data.length / 2)
+    JavaSoundCodec.decodeAudio(cut) // decodes fewer frames or None — no throw
+    // partition-layout independence
+    val re = Media.audioStats(Media.synthWavs(spark, 100L).repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(re.map(s => s: AudioStats).toSeq === stats.toSeq)
+  }
+
   test("media: frame-sample plan explodes one row per sampled frame") {
     val plan = Media.frameSamplePlan(Media.synth(spark, 300L), fps = 1.0)
     val videos = Media.synth(spark, 300L).filter(_.kind == "video").collect()
