@@ -116,23 +116,30 @@ object Xlsx {
     elems(doc, "si").map(si => childElems(si, "t").map(_.getTextContent).mkString)
 
   /** Dense rows from a worksheet part: `r` attributes position rows and
-    * cells (both 1-based / "A1"-style); gaps fill with "".
+    * cells (both 1-based / "A1"-style); gaps fill with "". The `r`
+    * attribute is OPTIONAL in ECMA-376 — some writers omit it, meaning
+    * "next row/column after the previous one" — so a missing ref falls
+    * back to sequential position instead of dropping content.
     */
   private def sheetRows(doc: Document, shared: Vector[String]): Vector[Vector[String]] = {
-    val rows = elems(doc, "row").flatMap { rowEl =>
-      val cells = childElems(rowEl, "c").flatMap { c =>
-        val ref = c.getAttribute("r")
-        val colIdx = colIndex(ref)
-        if (colIdx < 0) None else Some(colIdx -> cellText(c, shared))
+    var nextRow = 0 // sequential fallback for rows without an r attribute
+    val rows = elems(doc, "row").map { rowEl =>
+      var nextCol = 0 // ditto for cells
+      val cells = childElems(rowEl, "c").map { c =>
+        val colIdx = colIndex(c.getAttribute("r")) match {
+          case -1 => nextCol // no ref: the cell after the previous one
+          case i => i
+        }
+        nextCol = colIdx + 1
+        colIdx -> cellText(c, shared)
       }
-      val rAttr = rowEl.getAttribute("r")
-      val rowIdx = rAttr.toIntOption.map(_ - 1)
-      rowIdx.map { ri =>
-        val width = if (cells.isEmpty) 0 else cells.map(_._1).max + 1
-        val dense = Array.fill(width)("")
-        cells.foreach { case (i, v) => dense(i) = v }
-        ri -> dense.toVector
-      }
+      val ri = rowEl.getAttribute("r").toIntOption.map(_ - 1)
+        .getOrElse(nextRow)
+      nextRow = ri + 1
+      val width = if (cells.isEmpty) 0 else cells.map(_._1).max + 1
+      val dense = Array.fill(width)("")
+      cells.foreach { case (i, v) => dense(i) = v }
+      ri -> dense.toVector
     }
     if (rows.isEmpty) Vector.empty
     else {

@@ -47,9 +47,96 @@ object Dedup {
 
   private val tokenSep = java.util.regex.Pattern.compile("[^a-z0-9_]+")
 
+  /** Reference tokenizer (locale pinned to ROOT — the parameterless
+    * `String.toLowerCase` reads the JVM default locale, so a Turkish-locale
+    * executor would tokenize differently and break the "verdict is a pure
+    * function of the row" invariant). The hot paths use [[tokenize]], which
+    * is bit-identical and allocation-free; this form remains the executable
+    * spec the property tests compare against.
+    */
   def tokens(text: String): Array[String] =
     if (text == null) Array.empty
-    else tokenSep.split(text.toLowerCase).filter(_.nonEmpty)
+    else tokenSep.split(text.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty)
+
+  /** Packed tokenizer output: lowered token chars sit contiguously in
+    * `buf`; token k spans `buf(if (k==0) 0 else ends(k-1)) until ends(k)`,
+    * `n` tokens total. No per-token Strings, no lowered copy of the text.
+    */
+  private[graft] final class Toks(val buf: Array[Char], val ends: Array[Int],
+      val n: Int) {
+    def start(k: Int): Int = if (k == 0) 0 else ends(k - 1)
+    /** Materialized tokens — test/debug surface, not the hot path. */
+    def strings: Array[String] =
+      Array.tabulate(n)(k => new String(buf, start(k), ends(k) - start(k)))
+  }
+
+  /** Single-pass zero-String tokenizer, bit-identical to [[tokens]]
+    * (profiled: the regex split + lowered copy + per-token Strings were
+    * ~75% of the MinHash signature pass, which itself dominates near-dup
+    * cost). Equivalence argument, property-tested in DedupSpec:
+    *  - ASCII letters lower arithmetically; digits/underscore pass through;
+    *    all other ASCII is a separator — exactly `[^a-z0-9_]+` post-lower.
+    *  - Non-ASCII chars can only matter if ROOT-locale lowercasing maps
+    *    them into `[a-z0-9_]`. Only two do: U+212A (KELVIN SIGN) → 'k',
+    *    and U+0130 (İ) whose FULL mapping is "i" + U+0307 — the combining
+    *    dot is a separator, so İ contributes 'i' and closes the token.
+    *    Every other char (including surrogate halves) lowers to non-ASCII
+    *    and separates.
+    */
+  private[graft] def tokenize(text: String): Toks = {
+    if (text == null) return new Toks(Array.empty, Array.empty, 0)
+    val m = text.length
+    val buf = new Array[Char](m)
+    var ends = new Array[Int](math.max(8, math.min(m / 4 + 1, 1024)))
+    var ntok = 0
+    var w = 0
+    var tokStart = 0
+    def close(): Unit = {
+      if (w > tokStart) {
+        if (ntok == ends.length)
+          ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+        ends(ntok) = w
+        ntok += 1
+      }
+      tokStart = w
+    }
+    var i = 0
+    while (i < m) {
+      val c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') { buf(w) = (c + 32).toChar; w += 1 }
+      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+        buf(w) = c; w += 1
+      }
+      else if (c < 128) close()
+      else if (c == 'İ') { buf(w) = 'i'; w += 1; close() }
+      else if (c == 'K') { buf(w) = 'k'; w += 1 }
+      else close()
+      i += 1
+    }
+    close()
+    new Toks(buf, ends, ntok)
+  }
+
+  /** FNV-1a 64 over packed tokens `[start, start+n)` joined by ' ' —
+    * bit-identical to [[fnv1aNgram]] over the materialized strings.
+    */
+  private def fnv1aNgramBuf(t: Toks, start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = 0
+    while (k < n) {
+      if (k > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      var i = t.start(start + k)
+      val e = t.ends(start + k)
+      while (i < e) {
+        h ^= t.buf(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      k += 1
+    }
+    h
+  }
 
   /** FNV-1a 64 over the space-joined n-gram `ts(start..start+n)` WITHOUT
     * materializing the joined string — bit-identical to
@@ -79,6 +166,28 @@ object Dedup {
     * set; sorted order keeps the output deterministic).
     */
   def shingles(text: String, n: Int = 3): Array[Long] = {
+    val ts = tokenize(text)
+    if (ts.n < n) {
+      if (ts.n == 0) Array.empty else Array(fnv1aNgramBuf(ts, 0, ts.n))
+    } else {
+      val m = ts.n - n + 1
+      val raw = new Array[Long](m)
+      var i = 0
+      while (i < m) { raw(i) = fnv1aNgramBuf(ts, i, n); i += 1 }
+      java.util.Arrays.sort(raw)
+      var w = 0; var r = 0 // in-place dedup of the sorted run
+      while (r < m) {
+        if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+        r += 1
+      }
+      if (w == m) raw else java.util.Arrays.copyOf(raw, w)
+    }
+  }
+
+  /** Executable spec for [[shingles]]: the straightforward split-then-hash
+    * form the property tests compare the packed path against.
+    */
+  private[graft] def shinglesRef(text: String, n: Int = 3): Array[Long] = {
     val ts = tokens(text)
     if (ts.length < n) {
       if (ts.isEmpty) Array.empty else Array(fnv1aNgram(ts, 0, ts.length))
@@ -88,7 +197,7 @@ object Dedup {
       var i = 0
       while (i < m) { raw(i) = fnv1aNgram(ts, i, n); i += 1 }
       java.util.Arrays.sort(raw)
-      var w = 0; var r = 0 // in-place dedup of the sorted run
+      var w = 0; var r = 0
       while (r < m) {
         if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
         r += 1
@@ -600,8 +709,41 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash over hashed tokens (Charikar): per-bit weighted vote. */
+  /** 64-bit SimHash over hashed tokens (Charikar): per-bit weighted vote.
+    * Tokens come from the packed zero-String tokenizer and hash straight
+    * from the shared char buffer.
+    */
   def simHash(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ts = tokenize(text)
+    var t = 0
+    while (t < ts.n) {
+      var h = 0xcbf29ce484222325L
+      var i = ts.start(t)
+      val e = ts.ends(t)
+      while (i < e) {
+        h ^= ts.buf(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  /** Executable spec for [[simHash]] (property-tested equal). */
+  private[graft] def simHashRef(text: String): Long = {
     val votes = new Array[Int](64)
     val ts = tokens(text)
     var i = 0
@@ -732,7 +874,7 @@ object Dedup {
     val docs = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val s = shingles(t, n).sorted
+        val s = shingles(t, n) // already sorted (and PPJoin needs it sorted)
         val prefixLen = math.min(s.length,
           math.ceil((1.0 - threshold) * s.length).toInt + 1)
         (id, s, s.take(prefixLen))

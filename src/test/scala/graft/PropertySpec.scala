@@ -88,6 +88,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packed tokenizer ≡ split-lowercase reference on adversarial unicode") {
+    // every class the equivalence argument in Dedup.tokenize leans on:
+    // ASCII case/digits/underscore, ASCII separators, İ (U+0130 — full
+    // lowercase is i + combining dot), KELVIN SIGN (U+212A → k), chars
+    // that lower to non-ASCII (Σ À ß ı), combining marks, CJK, surrogate
+    // pairs (Deseret capital), and the ASCII lookalikes I/i themselves
+    val nastyGen = Gen.listOfN(80, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n', '_', '.', ','),
+      1 -> Gen.oneOf('İ', 'K', '̇', 'ı', 'I', 'i'),
+      1 -> Gen.oneOf('Σ', 'ς', 'À', 'ß', 'ẞ', '中', '\uD801', '\uDC00')))
+      .map(_.mkString)
+    forAll(Gen.zip(nastyGen, Gen.choose(1, 4)), n = 200) { case (t, n) =>
+      assert(Dedup.tokenize(t).strings.toSeq === Dedup.tokens(t).toSeq,
+        s"tokens diverge on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+      assert(Dedup.shingles(t, n).toSeq === Dedup.shinglesRef(t, n).toSeq)
+      assert(Dedup.simHash(t) === Dedup.simHashRef(t))
+    }
+    assert(Dedup.tokenize(null).n === 0 && Dedup.tokens(null).isEmpty)
+  }
+
   test("simhash: hamming distance is a pseudo-metric on texts") {
     forAll(textGen, textGen) { (a, b) =>
       def d(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)

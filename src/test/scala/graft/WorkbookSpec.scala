@@ -169,6 +169,35 @@ class WorkbookSpec extends SparkSpec {
     intercept[Exception](Xlsx.read(evil.toString))
   }
 
+  test("xlsx: rows and cells without r attributes position sequentially") {
+    // ECMA-376 makes the r attribute optional — "the row/cell after the
+    // previous one". Dropping such content would silently lose rules from
+    // workbooks written by minimal emitters.
+    import graft.config.Xlsx
+    val dir = Files.createTempDirectory("graft_xlsx_seq")
+    val path = dir.resolve("seq.xlsx")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(path))
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    try Seq(
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="$ns" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""",
+      // row 1 has refs; row 2 has NO r anywhere; a third row resumes at r=5;
+      // inside row 2 the second cell is ref-less (follows C2 → D2)
+      "xl/worksheets/sheet1.xml" ->
+        s"""<worksheet xmlns="$ns"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>a1</t></is></c></row><row><c r="C2" t="inlineStr"><is><t>c2</t></is></c><c t="inlineStr"><is><t>d2</t></is></c></row><row r="5"><c t="inlineStr"><is><t>a5</t></is></c></row></sheetData></worksheet>"""
+    ).foreach { case (n, c) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(n))
+      out.write(c.getBytes("UTF-8")); out.closeEntry()
+    } finally out.close()
+    val s = Xlsx.read(path.toString)("s")
+    assert(s(0) === Vector("a1"))
+    assert(s(1) === Vector("", "", "c2", "d2")) // ref-less cell follows C2
+    assert(s(2) === Vector() && s(3) === Vector()) // gap rows stay empty
+    assert(s(4) === Vector("a5")) // ref-less row after r=5 would be 6
+  }
+
   test("the 10-sheet fixture parses identically from .xlsx and CSV sheets") {
     import graft.config.Xlsx
     // re-emit the CSV fixture's sheet content as a real xlsx next to the
