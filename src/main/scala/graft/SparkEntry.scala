@@ -564,6 +564,25 @@ object SparkEntry {
           translate(col("text"), " ", "\n").as("text")),
         "doc_id", "text", budgetChars = 100)
         .orderBy("doc_id", "chunk_id")),
+    // repo-context packing: training documents assembled per repo in
+    // (path, commit) order under the replayable prefix rule
+    // (floor(exclusive cum chars / budget)); the RANGED skew-safe plan is
+    // the one exercised. Input dedupes the corpus's planted PK-duplicate
+    // triples first (the operator's uniqueness contract — and the natural
+    // pipeline order: pk_dup resolution precedes packing), the deduped
+    // frame is dumped, and DuckDB replays the rule over the identical
+    // parquet as a window + ordered string_agg — a rule-replay oracle
+    // covering pack ids, headered doc bytes, and both counters.
+    "q_repo_pack" -> ((s, dir) => {
+      val base = CorpusGen.files(s, 4000L).toDF()
+        .groupBy("repo", "path", "commit")
+        .agg(min("content").as("content"))
+      val aux = s"$OracleAuxDir/repo_pack"
+      base.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.RepoPack.packByRepoRanged(s.read.parquet(aux),
+        budgetChars = 2000)
+        .orderBy("repo", "pack_id")
+    }),
     // trained quality classifier: labels come from the heuristic band
     // score (the classifier learns to mimic it — the CCNet-style setup);
     // training is deterministic driver-side GD, scoring a pure projection.
@@ -1520,6 +1539,29 @@ object SparkEntry {
            CAST(sum(length(line)) AS BIGINT) AS n_chars
          FROM cum GROUP BY 1, 2
          ORDER BY doc_id, chunk_id""",
+    // repo-context packing: the identical prefix rule replayed over the
+    // deduped dump — exclusive running character sum per repo in
+    // (path, commit) order, integer-divided by the budget, then ordered
+    // string_agg reassembly with the same <|file:...|> headers
+    "q_repo_pack" ->
+      """WITH f AS (
+           SELECT repo, path, "commit",
+             coalesce(content, '') AS content,
+             length(coalesce(content, '')) AS w
+           FROM read_parquet('/tmp/graft_oracle_aux/repo_pack/*.parquet')),
+         cum AS (
+           SELECT repo, path, "commit", content, w,
+             coalesce(sum(w) OVER (PARTITION BY repo
+               ORDER BY path, "commit" ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS c
+           FROM f)
+         SELECT repo, CAST(c // 2000 AS BIGINT) AS pack_id,
+           string_agg('<|file:' || path || '|>' || chr(10) || content,
+             chr(10) ORDER BY path, "commit") AS doc,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(w) AS BIGINT) AS n_chars
+         FROM cum GROUP BY 1, 2
+         ORDER BY repo, pack_id""",
     // trained classifier: the margin is replayed over the identical dumped
     // feature doubles with the dumped weights, same left-associated order
     // — bit-identical doubles, so round and sign cross-compare exactly

@@ -1,0 +1,200 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repo-context packing — the training-document assembly stage of a code
+  * pretraining pipeline (the StarCoder / DeepSeek-Coder data prep shape):
+  * a repository's files are ordered by path and concatenated into
+  * documents of ≈ `budgetChars` characters, each file prefixed by a
+  * `<|file:PATH|>` header, so the model sees same-repo files in context.
+  *
+  * Pack assignment uses the same REPLAYABLE PREFIX RULE as
+  * [[TextAnalysis.chunkByLines]]: a file belongs to pack
+  * `floor(exclusiveCumChars / budgetChars)` where exclusiveCumChars sums
+  * the content code points of every file BEFORE it in (path, commit)
+  * order within the repo. Unlike greedy packing, the assignment is a pure
+  * per-file function of the repo's slim (path, commit, weight) listing —
+  * any engine with a window function can replay it (the DuckDB oracle
+  * does), a pack overflows the budget by at most one file, and pack ids
+  * may skip when a single file spans several budgets.
+  *
+  * Scale design (100 TB): two physical plans, one answer.
+  *   - [[packByRepo]] — ONE hash shuffle on repo + a per-partition sort;
+  *     packs stream out of a linear mapPartitions pass whose live state is
+  *     a single pack buffer (≤ budget + one file), so memory is bounded
+  *     regardless of repo size. A mega-repo serializes onto one task —
+  *     fine up to millions of files per repo, and the common case.
+  *   - [[packByRepoRanged]] — the skew escape hatch: a RANGE partition on
+  *     (repo, path, commit) spreads a mega-repo over many tasks; a slim
+  *     first pass (repo + weight only, no content) computes per-partition
+  *     exclusive offsets exactly as [[graft.sampling.Sampling.tokenBudgetSample]]
+  *     range-buckets its prefix sum, the second pass emits pack PARTIALS
+  *     with exact global pack ids, and a final groupBy(repo, pack) merges
+  *     the few boundary-straddling partials in partition order. Group
+  *     sizes stay ≤ the handful of partitions a pack straddles.
+  *
+  * Nulls: content coalesces to "" (a null file still occupies its slot —
+  * row preservation, unlike chunkByLines' disappearing-document
+  * contract); (repo, path, commit) are assumed non-null. Output is
+  * (repoCol, pack_id, doc, n_files, n_chars); determinism requires
+  * (repo, path, commit) to be unique up to fully-identical rows (the
+  * corpus PK-violation duplicates are byte-identical, so any tie order
+  * yields the same bytes).
+  */
+object RepoPack {
+
+  private val Sep = "\n"
+
+  private def header(path: String): String = s"<|file:$path|>\n"
+
+  /** Streaming pack emitter over rows already sorted by (repo, path,
+    * commit) within the iterator. `offsetFor(repo)` seeds the repo's
+    * running character count — 0 for a whole-repo iterator, the exclusive
+    * cross-partition offset for a range-partitioned slice.
+    */
+  private def packStream(
+      it: Iterator[(String, String, String, String)],
+      offsetFor: String => Long,
+      budget: Long): Iterator[(String, Long, String, Long, Long)] =
+    new scala.collection.AbstractIterator[(String, Long, String, Long, Long)] {
+      private var out: (String, Long, String, Long, Long) = _
+      private var curRepo: String = null
+      private var cum = 0L
+      private var packId = Long.MinValue
+      private var sb: java.lang.StringBuilder = null
+      private var nFiles = 0L
+      private var nChars = 0L
+
+      private def flushInto(): Unit = {
+        out = (curRepo, packId, sb.toString, nFiles, nChars)
+        sb = null
+      }
+
+      @annotation.tailrec
+      private def advance(): Boolean =
+        if (!it.hasNext) {
+          if (sb != null && curRepo != null) { flushInto(); true } else false
+        } else {
+          val (repo, path, _, content0) = it.next()
+          val content = if (content0 == null) "" else content0
+          val w = content.codePointCount(0, content.length).toLong
+          var flushed = false
+          if (repo != curRepo) {
+            if (sb != null) { flushInto(); flushed = true }
+            curRepo = repo
+            cum = offsetFor(repo)
+            packId = Long.MinValue
+          }
+          val cid = cum / budget
+          if (cid != packId) {
+            if (sb != null && !flushed) { flushInto(); flushed = true }
+            packId = cid
+            sb = new java.lang.StringBuilder
+            nFiles = 0L
+            nChars = 0L
+          } else sb.append(Sep)
+          sb.append(header(path)).append(content)
+          nFiles += 1
+          nChars += w
+          cum += w
+          if (flushed) true else advance()
+        }
+
+      override def hasNext: Boolean = out != null || advance()
+      override def next(): (String, Long, String, Long, Long) = {
+        if (out == null && !advance()) Iterator.empty.next()
+        val r = out; out = null; r
+      }
+    }
+
+  private def typedInput(df: DataFrame, repoCol: String, pathCol: String,
+      commitCol: String, contentCol: String) =
+    df.select(col(repoCol).cast("string"), col(pathCol).cast("string"),
+      col(commitCol).cast("string"), col(contentCol).cast("string"))
+
+  /** Plain path: one hash shuffle on repo, per-partition sort, streaming
+    * pack emission. See the object doc for the packing rule.
+    */
+  def packByRepo(df: DataFrame, budgetChars: Long,
+      repoCol: String = "repo", pathCol: String = "path",
+      commitCol: String = "commit", contentCol: String = "content",
+      partitions: Int = 0): DataFrame = {
+    require(budgetChars > 0, s"budgetChars=$budgetChars must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    typedInput(df, repoCol, pathCol, commitCol, contentCol)
+      .as[(String, String, String, String)]
+      .repartition(parts, col(repoCol))
+      .sortWithinPartitions(col(repoCol), col(pathCol), col(commitCol))
+      .mapPartitions(it => packStream(it, _ => 0L, budgetChars))
+      .toDF(repoCol, "pack_id", "doc", "n_files", "n_chars")
+  }
+
+  /** Skew-safe path: range partition on (repo, path, commit) spreads a
+    * mega-repo across tasks; exact global pack ids come from a slim
+    * offsets pass (one (partition, repo, chars) row per repo-slice —
+    * thousands of longs, never content); boundary-straddling packs merge
+    * in a final small-group aggregation. Output equals [[packByRepo]]
+    * row-for-row (PackingSpec asserts it).
+    */
+  def packByRepoRanged(df: DataFrame, budgetChars: Long,
+      repoCol: String = "repo", pathCol: String = "path",
+      commitCol: String = "commit", contentCol: String = "content",
+      partitions: Int = 0): DataFrame = {
+    require(budgetChars > 0, s"budgetChars=$budgetChars must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    // cached: the offsets pass and the emit pass must see the SAME range
+    // partitioning (the partitioner samples its bounds, so two separate
+    // materializations could disagree). Caller releases via Caches.release().
+    val ranged = graft.util.Caches.track(
+      typedInput(df, repoCol, pathCol, commitCol, contentCol)
+        .repartitionByRange(parts, col(repoCol), col(pathCol), col(commitCol))
+        .sortWithinPartitions(col(repoCol), col(pathCol), col(commitCol)))
+      .as[(String, String, String, String)]
+    // pass 1 (slim): per (partition, repo) character sums → exclusive
+    // offsets per repo in partition order, collected (≤ parts + #repos
+    // rows of three scalars) and closed over by pass 2.
+    val sums = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (repo, _, _, content) =>
+        val c = if (content == null) "" else content
+        acc(repo) = acc.getOrElse(repo, 0L) +
+          c.codePointCount(0, c.length).toLong
+      }
+      acc.iterator.map { case (repo, w) => (pid, repo, w) }
+    }.collect()
+    val offsets: Map[(Int, String), Long] = sums
+      .groupBy(_._2)
+      .flatMap { case (_, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        var run = 0L
+        inOrder.map { case (pid, repo, w) =>
+          val o = ((pid, repo), run); run += w; o
+        }
+      }
+    // pass 2: stream partials with exact global cums; a pack whose files
+    // straddle a range boundary emits one partial per partition it touches.
+    val partials = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      packStream(it, repo => offsets.getOrElse((pid, repo), 0L), budgetChars)
+        .map { case (repo, packId, doc, nf, nc) => (repo, packId, pid, doc, nf, nc) }
+    }.toDF(repoCol, "pack_id", "__pid", "doc", "n_files", "n_chars")
+    partials
+      .groupBy(col(repoCol), col("pack_id"))
+      .agg(
+        array_sort(collect_list(struct(col("__pid"), col("doc")))).as("__parts"),
+        sum(col("n_files")).as("n_files"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col(repoCol), col("pack_id"),
+        array_join(transform(col("__parts"), p => p.getField("doc")), Sep)
+          .as("doc"),
+        col("n_files"), col("n_chars"))
+  }
+}
