@@ -295,6 +295,39 @@ object Bench {
           paraRounds.max
         } finally s.stop()
       }
+    // passage(=k-line-window) dedup cost — ExactSubstr-style excision at
+    // bench scale: k× content hashed map-side, (sha,id,pos) winner
+    // shuffle, covered-line rebuild. Same two-round single-shot protocol
+    // as the paragraph series.
+    def passageDedupShot(s: SparkSession, rows: Long, parts: Int): Long = {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val files = graft.corpus.CorpusGen
+        .files(s, rows, partitions = parts).toDF()
+        .select(xxhash64(col("repo"), col("path"), col("commit"),
+          col("content")).as("id"), col("content").as("text"))
+      graft.dedup.Dedup.passageDedup(files, "id", "text", k = 8)
+        .write.format("noop").mode("overwrite").save()
+      graft.util.Caches.release()
+      rows
+    }
+    val passageRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    var passageDiag = Map.empty[String, String]
+    val tpPassage =
+      if (scaleOnly) -1.0
+      else {
+        val s = session(cpus)
+        try {
+          passageDedupShot(s, 50000L, cpus) // JIT warm-up
+          (1 to 2).foreach { _ =>
+            graft.util.Diag.clear()
+            val t0 = System.nanoTime()
+            val rows = passageDedupShot(s, paraN, 4 * cpus)
+            passageRounds += rows / ((System.nanoTime() - t0) / 1e9)
+            passageDiag = graft.util.Diag.snapshot()
+          }
+          passageRounds.max
+        } finally s.stop()
+      }
     // ---- scale-shape stress: single-shot series at a 10x-bench n ---------
     // catches threshold crossovers a 1-3M-row run cannot (broadcast caps,
     // closure collect limits, fetch-strategy flips). Minutes-to-an-hour of
@@ -331,12 +364,15 @@ object Bench {
           Runner.runInMemory(s, stressN, partitions = 4 * cpus,
             includeDedup = true, nearDup = nearDupCfg))
         val (tpPd, pdDiag) = shot(s => paraDedupShot(s, stressN, 4 * cpus))
+        val (tpPs, psDiag) = shot(s => passageDedupShot(s, stressN, 4 * cpus))
         val j =
           f"""{"rows":$stressN,"pipeline_dedup_files_per_sec":$tpP%.1f,""" +
             f""""neardup_files_per_sec":$tpNd%.1f,""" +
             f""""neardup_diag":${mapJson(ndDiag)},""" +
             f""""paradedup_files_per_sec":$tpPd%.1f,""" +
-            f""""paradedup_diag":${mapJson(pdDiag)}}"""
+            f""""paradedup_diag":${mapJson(pdDiag)},""" +
+            f""""passagededup_files_per_sec":$tpPs%.1f,""" +
+            f""""passagededup_diag":${mapJson(psDiag)}}"""
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(stressFile), j)
         catch { case _: java.io.IOException => () }
         j
@@ -407,6 +443,10 @@ object Bench {
       f""""paradedup_rows":$paraN,""" +
       f""""paradedup_rounds":${arr(paraRounds.toSeq)},""" +
       f""""paradedup_diag":${mapJson(paraDiag)},""" +
+      f""""files_per_sec_passagededup_n$cpus":$tpPassage%.1f,""" +
+      f""""passagededup_rows":$paraN,""" +
+      f""""passagededup_rounds":${arr(passageRounds.toSeq)},""" +
+      f""""passagededup_diag":${mapJson(passageDiag)},""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$midCpus,""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_raw":$effRaw%.3f""" +
       satJson + stressField + "}"

@@ -332,8 +332,10 @@ object SparkEntry {
           col("content"))
       val fps = graft.text.TextAnalysis.fingerprints(files, "fid", "content")
       val aux = s"$OracleAuxDir/clone_posts"
+      // no coalesce(1): the oracle reads a glob, and coalescing after the
+      // distinct would collapse the whole aggregation onto one thread
       fps.select(col("fid"), explode(col("fingerprints")).as("fp")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+        .write.mode("overwrite").parquet(aux)
       // maxPostings=100 on a generated corpus with a tiny line vocabulary:
       // common-code windows appear in thousands of files and carry no
       // clone evidence — only RARE windows (per-file numeric literals the
@@ -564,6 +566,22 @@ object SparkEntry {
           translate(col("text"), " ", "\n").as("text")),
         "doc_id", "text", budgetChars = 100)
         .orderBy("doc_id", "chunk_id")),
+    // duplicate-passage excision (ExactSubstr at line granularity): the
+    // corpus (with its planted whole-doc copies and copy+extra-line
+    // near-dups) is dumped once and DuckDB independently re-derives
+    // EVERYTHING — line split, 8-line window sha256s, blank-window
+    // exclusion, global first-occurrence winners, covered-line union, and
+    // byte-exact reassembly — no Spark-computed intermediate is trusted
+    "q_passage_dedup" -> ((s, dir) => {
+      val base = CorpusGen.files(s, 2500L).toDF()
+        .select(xxhash64(col("repo"), col("path"), col("commit"),
+          col("content")).as("id"), col("content").as("text"))
+      val aux = s"$OracleAuxDir/passage_docs"
+      base.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.dedup.Dedup.passageDedup(s.read.parquet(aux), "id", "text", k = 8)
+        .select(col("id"), col("text"), col("n_lines"), col("n_dropped"))
+        .orderBy("id")
+    }),
     // repo-context packing: training documents assembled per repo in
     // (path, commit) order under the replayable prefix rule
     // (floor(exclusive cum chars / budget)); the RANGED skew-safe plan is
@@ -582,6 +600,23 @@ object SparkEntry {
       graft.text.RepoPack.packByRepoRanged(s.read.parquet(aux),
         budgetChars = 2000)
         .orderBy("repo", "pack_id")
+    }),
+    // training-shard layout: deterministic global shuffle (hash order) +
+    // size-balanced cut — shard = floor(exclusive cum weight / shardBytes).
+    // The (hash, weight) decision set is dumped and DuckDB replays the
+    // rule as ONE global window; Spark's answer comes from the bucketed
+    // prefix sum — so the oracle cross-checks the distributed plan against
+    // the single-window semantics AND the engines against each other.
+    "q_shards" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val aux = s"$OracleAuxDir/shard_hash"
+      docs.select(col("doc_id"), col("n_chars"),
+        graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.output.Shards.assignShards(docs, shardBytes = 50000L,
+        weight = col("n_chars"), tieCols = Seq("doc_id"), seed = 7L)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("shard_id"))
+        .orderBy("doc_id")
     }),
     // trained quality classifier: labels come from the heuristic band
     // score (the classifier learns to mimic it — the CCNet-style setup);
@@ -1539,6 +1574,56 @@ object SparkEntry {
            CAST(sum(length(line)) AS BIGINT) AS n_chars
          FROM cum GROUP BY 1, 2
          ORDER BY doc_id, chunk_id""",
+    // duplicate-passage excision: full independent re-derivation — lines,
+    // 8-line window sha256s (DuckDB's own sha256 over the identical
+    // UTF-8 window text), blank-window exclusion, first-occurrence
+    // winners, covered-line union, reassembly + counts
+    "q_passage_dedup" ->
+      """WITH docs AS (
+           SELECT CAST(id AS BIGINT) AS id, text
+           FROM read_parquet('/tmp/graft_oracle_aux/passage_docs/*.parquet')),
+         lines AS (
+           SELECT id, generate_subscripts(ls, 1) - 1 AS pos,
+             unnest(ls) AS line
+           FROM (SELECT id, str_split(text, chr(10)) AS ls FROM docs)),
+         n AS (SELECT id, count(*) AS nl FROM lines GROUP BY id),
+         wins AS (
+           SELECT l.id, l.pos,
+             sha256(string_agg(l2.line, chr(10) ORDER BY l2.pos)) AS h,
+             max(CASE WHEN regexp_matches(l2.line, '\S')
+               THEN 1 ELSE 0 END) AS has_content
+           FROM lines l
+           JOIN n ON n.id = l.id
+           JOIN lines l2 ON l2.id = l.id
+             AND l2.pos BETWEEN l.pos AND l.pos + 7
+           WHERE l.pos <= n.nl - 8
+           GROUP BY l.id, l.pos),
+         ranked AS (
+           SELECT id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM wins WHERE has_content = 1),
+         losers AS (SELECT id, pos FROM ranked WHERE c > 1 AND rn > 1),
+         covered AS (
+           SELECT DISTINCT id, cpos FROM (
+             SELECT id, pos + unnest(range(8)) AS cpos FROM losers)),
+         kept AS (
+           SELECT l.id, l.pos, l.line
+           FROM lines l LEFT JOIN covered c
+             ON c.id = l.id AND c.cpos = l.pos
+           WHERE c.id IS NULL),
+         agg_kept AS (
+           SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text2
+           FROM kept GROUP BY id),
+         agg_cov AS (SELECT id, count(*) AS nd FROM covered GROUP BY id)
+         SELECT d.id, coalesce(a.text2, '') AS text,
+           CAST(n.nl AS BIGINT) AS n_lines,
+           CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dropped
+         FROM docs d
+         JOIN n ON n.id = d.id
+         LEFT JOIN agg_kept a ON a.id = d.id
+         LEFT JOIN agg_cov c ON c.id = d.id
+         ORDER BY d.id""",
     // repo-context packing: the identical prefix rule replayed over the
     // deduped dump — exclusive running character sum per repo in
     // (path, commit) order, integer-divided by the budget, then ordered
@@ -1591,6 +1676,20 @@ object SparkEntry {
                AND 1 PRECEDING), 0) AS c
            FROM src)
          SELECT doc_id, lang FROM cum WHERE c < 8000 ORDER BY doc_id""",
+    // training-shard layout: the identical prefix rule as one global
+    // window over the dumped (hash, weight) set — exclusive running sum
+    // in hash order, integer-divided by the shard size
+    "q_shards" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars, h
+           FROM read_parquet('/tmp/graft_oracle_aux/shard_hash/*.parquet')),
+         cum AS (
+           SELECT doc_id,
+             coalesce(sum(n_chars) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+           FROM src)
+         SELECT doc_id, CAST(c // 50000 AS BIGINT) AS shard_id
+         FROM cum ORDER BY doc_id""",
     "q_sample_quota" ->
       """WITH ranked AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

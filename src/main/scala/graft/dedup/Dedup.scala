@@ -612,6 +612,94 @@ object Dedup {
       .drop("__id", "__drop")
   }
 
+  // ---- duplicate-passage excision (ExactSubstr at line granularity) -------
+
+  /** ExactSubstr-style duplicate-PASSAGE removal (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"), adapted
+    * to line-window granularity for code-shaped corpora: every run of `k`
+    * consecutive lines that occurs more than once in the corpus survives
+    * only at its globally FIRST occurrence (min (id, startLine)); every
+    * other occurrence's lines are excised and the documents reassembled in
+    * order. The original operates on byte-level suffixes via a corpus
+    * suffix array — a structure Spark cannot build without a superlinear
+    * global sort — so this trades granularity for linearity: any duplicated
+    * passage of ≥ k lines is caught in full (its covering k-windows all
+    * repeat and their covered-line sets union to the passage), passages
+    * shorter than k lines are left alone. That cutoff is the FEATURE for
+    * code: single duplicated lines (`}`, `import os`) are legitimate
+    * everywhere, which is exactly why line-level [[paragraphDedup]] is too
+    * aggressive on source text.
+    *
+    * All-whitespace windows never dedup (they carry shape, not content,
+    * and a corpus-wide blank group would gut every file past the first).
+    * Self-repetition collapses too: a block repeated inside one document
+    * keeps only its first occurrence — the windowed form of Gopher's
+    * duplicate-paragraph signal, but excising instead of dropping the doc.
+    *
+    * Scale design mirrors [[paragraphDedup]]: the duplicate-detection
+    * shuffle carries only (sha256, id, pos) — never window text — and only
+    * hashes with >1 occurrence enter the loser join (merge-hinted: both
+    * sides are corpus-derived, static stats would mis-broadcast). Window
+    * hashing is map-side and linear in k × content. Rebuild joins the
+    * per-doc loser-start arrays back (broadcast while sparse,
+    * shuffle-hash beyond [[BroadcastCandPairs]]) and re-splits content in
+    * a codegen projection — no posexplode→regroup of text.
+    *
+    * Returns the input columns with `textCol` rewritten plus
+    * `n_lines`/`n_dropped`. Pure function of the dataset. Non-null
+    * `textCol` and unique `idCol` assumed.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, s"window k=$k must be positive")
+    val lines = split(col(textCol), "\n", -1)
+    // sequence(0, n) DESCENDS when n < 0 — guard short docs to an empty
+    // index array instead
+    val idxs = when(size(lines) >= k, sequence(lit(0), size(lines) - k))
+      .otherwise(array().cast("array<int>"))
+    val windows = filter(
+      transform(idxs, i => struct(i.as("pos"),
+        concat_ws("\n", slice(lines, i + 1, lit(k))).as("w"))),
+      s => s.getField("w").rlike("\\S"))
+    // cached: feeds BOTH the winner aggregation and the loser join —
+    // (id, pos, sha) tuples only, ~80 B/window, never the text
+    val keys = graft.util.Caches.track(df
+      .select(col(idCol).cast("long").as("__id"), explode(windows).as("__s"))
+      .select(col("__id"), col("__s").getField("pos").as("__pos"),
+        sha2(col("__s").getField("w").cast("binary"), 256).as("__h")))
+    val firsts = keys.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    val losers = keys.hint("merge").join(firsts, Seq("__h"))
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .select(col("__id"), col("__pos"))
+    val dropStarts = graft.util.Caches.track(
+      losers.groupBy(col("__id"))
+        .agg(sort_array(collect_list(col("__pos"))).as("__starts")))
+    val nDrop = dropStarts.count()
+    val small = nDrop <= BroadcastCandPairs
+    graft.util.Diag.put("passagededup.docs_with_drops", nDrop)
+    graft.util.Diag.put("passagededup.rebuild_path",
+      if (small) "broadcast" else "shuffle_hash")
+    val joined = df.join(
+      if (small) broadcast(dropStarts) else dropStarts.hint("shuffle_hash"),
+      col(idCol).cast("long") === col("__id"), "left")
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    // covered lines = union of the loser windows [start, start+k) — starts
+    // never exceed nLines-k, so coverage stays in range and its size is
+    // exactly the number of excised lines
+    val covered = array_distinct(flatten(
+      transform(starts, s0 => sequence(s0, s0 + k - 1))))
+    val kept = filter(lines, (_, i) => !array_contains(covered, i))
+    joined
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_dropped", size(covered).cast("long"))
+      .withColumn(textCol, concat_ws("\n", kept))
+      .drop("__id", "__starts")
+  }
+
   // ---- fork detection (repo-overlap pairs) --------------------------------
 
   /** Cross-repo fork detection for code corpora: repo pairs whose DISTINCT

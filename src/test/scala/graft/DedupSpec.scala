@@ -306,6 +306,66 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.release()
   }
 
+  // ---- duplicate-passage excision (ExactSubstr at line granularity) -------
+
+  test("passage dedup: first occurrence survives, loser passage excised") {
+    val P = Seq("p1 alpha", "p2 beta", "p3 gamma")
+    val d0 = ("head0" +: P :+ "tail0").mkString("\n") // P at lines 1..3
+    val d1 = (Seq("u1 one", "u2 two") ++ P :+ "u3 three").mkString("\n")
+    val d2 = "short\ndoc" // fewer than k lines → untouched
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("id", "text")
+    val out = Dedup.passageDedup(docs, "id", "text", k = 3)
+      .select("id", "text", "n_lines", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, d0, 5L, 0L))) // winner keeps everything
+    assert(out(1) === ((1L, "u1 one\nu2 two\nu3 three", 6L, 3L)))
+    assert(out(2) === ((2L, d2, 2L, 0L)))
+    graft.util.Caches.release()
+  }
+
+  test("passage dedup: in-document repetition collapses to first block") {
+    // a 2-line block repeated 3× — the overlapping loser windows' covered
+    // sets union to everything past the first occurrence
+    val docs = Seq((7L, "b1\nb2\nb1\nb2\nb1\nb2")).toDF("id", "text")
+    val out = Dedup.passageDedup(docs, "id", "text", k = 2)
+      .select("text", "n_lines", "n_dropped")
+      .as[(String, Long, Long)].head()
+    assert(out === (("b1\nb2", 6L, 4L)))
+    graft.util.Caches.release()
+  }
+
+  test("passage dedup: all-blank windows never dedup, reassembly is exact") {
+    val blanks = "\n\n\n\n" // 5 empty lines — identical across docs
+    val docs = Seq((0L, blanks), (1L, blanks + "\nx unique")).toDF("id", "text")
+    val out = Dedup.passageDedup(docs, "id", "text", k = 3)
+      .select("id", "text", "n_dropped")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, blanks, 0L))) // byte-identical round trip
+    assert(out(1) === ((1L, blanks + "\nx unique", 0L)))
+    graft.util.Caches.release()
+  }
+
+  test("passage dedup is partition-layout independent") {
+    // NOT idempotence: excision creates new line adjacencies, so a second
+    // pass can legitimately find fresh k-windows (true of byte-level
+    // ExactSubstr too) — purity is the invariant, not a fixpoint
+    import graft.corpus.CorpusGen
+    val files = CorpusGen.files(spark, 400L).toDF()
+      .selectExpr("cast(hash(repo, path, commit, content) as long) as id",
+        "content as text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.passageDedup(d, "id", "text", k = 4)
+        .select("id", "text", "n_dropped")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val a = run(files.repartition(1)); graft.util.Caches.release()
+    val b = run(files.repartition(13)); graft.util.Caches.release()
+    assert(a === b)
+    // generated code repeats whole blocks (planted copies) — something
+    // must excise
+    assert(a.map(_._3).sum > 0L)
+  }
+
   // ---- fork detection ------------------------------------------------------
 
   test("fork pairs: planted fork found, low-overlap pairs excluded") {
