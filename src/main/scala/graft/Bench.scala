@@ -347,6 +347,12 @@ object Bench {
     // tiny scaling budget for a stress-only invocation
     val stressJson: String =
       if (stressN > 0) {
+        // which shots to run: hour-scale wall per shot at n=30M, so a run
+        // can focus on a subset (comma list) and the results merge into
+        // the recorded file across invocations
+        val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRESS_ONLY",
+          "pipeline,neardup,paradedup,passagededup")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSet
         def shot(f: SparkSession => Long): (Double, Map[String, String]) = {
           val s = session(cpus)
           try {
@@ -357,22 +363,57 @@ object Bench {
               graft.util.Diag.snapshot())
           } finally s.stop()
         }
-        val (tpP, _) = shot(s =>
-          Runner.runInMemory(s, stressN, partitions = 4 * cpus,
-            includeDedup = true))
-        val (tpNd, ndDiag) = shot(s =>
-          Runner.runInMemory(s, stressN, partitions = 4 * cpus,
-            includeDedup = true, nearDup = nearDupCfg))
-        val (tpPd, pdDiag) = shot(s => paraDedupShot(s, stressN, 4 * cpus))
-        val (tpPs, psDiag) = shot(s => passageDedupShot(s, stressN, 4 * cpus))
-        val j =
-          f"""{"rows":$stressN,"pipeline_dedup_files_per_sec":$tpP%.1f,""" +
-            f""""neardup_files_per_sec":$tpNd%.1f,""" +
-            f""""neardup_diag":${mapJson(ndDiag)},""" +
-            f""""paradedup_files_per_sec":$tpPd%.1f,""" +
-            f""""paradedup_diag":${mapJson(pdDiag)},""" +
-            f""""passagededup_files_per_sec":$tpPs%.1f,""" +
-            f""""passagededup_diag":${mapJson(psDiag)}}"""
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        if (only("pipeline")) {
+          val (tpP, _) = shot(s =>
+            Runner.runInMemory(s, stressN, partitions = 4 * cpus,
+              includeDedup = true))
+          parts += s""""pipeline_rows":$stressN"""
+          parts += f""""pipeline_dedup_files_per_sec":$tpP%.1f"""
+        }
+        if (only("neardup")) {
+          val (tpNd, ndDiag) = shot(s =>
+            Runner.runInMemory(s, stressN, partitions = 4 * cpus,
+              includeDedup = true, nearDup = nearDupCfg))
+          parts += s""""neardup_rows":$stressN"""
+          parts += f""""neardup_files_per_sec":$tpNd%.1f"""
+          parts += f""""neardup_diag":${mapJson(ndDiag)}"""
+        }
+        if (only("paradedup")) {
+          val (tpPd, pdDiag) = shot(s => paraDedupShot(s, stressN, 4 * cpus))
+          parts += s""""paradedup_rows":$stressN"""
+          parts += f""""paradedup_files_per_sec":$tpPd%.1f"""
+          parts += f""""paradedup_diag":${mapJson(pdDiag)}"""
+        }
+        if (only("passagededup")) {
+          val (tpPs, psDiag) = shot(s => passageDedupShot(s, stressN, 4 * cpus))
+          parts += s""""passagededup_rows":$stressN"""
+          parts += f""""passagededup_files_per_sec":$tpPs%.1f"""
+          parts += f""""passagededup_diag":${mapJson(psDiag)}"""
+        }
+        val fresh = parts.mkString("{", ",", "}")
+        // merge into the recorded file: different shots can run at
+        // different n in separate invocations (an hour-scale 30M near-dup
+        // vs a 10M passage series) and the file accumulates all of them —
+        // each shot carries its own <shot>_rows, so merged entries stay
+        // self-describing
+        val j = {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          try {
+            val p = java.nio.file.Paths.get(stressFile)
+            val base =
+              if (java.nio.file.Files.exists(p))
+                om.readTree(java.nio.file.Files.readString(p))
+              else om.createObjectNode()
+            (base, om.readTree(fresh)) match {
+              case (b: com.fasterxml.jackson.databind.node.ObjectNode,
+                    a: com.fasterxml.jackson.databind.node.ObjectNode) =>
+                b.setAll[com.fasterxml.jackson.databind.JsonNode](a)
+                om.writeValueAsString(b)
+              case _ => fresh
+            }
+          } catch { case scala.util.control.NonFatal(_) => fresh }
+        }
         try java.nio.file.Files.writeString(java.nio.file.Paths.get(stressFile), j)
         catch { case _: java.io.IOException => () }
         j

@@ -188,6 +188,45 @@ object SparkEntry {
         .select(col("keep_id"), col("dup_cnt"))
         .orderBy(col("keep_id"))),
 
+    // ---- snapshot-incremental dedup: a new batch probed against a
+    // persisted index of the existing corpus (no old-content re-read).
+    // Batch = exact copies (doc_id%3=0), whitespace-perturbed near copies
+    // (%3=1 — sha differs, shingle set identical), and sha-derived fresh
+    // text (%3=2). The oracle rebuilds the SAME batch with its own string
+    // ops, applies its own exact gate by text equality, and replays the
+    // near-dup decision (hot-bucket caps, band join, signature agreement
+    // >= threshold, min-id match) from the dumped MinHash primitives.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val idxDir = s"$OracleAuxDir/inc_index"
+      graft.dedup.Incremental.writeIndex(docs, "id", "text", idxDir)
+      val fresh = concat_ws(" ",
+        sha2(col("text").cast("binary"), 256),
+        sha2(concat(col("text"), lit("x")).cast("binary"), 256),
+        sha2(concat(col("text"), lit("y")).cast("binary"), 256),
+        sha2(concat(col("text"), lit("z")).cast("binary"), 256))
+      val batch = docs.filter(col("id") % 3 === 0)
+        .select((col("id") + 1000000L).as("id"), col("text"))
+        .unionByName(docs.filter(col("id") % 3 === 1)
+          .select((col("id") + 2000000L).as("id"),
+            concat(col("text"), lit("\n\n")).as("text")))
+        .unionByName(docs.filter(col("id") % 3 === 2)
+          .select((col("id") + 3000000L).as("id"), fresh.as("text")))
+      // dump the replay primitives: batch signatures + band buckets, and a
+      // flat copy of the hive-partitioned index band table
+      graft.dedup.Dedup.minHashSignatures(batch, "id", "text")
+        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_sigs")
+      graft.dedup.Dedup.lshBuckets(
+        s.read.parquet(s"$OracleAuxDir/inc_batch_sigs"), "id")
+        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_bands")
+      s.read.parquet(s"$idxDir/bands")
+        .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_idx_bands")
+      graft.dedup.Incremental.probe(batch, "id", "text", idxDir)
+        .orderBy("id")
+    }),
+
     // ---- north-rule pipeline: the verdict frame is dumped to the oracle
     // aux path and BOTH engines aggregate that same parquet — DuckDB
     // independently derives the drop-reason histogram from the arrays
@@ -1181,6 +1220,63 @@ object SparkEntry {
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
          CAST(count(*) AS BIGINT) AS dup_cnt
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // snapshot-incremental dedup: the oracle rebuilds the batch with its
+    // own string ops, applies its own exact gate (text equality vs the
+    // index), and replays the near decision — per-side hot-bucket caps,
+    // band-bucket candidate join, positional signature agreement >= 0.8,
+    // min-id match — over the dumped MinHash primitives
+    "q_dedup_incremental" ->
+      """WITH idx AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+         batch AS (
+           SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, text
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT CAST(doc_id + 2000000 AS BIGINT), text || chr(10) || chr(10)
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT CAST(doc_id + 3000000 AS BIGINT),
+             sha256(text) || ' ' || sha256(text || 'x') || ' ' ||
+             sha256(text || 'y') || ' ' || sha256(text || 'z')
+           FROM documents WHERE doc_id % 3 = 2),
+         ex AS (SELECT b.id, min(i.id) AS m
+                FROM batch b JOIN idx i ON i.text = b.text GROUP BY b.id),
+         bb AS (SELECT CAST(id AS BIGINT) AS id, band, bucket
+                FROM read_parquet('/tmp/graft_oracle_aux/inc_batch_bands/*.parquet')),
+         rem AS (SELECT bb.* FROM bb LEFT JOIN ex ON ex.id = bb.id
+                 WHERE ex.id IS NULL),
+         rok AS (SELECT band, bucket FROM rem GROUP BY band, bucket
+                 HAVING count(*) <= 4096),
+         ib AS (SELECT CAST(id AS BIGINT) AS id, band, bucket
+                FROM read_parquet('/tmp/graft_oracle_aux/inc_idx_bands/*.parquet')),
+         iok AS (SELECT band, bucket FROM ib GROUP BY band, bucket
+                 HAVING count(*) <= 4096),
+         cand AS (SELECT DISTINCT r.id AS id_a, i.id AS id_b
+                  FROM rem r
+                  JOIN rok ON rok.band = r.band AND rok.bucket = r.bucket
+                  JOIN ib i ON i.band = r.band AND i.bucket = r.bucket
+                  JOIN iok ON iok.band = i.band AND iok.bucket = i.bucket),
+         sa AS (SELECT CAST(id AS BIGINT) AS id,
+                  generate_subscripts(sig, 1) AS k, unnest(sig) AS v
+                FROM read_parquet('/tmp/graft_oracle_aux/inc_batch_sigs/*.parquet')),
+         sb AS (SELECT CAST(id AS BIGINT) AS id,
+                  generate_subscripts(sig, 1) AS k, unnest(sig) AS v
+                FROM read_parquet('/tmp/graft_oracle_aux/inc_index/sigs/*.parquet')),
+         agree AS (SELECT c.id_a, c.id_b,
+                     sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS s
+                   FROM cand c
+                   JOIN sa a ON a.id = c.id_a
+                   JOIN sb b ON b.id = c.id_b AND b.k = a.k
+                   GROUP BY c.id_a, c.id_b),
+         nr AS (SELECT id_a AS id, min(id_b) AS m FROM agree
+                WHERE s / 128.0 >= 0.8 GROUP BY id_a)
+         SELECT b.id,
+           CASE WHEN ex.m IS NOT NULL THEN 'exact'
+                WHEN nr.m IS NOT NULL THEN 'neardup' ELSE 'new' END AS status,
+           CAST(coalesce(ex.m, nr.m, -1) AS BIGINT) AS match_id
+         FROM batch b
+         LEFT JOIN ex ON ex.id = b.id
+         LEFT JOIN nr ON nr.id = b.id
+         ORDER BY b.id""",
     // faithful reimplementation of the shingle-Jaccard join: word 3-gram
     // sets, UNCAPPED (matches ngramJaccardPairsPrefix, the exact variant),
     // jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95
