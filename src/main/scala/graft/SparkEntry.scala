@@ -227,6 +227,14 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- column profiling: per-column row/null/distinct counts + native-
+    // type min/max over the documents table, exact mode (the oracle can
+    // replay it); `column` renamed to dodge the reserved word in DuckDB
+    "q_profile" -> ((s, dir) =>
+      graft.checks.Profile.profile(tbl(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .withColumnRenamed("column", "col_name")),
+
     // ---- north-rule pipeline: the verdict frame is dumped to the oracle
     // aux path and BOTH engines aggregate that same parquet — DuckDB
     // independently derives the drop-reason histogram from the arrays
@@ -1277,6 +1285,38 @@ object SparkEntry {
          LEFT JOIN ex ON ex.id = b.id
          LEFT JOIN nr ON nr.id = b.id
          ORDER BY b.id""",
+    // column profiling: exact per-column counts + native-type min/max
+    // (BIGINT→VARCHAR formatting and binary UTF-8 string ordering agree
+    // between the engines)
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_s,
+             CAST(max(doc_id) AS VARCHAR) AS max_s FROM documents
+           UNION ALL
+           SELECT 'text', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(text) AS BIGINT),
+             CAST(count(DISTINCT text) AS BIGINT),
+             min(text), max(text) FROM documents
+           UNION ALL
+           SELECT 'lang', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(lang) AS BIGINT),
+             CAST(count(DISTINCT lang) AS BIGINT),
+             min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(source) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT),
+             min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(n_chars) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT),
+             CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents
+         ) ORDER BY col_name""",
     // faithful reimplementation of the shingle-Jaccard join: word 3-gram
     // sets, UNCAPPED (matches ngramJaccardPairsPrefix, the exact variant),
     // jaccard = |∩| / (|A|+|B|-|∩|) >= 0.95

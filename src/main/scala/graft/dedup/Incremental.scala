@@ -84,6 +84,47 @@ object Incremental {
     graft.util.Caches.release()
   }
 
+  /** Compact the index at `dir` in place. Append-only growth trades write
+    * cost for read amplification: after K appends each index table holds K
+    * generations of small files, and `bands/` rows arrive in append order,
+    * so a probe reads every file of every touched band. Compaction
+    * rewrites each table canonically — `exact/` re-grouped to one row per
+    * distinct content (healing any double-append of the same keeper),
+    * `sigs/` de-duplicated by id, `bands/` made distinct and rewritten
+    * BUCKET-SORTED within each band partition so parquet row-group min/max
+    * stats prune bucket probes — then swaps directories with per-table
+    * filesystem renames (atomic on HDFS/local; run it between probe
+    * batches, like any snapshot maintenance job). Correctness does not
+    * depend on compaction: [[probe]] is a pure function of index CONTENT,
+    * which compaction preserves (IncrementalSpec asserts probe equality
+    * across a compact).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/.compact"
+    spark.read.parquet(s"$dir/exact")
+      .groupBy("h").agg(min("id").as("id"))
+      .write.mode("overwrite").parquet(s"$tmp/exact")
+    spark.read.parquet(s"$dir/sigs").dropDuplicates("id")
+      .write.mode("overwrite").parquet(s"$tmp/sigs")
+    spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("bucket"), col("id")).distinct()
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$tmp/bands")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("exact", "sigs", "bands").foreach { t =>
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$tmp/$t.old")
+      fs.rename(cur, old)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"), cur)) {
+        fs.rename(old, cur) // roll back rather than leave a missing table
+        throw new java.io.IOException(s"compactIndex: swap failed for $dir/$t")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Probe a new batch against the index at `dir`. Returns one row per
     * input id: (idCol, status ∈ {exact, neardup, new}, match_id — the
     * matched index id, -1 for status=new). Pure function of (batch,

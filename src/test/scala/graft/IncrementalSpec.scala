@@ -49,6 +49,50 @@ class IncrementalSpec extends SparkSpec {
     assert(second === Seq((50L, "exact", 50L), (51L, "exact", 51L)))
   }
 
+  test("compactIndex preserves probe results, heals double-appends, " +
+    "shrinks the file count") {
+    val dir = tmp()
+    Incremental.writeIndex(
+      Seq((1L, body("p")), (2L, body("q"))).toDF("id", "text"),
+      "id", "text", dir)
+    // grow the index over several appends, including a contract-violating
+    // DOUBLE append of the same keeper (compaction must heal it)
+    val keeper = Seq((7L, body("r"))).toDF("id", "text")
+    Incremental.appendIndex(keeper, "id", "text", dir)
+    Incremental.appendIndex(keeper, "id", "text", dir)
+    Incremental.appendIndex(Seq((9L, body("s"))).toDF("id", "text"),
+      "id", "text", dir)
+    val batch = Seq((100L, body("p")), (101L, body("r")),
+      (102L, body("nothing like the others"))).toDF("id", "text")
+    def run() = {
+      val r = Incremental.probe(batch, "id", "text", dir)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      graft.util.Caches.release()
+      r
+    }
+    def parquetFiles(sub: String): Int = {
+      val d = new java.io.File(s"$dir/$sub")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(d)
+    }
+    val before = run()
+    val filesBefore = parquetFiles("exact") + parquetFiles("bands")
+    Incremental.compactIndex(spark, dir)
+    val after = run()
+    assert(after === before)
+    assert(after.map(r => (r._1, r._2)) ===
+      Seq((100L, "exact"), (101L, "exact"), (102L, "new"))
+        .map(identity)) // sanity: the planted hits actually hit
+    val filesAfter = parquetFiles("exact") + parquetFiles("bands")
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesAfter vs $filesBefore")
+    // exact/ healed to one row per distinct content
+    val exact = spark.read.parquet(s"$dir/exact")
+    assert(exact.count() === exact.select("h").distinct().count())
+  }
+
   test("probe is partition-layout independent") {
     import graft.corpus.CorpusGen
     val files = CorpusGen.files(spark, 600L).toDF()
