@@ -516,6 +516,59 @@ object SparkEntry {
         .contaminationFlags(docs, "doc_id", "text", bench, "text")
         .orderBy("doc_id")
     }),
+    // exact-substring decontamination (Aho–Corasick over aligned benchmark
+    // chunks) — a TRUE cross-engine oracle with no dumps: needle extraction
+    // is pure Spark SQL (sequence + substr, code-point counting), so DuckDB
+    // re-derives the identical needle set with its own substring arithmetic
+    // and replays every flag with its own contains(). Benchmark = every
+    // 50th document; chunk = 64 chars.
+    "q_decon_substring" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.text.Decontaminate
+        .exactSubstringFlags(docs, "doc_id", "text", bench, "text", chunk = 64)
+        .orderBy("doc_id")
+    }),
+    // repo-level license propagation: license-declaring basenames detected,
+    // per-repo conflict resolved most-restrictive-first, propagated to every
+    // file without its own header. The (repo, path, content) frame is
+    // synthesized deterministically from documents in BOTH engines: repo =
+    // doc_id % 40; doc_id % 10 ∈ {3,7} become license files (two per repo →
+    // conflicts are exercised); every 5th remaining file carries its own
+    // header (file detection must win over propagation).
+    "q_repo_license" -> ((s, dir) => {
+      val lic = Seq(
+        "Licensed under the Apache License, Version 2.0 (the License);",
+        "Permission is hereby granted, free of charge, to any person",
+        "Redistribution and use in source and binary forms, with or without",
+        "under the terms of the GNU Affero General Public License v3",
+        "under the terms of the GNU Lesser General Public License",
+        "under the terms of the GNU General Public License as published",
+        "subject to the terms of the Mozilla Public License, v. 2.0.",
+        "This is free and unencumbered software released into the public domain.")
+      val header = lic.zipWithIndex.foldLeft(lit(""): org.apache.spark.sql.Column) {
+        case (acc, (t, i)) => when(pmod(col("doc_id"), lit(9)) === i,
+          lit("// " + t + "\n")).otherwise(acc)
+      }
+      val m10 = pmod(col("doc_id"), lit(10))
+      val files = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(40)).as("repo"),
+        when(m10 === 7, lit("LICENSE"))
+          .when(m10 === 3, lit("docs/COPYING.md"))
+          .otherwise(concat(lit("src/f"), col("doc_id"), lit(".scala")))
+          .as("path"),
+        when(m10 === 7 || m10 === 3, concat(header, col("text")))
+          .when(pmod(col("doc_id"), lit(5)) === 0, concat(header, col("text")))
+          .otherwise(col("text"))
+          .as("content"))
+      graft.filter.License
+        .effectiveLicenses(files, "repo", "path", "content")
+        .select(col("doc_id"), col("repo"), col("file_license"),
+          col("repo_license"), col("effective_license"),
+          col("effective_category"))
+        .orderBy("doc_id")
+    }),
     // entropy-gated secret detection (truffleHog-style): candidates come
     // from a PLANTED corpus — natural >=20-char runs are stripped first so
     // every remaining candidate has a provable >=0.5-bit margin from its
@@ -1662,6 +1715,88 @@ object SparkEntry {
            coalesce(h.n_hits, 0) >= 1 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY doc_id""",
+    // exact-substring decon: DuckDB re-derives the aligned 64-char needle
+    // chunks with its own (code-point) substring arithmetic and replays
+    // every flag with its own contains() — zero dumped intermediates
+    "q_decon_substring" ->
+      """WITH bench AS (
+           SELECT text FROM documents WHERE doc_id % 50 = 0),
+         n AS (
+           SELECT DISTINCT substring(b.text, CAST(1 + g.k*64 AS BIGINT), 64) AS needle
+           FROM bench b JOIN range(0, 100000) g(k)
+             ON g.k < floor(length(b.text) / 64)),
+         hits AS (
+           SELECT d.doc_id, count(*) AS n_hits
+           FROM documents d JOIN n ON contains(d.text, n.needle)
+           GROUP BY d.doc_id)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY doc_id""",
+    // repo-level license propagation: same synthesized (repo, path,
+    // content) frame, basename probe, detection CASE chain, per-repo
+    // most-restrictive-first resolution, and header-beats-repo coalesce —
+    // all replayed independently
+    "q_repo_license" ->
+      """WITH files AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(doc_id % 40 AS BIGINT) AS repo,
+             CASE CAST(doc_id % 10 AS INT)
+               WHEN 7 THEN 'LICENSE' WHEN 3 THEN 'docs/COPYING.md'
+               ELSE 'src/f' || doc_id || '.scala' END AS path,
+             CASE WHEN doc_id % 10 IN (3, 7) OR doc_id % 5 = 0 THEN
+               CASE CAST(doc_id % 9 AS INT)
+                 WHEN 0 THEN '// Licensed under the Apache License, Version 2.0 (the License);' || chr(10)
+                 WHEN 1 THEN '// Permission is hereby granted, free of charge, to any person' || chr(10)
+                 WHEN 2 THEN '// Redistribution and use in source and binary forms, with or without' || chr(10)
+                 WHEN 3 THEN '// under the terms of the GNU Affero General Public License v3' || chr(10)
+                 WHEN 4 THEN '// under the terms of the GNU Lesser General Public License' || chr(10)
+                 WHEN 5 THEN '// under the terms of the GNU General Public License as published' || chr(10)
+                 WHEN 6 THEN '// subject to the terms of the Mozilla Public License, v. 2.0.' || chr(10)
+                 WHEN 7 THEN '// This is free and unencumbered software released into the public domain.' || chr(10)
+                 ELSE '' END || text
+             ELSE text END AS content
+           FROM documents),
+         det AS (
+           SELECT doc_id, repo, path, CASE
+             WHEN regexp_matches(substring(content,1,4000), '(?i)Licensed under the Apache License,? Version 2\.0') THEN 'apache-2.0'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)Permission is hereby granted, free of charge') THEN 'mit'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)Redistribution and use in source and binary forms') THEN 'bsd'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)GNU Affero General Public License') THEN 'agpl-3.0'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)GNU Lesser General Public License') THEN 'lgpl'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)GNU General Public License') THEN 'gpl'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)Mozilla Public License,? v\.? ?2\.0') THEN 'mpl-2.0'
+             WHEN regexp_matches(substring(content,1,4000), '(?i)This is free and unencumbered software') THEN 'unlicense'
+             ELSE 'unknown' END AS lic
+           FROM files),
+         repo_lic AS (
+           SELECT repo, lic AS repo_license FROM (
+             SELECT repo, lic, row_number() OVER (PARTITION BY repo ORDER BY
+               CASE lic WHEN 'agpl-3.0' THEN 0 WHEN 'gpl' THEN 0
+                 WHEN 'lgpl' THEN 1 WHEN 'mpl-2.0' THEN 1
+                 WHEN 'apache-2.0' THEN 2 WHEN 'mit' THEN 2 WHEN 'bsd' THEN 2
+                 WHEN 'unlicense' THEN 3 ELSE 4 END, lic) AS rn
+             FROM det
+             WHERE lower((string_split(path, '/'))[-1]) IN
+               ('license','license.md','license.txt','copying','copying.md',
+                'copying.txt','unlicense','notice'))
+           WHERE rn = 1)
+         SELECT d.doc_id, d.repo,
+           d.lic AS file_license,
+           coalesce(r.repo_license, 'unknown') AS repo_license,
+           CASE WHEN d.lic <> 'unknown' THEN d.lic
+             ELSE coalesce(r.repo_license, 'unknown') END AS effective_license,
+           CASE CASE WHEN d.lic <> 'unknown' THEN d.lic
+                 ELSE coalesce(r.repo_license, 'unknown') END
+             WHEN 'apache-2.0' THEN 'permissive' WHEN 'mit' THEN 'permissive'
+             WHEN 'bsd' THEN 'permissive' WHEN 'agpl-3.0' THEN 'copyleft'
+             WHEN 'lgpl' THEN 'weak-copyleft' WHEN 'gpl' THEN 'copyleft'
+             WHEN 'mpl-2.0' THEN 'weak-copyleft'
+             WHEN 'unlicense' THEN 'public-domain'
+             ELSE 'unknown' END AS effective_category
+         FROM det d LEFT JOIN repo_lic r ON d.repo = r.repo
+         ORDER BY d.doc_id""",
     "q_sample_rate" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id
          FROM read_parquet('/tmp/graft_oracle_aux/sample_hash/*.parquet')

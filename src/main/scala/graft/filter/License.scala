@@ -1,6 +1,6 @@
 package graft.filter
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** License detection for source-code corpora — the standard code-pipeline
@@ -61,5 +61,80 @@ object License {
     byId.foldRight(lit(Unknown): Column) { case ((id, cat), rest) =>
       when(licenseId === id, lit(cat)).otherwise(rest)
     }
+  }
+
+  // ---- repo-level license propagation -------------------------------------
+
+  /** Basenames that declare a repository's license. Matched
+    * case-insensitively against the path's final `/`-separated segment.
+    */
+  val licenseFileNames: Seq[String] = Seq(
+    "license", "license.md", "license.txt",
+    "copying", "copying.md", "copying.txt",
+    "unlicense", "notice")
+
+  /** Restrictiveness rank for conflict resolution — LOWER is MORE
+    * restrictive. A training pipeline must assume the strictest grant
+    * governs derived use, so a repo carrying several license files (dual
+    * licensing, vendored notices) resolves to the most restrictive
+    * detected one; "unknown" never wins over a detection.
+    */
+  val restrictiveness: Seq[(String, Int)] = Seq(
+    "copyleft" -> 0, "weak-copyleft" -> 1, "permissive" -> 2,
+    "public-domain" -> 3, Unknown -> 4)
+
+  private def rankCol(licenseId: Column): Column =
+    restrictiveness.foldRight(lit(4): Column) { case ((cat, r), rest) =>
+      when(categoryCol(licenseId) === cat, lit(r)).otherwise(rest)
+    }
+
+  /** True when `path`'s basename is a license-declaring file. */
+  def isLicensePathCol(path: Column): Column =
+    lower(element_at(split(path, "/"), -1)).isin(licenseFileNames: _*)
+
+  /** (repo, repo_license): one row per repo that carries at least one
+    * license-declaring file, resolved most-restrictive-first (ties broken
+    * by license id for determinism). The scan prunes to license paths
+    * before any content is touched, so the aggregation input is
+    * #license-files-sized, not corpus-sized.
+    */
+  def repoLicenses(files: DataFrame, repoCol: String, pathCol: String,
+      contentCol: String): DataFrame = {
+    val det = files
+      .filter(isLicensePathCol(col(pathCol)))
+      .select(col(repoCol), detectCol(col(contentCol)).as("__lic"))
+    det
+      .groupBy(col(repoCol))
+      .agg(min(struct(rankCol(col("__lic")).as("r"), col("__lic").as("l")))
+        .as("__m"))
+      .select(col(repoCol), col("__m.l").as("repo_license"))
+  }
+
+  /** Per-file EFFECTIVE license: the file's own detected header when it
+    * has one, else the repo's propagated license, else "unknown" — the
+    * rule code pipelines apply (The Stack's license resolution works the
+    * same way: per-file detection backed by repo-level license files).
+    *
+    * Output = input columns + (file_license, repo_license,
+    * effective_license, effective_category).
+    *
+    * Scale shape: the repo-license side is one SHORT row per repo (id +
+    * license string). It broadcasts by default; at extreme repo counts
+    * (10⁸+) pass broadcastRepos=false and the join shuffles — still
+    * keys-only on the build side, content bytes never shuffle (the probe
+    * side's content stays where it is; only the repo key routes).
+    */
+  def effectiveLicenses(files: DataFrame, repoCol: String, pathCol: String,
+      contentCol: String, broadcastRepos: Boolean = true): DataFrame = {
+    val repos0 = repoLicenses(files, repoCol, pathCol, contentCol)
+    val repos = if (broadcastRepos) broadcast(repos0) else repos0
+    files
+      .withColumn("file_license", detectCol(col(contentCol)))
+      .join(repos, Seq(repoCol), "left")
+      .withColumn("repo_license", coalesce(col("repo_license"), lit(Unknown)))
+      .withColumn("effective_license",
+        when(col("file_license") =!= Unknown, col("file_license"))
+          .otherwise(col("repo_license")))
+      .withColumn("effective_category", categoryCol(col("effective_license")))
   }
 }

@@ -42,4 +42,82 @@ class DecontaminateSpec extends SparkSpec {
       bench, "text", minHits = 1000)
     assert(strict.filter(col("contaminated")).count() === 0)
   }
+
+  // ---- exact-substring decontamination ------------------------------------
+
+  test("benchNeedles: aligned chunks, tail dropped, distinct, code-point counting") {
+    val a = "0123456789abcdefXYZ" // len 19, chunk 8 -> 2 full chunks, tail dropped
+    val b = "0123456789abcdef"    // duplicates a's chunks exactly
+    val got = Decontaminate.benchNeedles(
+      Seq(a, b, "short").toDF("text"), "text", 8)
+      .as[String].collect().sorted
+    assert(got === Array("0123456789abcdef".substring(0, 8),
+      "0123456789abcdef".substring(8, 16)).sorted)
+    // astral chars: Spark substr counts CODE POINTS, not UTF-16 units
+    val emoji = "😀" // U+1F600, one code point, two Java chars
+    val t = emoji + "abcd"     // 5 code points -> one chunk of 4 at chunk=4
+    val got2 = Decontaminate.benchNeedles(Seq(t).toDF("text"), "text", 4)
+      .as[String].collect()
+    assert(got2.toSeq === Seq(emoji + "abc"))
+  }
+
+  test("exactSubstringFlags: aligned-chunk guarantee, distinct hit counts, all docs reported") {
+    val benchDoc = (0 until 16).map(i => f"SEG$i%02d-xxxxxxxx").mkString // 16 chunks of 14 at chunk=14
+    val chunk = 14
+    val docs2 = Seq(
+      // a verbatim >= 2*chunk-1 overlap, deliberately MISALIGNED by 3 chars:
+      // still must contain one aligned full chunk
+      (1L, "zzz" + benchDoc.substring(3, 3 + 2 * chunk) + "zzz"),
+      (2L, "no overlap at all with anything here"),
+      // shorter-than-chunk shared run, unaligned: must NOT flag
+      (3L, "yy" + benchDoc.substring(5, 5 + chunk - 1) + "yy"),
+      (4L, benchDoc), // the benchmark doc itself: every chunk hits, once each
+      (5L, benchDoc.take(chunk) + benchDoc.take(chunk)), // duplicate occurrences, ONE distinct needle
+      (6L, null.asInstanceOf[String]),
+      (7L, "")).toDF("id", "text")
+    val flags = Decontaminate.exactSubstringFlags(docs2, "id", "text",
+      Seq(benchDoc).toDF("text"), "text", chunk = chunk)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(flags.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(flags(1L)._2 && flags(1L)._1 >= 1)
+    assert(flags(2L) === ((0L, false)))
+    assert(flags(3L) === ((0L, false)))
+    assert(flags(4L) === ((16L, true)))
+    assert(flags(5L) === ((1L, true))) // distinct needles, not occurrences
+    assert(flags(6L) === ((0L, false)))
+    assert(flags(7L) === ((0L, false)))
+  }
+
+  test("exactSubstringFlags is partition-layout independent") {
+    val benchDoc = (0 until 16).map(i => f"SEG$i%02d-xxxxxxxx").mkString
+    val many = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) s"pad $benchDoc pad" else s"text $i " * 10))
+      .toDF("id", "text")
+    def run(parts: Int) = Decontaminate.exactSubstringFlags(
+      many.repartition(parts), "id", "text",
+      Seq(benchDoc).toDF("text"), "text", chunk = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(1) === run(13))
+  }
+
+  test("SubstringAutomaton counts equal a plain contains() scan") {
+    val needles = Array("abcd", "bcde", "aaaa", "dddd", "xyzw")
+    val auto = graft.text.SubstringAutomaton.build(needles)
+    val seen = new java.util.BitSet(needles.length)
+    val texts = Seq("abcdef", "aaaaa", "zzabcdezz", "xy", "", "aabcdd",
+      "abcdbcdeaaaaddddxyzw", "dddddddd", "ababab", "aaabcd")
+    texts.foreach { t =>
+      val expected = needles.count(t.contains(_))
+      assert(auto.countDistinctHits(t, seen) === expected, s"text=$t")
+    }
+  }
+
+  test("SubstringAutomaton rejects unequal-length or duplicate needles") {
+    intercept[IllegalArgumentException] {
+      graft.text.SubstringAutomaton.build(Array("ab", "abc"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.SubstringAutomaton.build(Array("ab", "ab"))
+    }
+  }
 }

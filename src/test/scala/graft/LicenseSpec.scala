@@ -52,4 +52,74 @@ class LicenseSpec extends SparkSpec {
       .filter($"expected" =!= $"got").collect()
     assert(bad.isEmpty, bad.mkString(", "))
   }
+
+  // ---- repo-level propagation ----------------------------------------------
+
+  val mitHdr = "Permission is hereby granted, free of charge, to anyone"
+  val gplHdr = "under the terms of the GNU General Public License v3"
+  val apacheHdr = "Licensed under the Apache License, Version 2.0"
+
+  test("isLicensePathCol: basename match, case-insensitive, nested paths") {
+    val paths = Seq(
+      ("LICENSE", true), ("license.md", true), ("sub/dir/COPYING.txt", true),
+      ("License", true), ("NOTICE", true), ("UNLICENSE", true),
+      ("src/main.scala", false), ("licenses/apache.txt", false),
+      ("mylicense", false), ("LICENSE.rst", false))
+    val got = paths.map(_._1).toDF("path")
+      .select($"path", License.isLicensePathCol($"path").as("is"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    paths.foreach { case (p, want) => assert(got(p) === want, p) }
+  }
+
+  test("repoLicenses: most-restrictive detection wins within a repo") {
+    val files = Seq(
+      // repo 1: MIT LICENSE + GPL COPYING -> gpl (copyleft outranks permissive)
+      (1L, "LICENSE", mitHdr),
+      (1L, "COPYING", gplHdr),
+      // repo 2: permissive only
+      (2L, "LICENSE.md", apacheHdr),
+      // repo 3: a license FILE whose content detects nothing
+      (3L, "LICENSE", "all rights reserved, custom terms"),
+      // repo 4: no license files at all
+      (4L, "src/a.c", mitHdr)).toDF("repo", "path", "content")
+    val got = License.repoLicenses(files, "repo", "path", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "gpl", 2L -> "apache-2.0", 3L -> License.Unknown))
+  }
+
+  test("effectiveLicenses: file header beats repo license; repo fills the rest") {
+    val files = Seq(
+      (1L, "LICENSE", gplHdr),
+      (1L, "src/own.c", "/* " + mitHdr + " */\ncode"), // own header wins
+      (1L, "src/plain.c", "int main() {}"),            // inherits gpl
+      (2L, "src/orphan.c", "void f() {}"))             // no repo license
+      .toDF("repo", "path", "content")
+    val got = License.effectiveLicenses(files, "repo", "path", "content")
+      .collect().map(r => r.getAs[String]("path") ->
+        ((r.getAs[String]("file_license"), r.getAs[String]("repo_license"),
+          r.getAs[String]("effective_license"),
+          r.getAs[String]("effective_category")))).toMap
+    assert(got("src/own.c") === (("mit", "gpl", "mit", "permissive")))
+    assert(got("src/plain.c") === ((License.Unknown, "gpl", "gpl", "copyleft")))
+    assert(got("LICENSE") === (("gpl", "gpl", "gpl", "copyleft")))
+    assert(got("src/orphan.c") ===
+      ((License.Unknown, License.Unknown, License.Unknown, License.Unknown)))
+  }
+
+  test("effectiveLicenses broadcast and shuffle join paths agree") {
+    val files = (1L to 100L).map { i =>
+      val repo = i % 10
+      val path = if (i % 10 == 0) "LICENSE" else s"src/f$i.c"
+      val content =
+        if (i % 10 == 0) (if (repo % 2 == 0) gplHdr else mitHdr)
+        else if (i % 7 == 0) apacheHdr + "\ncode"
+        else s"code $i"
+      (repo, path, content)
+    }.toDF("repo", "path", "content")
+    def run(b: Boolean) = License
+      .effectiveLicenses(files, "repo", "path", "content", broadcastRepos = b)
+      .select("repo", "path", "effective_license").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(run(true) === run(false))
+  }
 }
