@@ -435,6 +435,43 @@ object SparkEntry {
         cents, nprobe = 4)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
+    // SemDeDup (Abbas et al. 2023): ids 0..9 gain two planted variants —
+    // an exact copy (+2000000) and a first-element-perturbed copy
+    // (+3000000, cos ≈ 0.9998 to the original) — forming 3-member
+    // semantic-duplicate groups with wide margins around eps=0.995 (the
+    // fixture's max NATURAL pairwise cosine is ~0.51). Spark dumps its
+    // (id, cluster, cent_cos, vector) frame once; DuckDB re-derives the
+    // cluster-local pairs with its own list_cosine_similarity (hot-cluster
+    // cap replayed), re-runs the closure with a recursive CTE, and replays
+    // the farthest-from-centroid representative rule — candidate
+    // generation, grouping, and survivor choice all cross-checked.
+    "q_semdedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 10)
+      val perturbed = planted.select((col("vec_id") + 3000000).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) + lit(0.02f)).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+      val duped = e
+        .unionByName(planted.select((col("vec_id") + 2000000).as("vec_id"),
+          col("embedding")))
+        .unionByName(perturbed)
+      val cents = graft.similarity.Similarity.ivfCentroids(
+        duped, "vec_id", "embedding", k = 8, iters = 2)
+      val aux = s"$OracleAuxDir/semdedup"
+      graft.similarity.Similarity.withCluster(duped, "embedding", cents)
+        .withColumn("cent_cos",
+          graft.similarity.Similarity.centroidCosine(col("embedding"), cents))
+        .select(col("vec_id").cast("bigint").as("vec_id"),
+          col("__cluster").as("cluster"), col("cent_cos"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.similarity.Similarity.semDedup(duped, "vec_id", "embedding",
+        cents, eps = 0.995, maxCluster = 4096)
+        .select(col("vec_id").cast("bigint").as("vec_id"), col("cluster"),
+          col("lbl").cast("bigint").as("lbl"), col("kept"))
+        .orderBy("vec_id")
+    }),
     "q_embed_norms" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -764,6 +801,27 @@ object SparkEntry {
         budget = 8000L, weight = col("n_chars"), tieCols = Seq("doc_id"),
         seed = 13L)
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    // CCNet-style per-language perplexity tiers (head/middle/tail): the
+    // range-bucketed distributed rank must assign the EXACT tier a single
+    // global window assigns — the (id, lang, ppl) decision frame is dumped
+    // once and DuckDB replays the rule as one row_number window per
+    // language over the identical parquet doubles
+    "q_ppl_tiers" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val scored = docs.as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, text) =>
+          (id, lang, graft.filter.Perplexity.score(text))
+        }).toDF("doc_id", "lang", "ppl")
+      val aux = s"$OracleAuxDir/ppl_tiers"
+      scored.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.sampling.Sampling.quantileTiers(s.read.parquet(aux), Seq("lang"),
+        col("ppl"), tieCols = Seq("doc_id"), tiers = 3)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          col("tier"))
         .orderBy("doc_id")
     }),
     // Gopher-style repetition signals (duplicate-line stats + boilerplate
@@ -1511,6 +1569,35 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS id_a,
          CAST(doc_id + 1000000 AS BIGINT) AS id_b
          FROM documents ORDER BY id_a""",
+    "q_semdedup" ->
+      """WITH RECURSIVE a AS (
+           SELECT CAST(vec_id AS BIGINT) AS id, cluster, cent_cos, v
+           FROM read_parquet('/tmp/graft_oracle_aux/semdedup/*.parquet')),
+         ok AS (SELECT cluster FROM a GROUP BY cluster
+                HAVING count(*) <= 4096),
+         p AS (SELECT x.id AS id_a, y.id AS id_b
+               FROM a x JOIN ok o ON o.cluster = x.cluster
+                        JOIN a y ON y.cluster = x.cluster
+               WHERE x.id < y.id
+                 AND list_cosine_similarity(x.v, y.v) >= 0.995),
+         e AS (SELECT id_a AS src, id_b AS dst FROM p
+               UNION ALL SELECT id_b, id_a FROM p),
+         reach(id, lbl) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+         rep AS (SELECT lbl, id AS rep_id FROM (
+             SELECT c.lbl, c.id,
+               row_number() OVER (PARTITION BY c.lbl
+                 ORDER BY a2.cent_cos ASC, c.id ASC) AS rn
+             FROM comp c JOIN a a2 ON a2.id = c.id)
+           WHERE rn = 1)
+         SELECT a.id AS vec_id, a.cluster, c.lbl AS lbl,
+           (c.lbl IS NULL OR a.id = r.rep_id) AS kept
+         FROM a LEFT JOIN comp c ON c.id = a.id
+                LEFT JOIN rep r ON r.lbl = c.lbl
+         ORDER BY vec_id""",
     "q_neardup_losers" ->
       """WITH RECURSIVE p AS (
            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
@@ -1947,6 +2034,22 @@ object SparkEntry {
                AND 1 PRECEDING), 0) AS c
            FROM src)
          SELECT doc_id, lang FROM cum WHERE c < 8000 ORDER BY doc_id""",
+    // per-language perplexity tiers: the identical rank rule as ONE global
+    // window per language over the dumped (doc_id, lang, ppl) doubles —
+    // 0-based row_number in (ppl, doc_id) order, times tiers, integer-
+    // divided by the stratum size
+    "q_ppl_tiers" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, ppl
+           FROM read_parquet('/tmp/graft_oracle_aux/ppl_tiers/*.parquet')),
+         r AS (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ppl ASC, doc_id ASC) - 1 AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM src)
+         SELECT doc_id, lang, CAST((rk * 3) // n AS INT) AS tier
+         FROM r ORDER BY doc_id""",
     // training-shard layout: the identical prefix rule as one global
     // window over the dumped (hash, weight) set — exclusive running sum
     // in hash order, integer-divided by the shard size

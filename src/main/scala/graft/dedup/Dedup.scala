@@ -474,20 +474,7 @@ object Dedup {
     if (nPairs == 0) return df
     val losers: DataFrame =
       if (nPairs <= collectPairs) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x // path compression
-          while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-          r
-        }
-        edgeList.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { // min-id root ⇒ survivor = component min, same as label propagation
-            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-          }
-        }
+        val (parent, find) = driverUnionFind(edgeList)
         // snapshot keys before the sweep: find() compresses paths (mutates
         // the map), which would CME a live forEach. Every non-root node has
         // a parent entry (it got one the moment it lost a union), so the
@@ -499,44 +486,123 @@ object Dedup {
         var i = 0
         while (i < ids.length) { if (find(ids(i)) != ids(i)) out += ids(i); i += 1 }
         broadcast(out.result().toDF(idCol))
-      } else {
-        // lineage-truncating materialization (see scaladoc)
-        val reliable = spark.sparkContext.getCheckpointDir.isDefined
-        def snap(d: DataFrame): DataFrame =
-          if (reliable) d.checkpoint(eager = true) else d.localCheckpoint(eager = true)
-        val edges = snap(
-          edgeList.toDF("src", "dst")
-            .unionByName(edgeList.toDF("dst", "src").select("src", "dst")))
-        var labels = snap(edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")))
-        // decimal, not long: a sum of 64-bit ids can overflow
-        def lblSum(l: DataFrame): java.math.BigDecimal = {
-          val r = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-          if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-        }
-        var prevSum = lblSum(labels)
-        var it = 0
-        var converged = false
-        while (!converged && it < maxIters) {
-          val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-            .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
-          val next = snap(
-            labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-              .select(labels("id"),
-                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
-          val nextSum = lblSum(next)
-          converged = nextSum.compareTo(prevSum) == 0
-          prevSum = nextSum
-          labels = next
-          it += 1
-        }
-        if (!converged)
-          System.err.println(s"[Dedup] WARN: survivorsFromPairsTransitive hit " +
-            s"maxIters=$maxIters before the label fixpoint — a component with " +
-            s"diameter > $maxIters may keep more than one survivor; raise maxIters")
-        labels.filter(col("lbl") =!= col("id")).select(col("id").as(idCol))
-      }
+      } else
+        labelPropagation(edgeList, maxIters)
+          .filter(col("lbl") =!= col("id")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Driver-side union-find with path compression over an ids-only edge
+    * list (id_a, id_b). Returns the parent map and a `find` closure (which
+    * MUTATES the map — snapshot keys before sweeping). Union is by MIN
+    * ROOT, so every component's root is its min id — the same labeling the
+    * distributed path converges to.
+    */
+  private def driverUnionFind(edgeList: DataFrame): (java.util.HashMap[Long, Long], Long => Long) = {
+    val spark = edgeList.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edgeList.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-id root ⇒ survivor = component min, same as label propagation
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    (parent, find)
+  }
+
+  /** Distributed min-label propagation over an ids-only edge list; returns
+    * (id, lbl) for every participant, lbl = component min id at the
+    * fixpoint. Each generation is lineage-TRUNCATED (see
+    * [[survivorsFromPairsTransitive]] scaladoc for why: the uncut plan
+    * references its predecessor twice, so Catalyst analysis grows
+    * 2^rounds).
+    */
+  private def labelPropagation(edgeList: DataFrame, maxIters: Int): DataFrame = {
+    val spark = edgeList.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def snap(d: DataFrame): DataFrame =
+      if (reliable) d.checkpoint(eager = true) else d.localCheckpoint(eager = true)
+    val edges = snap(
+      edgeList.toDF("src", "dst")
+        .unionByName(edgeList.toDF("dst", "src").select("src", "dst")))
+    var labels = snap(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
+    // decimal, not long: a sum of 64-bit ids can overflow
+    def lblSum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = snap(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      it += 1
+    }
+    if (!converged)
+      System.err.println(s"[Dedup] WARN: label propagation hit " +
+        s"maxIters=$maxIters before the label fixpoint — a component with " +
+        s"diameter > $maxIters may keep more than one survivor; raise maxIters")
+    labels
+  }
+
+  /** Connected-component labels for the ids of a pair graph: (id, lbl),
+    * lbl = the component's MIN id. The general form of
+    * [[survivorsFromPairsTransitive]] (losers there = ids with lbl ≠ id)
+    * for callers that pick a NON-min-id representative per component —
+    * e.g. [[graft.similarity.Similarity.semDedup]]'s
+    * farthest-from-centroid rule. Same two paths, same cutoff: driver
+    * union-find for ≤ `collectPairs` edges, label propagation beyond.
+    * Ids isolated by self-loops may be absent — callers should
+    * `coalesce(lbl, id)` after an outer join.
+    */
+  def componentLabels(pairs: DataFrame, maxIters: Int = 25,
+      collectPairs: Long = DefaultCollectPairs): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeList = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val nPairs = edgeList.count()
+    graft.util.Diag.put("components.pairs", nPairs)
+    graft.util.Diag.put("components.path",
+      if (nPairs == 0) "none"
+      else if (nPairs <= collectPairs) "driver_union_find"
+      else "label_propagation")
+    if (nPairs == 0) return spark.emptyDataset[(Long, Long)].toDF("id", "lbl")
+    if (nPairs <= collectPairs) {
+      val (parent, find) = driverUnionFind(edgeList)
+      val ids = new Array[Long](parent.size)
+      val kit = parent.keySet().iterator(); var ki = 0
+      while (kit.hasNext) { ids(ki) = kit.next(); ki += 1 }
+      val out = Vector.newBuilder[(Long, Long)]
+      val roots = new java.util.HashSet[Long]()
+      var i = 0
+      while (i < ids.length) {
+        val r = find(ids(i))
+        out += ((ids(i), r))
+        roots.add(r)
+        i += 1
+      }
+      val rit = roots.iterator()
+      while (rit.hasNext) { val r = rit.next(); out += ((r, r)) }
+      broadcast(out.result().toDF("id", "lbl"))
+    } else labelPropagation(edgeList, maxIters)
   }
 
   // ---- paragraph-level exact dedup ----------------------------------------

@@ -97,6 +97,51 @@ object NfcNormalize {
   }
 }
 
+/** Order-preserving bucket of a double: the top `bits` of the IEEE-754
+  * bit pattern remapped to a total order (the classic sortable-key flip:
+  * positive values flip the sign bit, negatives flip every bit). Monotone
+  * non-decreasing in Spark's double ordering — -0.0 normalizes to 0.0
+  * (Spark compares them equal) and NaN lands in the top bucket (Spark
+  * sorts NaN greatest) — so the buckets TILE a (value, …) sort order.
+  *
+  * This is the range-partitioning primitive that lets an order-dependent
+  * per-stratum computation (exact rank, prefix sum) decompose into
+  * per-bucket windows + broadcast offsets instead of one reducer per
+  * stratum — see [[graft.sampling.Sampling.rankInStratum]]. Computed
+  * map-side from the value alone: no sampling pass, no skew from a
+  * RangePartitioner's driver-side bounds.
+  */
+case class DoubleSortBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 30, s"bits=$bits outside [1,30]")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sort_bucket"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a double input")
+
+  override def nullSafeEval(input: Any): Any =
+    DoubleSortBucket.bucket(input.asInstanceOf[Double], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DoubleSortBucket.bucket($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleSortBucket =
+    copy(child = newChild)
+}
+
+object DoubleSortBucket {
+  /** Static kernel shared by eval and generated code. */
+  def bucket(x: Double, bits: Int): Int = {
+    val v = if (x == 0.0d) 0.0d else x // -0.0 == 0.0 in Spark's ordering
+    val b = java.lang.Double.doubleToLongBits(v) // canonical NaN → top
+    val key = b ^ ((b >> 63) | java.lang.Long.MIN_VALUE)
+    (key >>> (64 - bits)).toInt
+  }
+}
+
 /** Entropy-gated secret scrubbing kernel — the public secret-scanner
   * technique (truffleHog-style) the fixed-prefix regex families cannot
   * cover: random API keys and tokens have no known prefix, but they DO
@@ -263,6 +308,9 @@ object expressions {
 
   def entropy_count(c: Column, pattern: String, minBits: Double): Column =
     Bridge.column(EntropyGatedCount(Bridge.expression(c), pattern, minBits))
+
+  def double_sort_bucket(c: Column, bits: Int = 8): Column =
+    Bridge.column(DoubleSortBucket(Bridge.expression(c), bits))
 
   /** SQL registration for an existing session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

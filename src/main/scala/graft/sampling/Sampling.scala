@@ -140,6 +140,80 @@ object Sampling {
       .drop("__sh", "__w", "__bk", "__off", "__cum")
   }
 
+  /** EXACT 0-based rank of every row within its stratum under the total
+    * order (`value` asc, `tieCols` asc), plus the stratum size — the
+    * primitive behind quantile bucketing ([[quantileTiers]]) without a
+    * one-reducer-per-stratum global window.
+    *
+    * Scale design — same decomposition as [[tokenBudgetSample]], but the
+    * order is a DATA VALUE, not a uniform hash, so the range bucket must
+    * be monotone in the value itself: bucket = top bits of the IEEE-754
+    * sortable key ([[graft.functions.DoubleSortBucket]], map-side, no
+    * sampling pass). Per-(stratum,bucket) counts roll into broadcast
+    * exclusive offsets; within-bucket `row_number` + offset = the exact
+    * global rank. The expensive window partitions by (stratum, bucket):
+    * a half-the-corpus stratum spreads over 2^bits reducers.
+    *
+    * Unlike a hash order the buckets can be SKEWED (a spike of equal
+    * values lands in one bucket); `bucketBits` trades bucket count
+    * against offset-frame size (default 256 buckets/stratum — the offset
+    * frame stays broadcastable at thousands of strata). Rows where
+    * `value` is NULL rank FIRST (Spark's asc-nulls-first), one more
+    * reason to coalesce or pre-filter nulls when the order must be
+    * engine-portable (SQL engines default to NULLS LAST).
+    */
+  def rankInStratum(df: DataFrame, stratumCols: Seq[String], value: Column,
+      tieCols: Seq[String], rankCol: String = "rank_in_stratum",
+      nCol: String = "n_in_stratum", bucketBits: Int = 8): DataFrame = {
+    // cached: feeds both the bucket-count aggregation and the main
+    // windowed join (caller releases via graft.util.Caches.release())
+    val withV = graft.util.Caches.track(
+      df.withColumn("__v", value.cast("double"))
+        .withColumn("__bk",
+          graft.functions.expressions.double_sort_bucket(col("__v"), bucketBits)))
+    val wS = Window.partitionBy(stratumCols.map(col): _*)
+    val offsets = withV
+      .groupBy((stratumCols.map(col) :+ col("__bk")): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(
+        wS.orderBy(col("__bk").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__bn")).over(wS))
+      .select((stratumCols.map(c => col(c).as(s"__o_$c")) :+
+        col("__bk").as("__o_bk") :+ col("__off") :+ col("__n")): _*)
+    // null-safe stratum keys — a NULL stratum is a legitimate group (see
+    // tokenBudgetSample); __bk is null iff __v is null, same rule applies
+    val joinCond = (stratumCols.map(c => col(c) <=> col(s"__o_$c")) :+
+      (col("__bk") <=> col("__o_bk"))).reduce(_ && _)
+    val wLocal = Window
+      .partitionBy((stratumCols.map(col) :+ col("__bk")): _*)
+      .orderBy(col("__v").asc_nulls_first +: tieCols.map(col(_).asc): _*)
+    withV
+      .join(broadcast(offsets), joinCond)
+      .drop(("__o_bk" +: stratumCols.map(c => s"__o_$c")): _*)
+      .withColumn(rankCol, col("__off") + row_number().over(wLocal) - 1)
+      .withColumnRenamed("__n", nCol)
+      .drop("__v", "__bk", "__off")
+  }
+
+  /** Per-stratum quantile tiers — the published CCNet recipe ("head /
+    * middle / tail by per-language LM perplexity") generalized: tier =
+    * `floor(rank·tiers / n)` under the exact within-stratum rank, so tier
+    * 0 is the best (lowest-value) `1/tiers` of every stratum regardless
+    * of the strata's absolute value ranges. Integer `div` — exact past
+    * the double mantissa at any corpus size.
+    */
+  def quantileTiers(df: DataFrame, stratumCols: Seq[String], value: Column,
+      tieCols: Seq[String], tiers: Int, tierCol: String = "tier",
+      bucketBits: Int = 8): DataFrame = {
+    require(tiers > 0, s"tiers=$tiers must be positive")
+    rankInStratum(df, stratumCols, value, tieCols,
+      rankCol = "__rk", nCol = "__rn_n", bucketBits = bucketBits)
+      .withColumn(tierCol,
+        expr(s"cast((__rk * ${tiers}L) div __rn_n as int)"))
+      .drop("__rk", "__rn_n")
+  }
+
   /** At most `k` rows per stratum, chosen uniformly within the stratum by
     * hash order (ties broken by the tie columns themselves, so the result
     * is total-ordered and deterministic).

@@ -196,6 +196,89 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- SemDeDup — semantic dedup via embedding clusters --------------------
+
+  /** Per-id SemDeDup verdicts (public recipe: Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embeddings, call two documents
+    * semantic duplicates when their cosine ≥ `eps` WITHIN a cluster, and
+    * keep ONE representative per duplicate group — the member with the
+    * LOWEST cosine to its cluster centroid (the paper's choice: retaining
+    * the group's least-typical example preserves more diversity than
+    * keeping the most-central one). Ties break on min id, so the verdict
+    * is a total deterministic function of the input set.
+    *
+    * Returns (id, cluster, cent_cos, lbl, kept): `lbl` = duplicate-group
+    * label (component min id; null for rows in no group), `kept` = false
+    * exactly for non-representative group members.
+    *
+    * Scale shape (the 100 TB concern): clustering makes the candidate
+    * join CLUSTER-LOCAL — the self-join partitions by cluster id, so
+    * cost is Σ cᵢ² over cluster sizes instead of n², and `maxCluster`
+    * caps any cluster the quantizer collapses (mirroring
+    * [[graft.dedup.Dedup.dropHotBuckets]]: an over-cap cluster emits no
+    * pairs — re-run with more centroids rather than letting one cluster
+    * go quadratic). The pair shuffle carries ids only; vectors are
+    * fetched back per surviving candidate via the strategy-pinned
+    * [[graft.dedup.Dedup.fetchPairSides]]; group labels come from the
+    * ids-only closure ([[graft.dedup.Dedup.componentLabels]]).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], eps: Double = 0.95,
+      maxCluster: Int = graft.dedup.Dedup.DefaultMaxBucket): DataFrame = {
+    val assigned = graft.util.Caches.track(
+      withCluster(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+        .withColumn("cent_cos", centroidCosine(col(vecCol), centroids))
+        .select(col(idCol), col("__cluster").as("cluster"), col("cent_cos"),
+          col(vecCol)))
+    val capped = graft.dedup.Dedup.dropHotBuckets(
+      assigned.select(col(idCol), col("cluster")), maxCluster, Seq("cluster"))
+    val l = capped.select(col("cluster"), col(idCol).as("id_a"))
+    val r = capped.select(col("cluster"), col(idCol).as("id_b"))
+    // merge hint on the data-sized self-join sides (see Dedup.minHashPairs)
+    val cand = graft.util.Caches.track(
+      l.hint("merge").join(r, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    val sa = assigned.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val sb = assigned.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    val pairs = graft.util.Caches.track(
+      graft.dedup.Dedup.fetchPairSides(cand, sa, sb)
+        .filter(cosine(col("v_a"), col("v_b")) >= eps)
+        .select("id_a", "id_b"))
+    val labels = graft.dedup.Dedup.componentLabels(pairs)
+    val labeled = assigned.drop(vecCol)
+      .join(labels.withColumnRenamed("id", "__lid"),
+        col(idCol) === col("__lid"), "left")
+      .drop("__lid")
+    // representative per group = argmin (cent_cos, id): ONE ids-only
+    // aggregation over the participant subset (struct min is
+    // lexicographic), never a window partitioned by the mostly-null lbl —
+    // that would funnel every non-participant row into one reducer
+    val reps = labeled.filter(col("lbl").isNotNull)
+      .groupBy(col("lbl").as("__rl"))
+      .agg(min(struct(col("cent_cos"), col(idCol).as("__rid"))).as("__m"))
+      .select(col("__rl"), col("__m").getField("__rid").as("__rep"))
+    labeled.join(reps, col("lbl") === col("__rl"), "left")
+      .withColumn("kept", col("lbl").isNull || col(idCol) === col("__rep"))
+      .drop("__rl", "__rep")
+  }
+
+  /** Cosine of a vector to its NEAREST centroid (argmin by euclidean
+    * distance, consistent with [[withCluster]]'s assignment) — computed as
+    * one codegen projection: element i of the distance-sorted struct array
+    * carries the cosine alongside.
+    */
+  def centroidCosine(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val v = asDouble(vecCol)
+    val entries = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = typedlit(c.toSeq)
+      struct((dot(v, v) - lit(2.0) * dot(v, cc) + dot(cc, cc)).as("d"),
+        lit(i).as("i"), cosine(vecCol, cc).as("cos"))
+    }
+    array_min(array(entries: _*)).getField("cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-LSH-bucket self-join →
     * Hamming prefilter on the full signatures → exact cosine verify.
     *

@@ -177,6 +177,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("componentLabels: lbl = component min id, both paths, all participants") {
+    // chain + star + a pseudo-random graph; labels must agree with the
+    // survivor rule (survivors = ids labeled by themselves) on BOTH the
+    // driver union-find and the distributed label-propagation path
+    val rnd = new java.util.SplittableRandom(11L)
+    val randomPairs = (1 to 150).map { _ =>
+      val a = rnd.nextLong(1L, 201L); val b = rnd.nextLong(1L, 201L)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2)
+    for (pairSet <- Seq(
+        Seq((1L, 3L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L)),
+        randomPairs)) {
+      val pairs = pairSet.toDF("id_a", "id_b")
+      val participants = pairSet.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val viaUF = Dedup.componentLabels(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLP = Dedup.componentLabels(pairs, collectPairs = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaUF === viaLP)
+      assert(viaUF.keySet === participants.toSet, "every participant labeled")
+      // a component's label is a member of the component and its minimum:
+      // every id's label must itself be labeled by itself
+      viaUF.foreach { case (id, lbl) =>
+        assert(lbl <= id && viaUF(lbl) === lbl, s"id=$id lbl=$lbl")
+      }
+      // agreement with the survivor rule
+      val rows = participants.map(i => (i, s"d$i")).toDF("id", "text")
+      val survivors = Dedup.survivorsFromPairsTransitive(rows, "id", pairs)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaUF.filter { case (id, lbl) => id == lbl }.keySet === survivors)
+      graft.util.Caches.release()
+    }
+  }
+
   test("transitive survivors: empty pair set keeps everything") {
     val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -51,6 +51,41 @@ class ExpressionsSpec extends SparkSpec {
     assert(real.count() === 500)
   }
 
+  test("double_sort_bucket: monotone in Spark's double order, edge-safe") {
+    val rnd = new java.util.SplittableRandom(3L)
+    val special = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.MaxValue, Double.MinValue, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NaN, 1e-300, -1e-300)
+    val values = special ++ (1 to 500).map(_ =>
+      rnd.nextDouble() * math.pow(10, rnd.nextInt(-30, 31)) *
+        (if (rnd.nextBoolean()) 1 else -1))
+    val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = df.select(col("v"),
+      expressions.double_sort_bucket(col("v"), 8).as("bk"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1))
+    // buckets are non-decreasing along Spark's double sort order
+    val sorted = df.orderBy(col("v").asc)
+      .select(expressions.double_sort_bucket(col("v"), 8))
+      .collect().map(_.getInt(0))
+    sorted.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1), w.mkString(","))
+    }
+    // -0.0 and 0.0 compare equal in Spark — same bucket
+    assert(expressions_bucket(-0.0) === expressions_bucket(0.0))
+    // NaN sorts greatest — top of the range
+    assert(expressions_bucket(Double.NaN) >= got.map(_._2).max)
+    // negatives below positives
+    assert(expressions_bucket(-1.0) < expressions_bucket(1.0))
+    // Column route == static kernel (codegen/eval share it)
+    got.foreach { case (v, bk) =>
+      assert(bk === graft.functions.DoubleSortBucket.bucket(v, 8), s"v=$v")
+    }
+  }
+
+  private def expressions_bucket(x: Double): Int =
+    graft.functions.DoubleSortBucket.bucket(x, 8)
+
   test("SQL registration: graft_fnv64/graft_winnow callable from SQL") {
     expressions.register(spark)
     docs.createOrReplaceTempView("exprs_docs")

@@ -110,6 +110,65 @@ class SamplingSpec extends SparkSpec {
     assert(byLang.keySet.flatten === Set("py", "go", "sc"))
   }
 
+  test("rankInStratum: bucketed rank == direct global window, any layout") {
+    // duplicate values, negatives, and a skewed stratum — the shapes that
+    // stress the monotone-bucket decomposition and its tie handling
+    val vals = docs.withColumn("v",
+      (pmod(col("id"), lit(97)) - 40).cast("double") / 7.0)
+    val direct = vals.withColumn("__rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(col("v").asc, col("id").asc)) - 1)
+      .select("id", "__rk").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1).toLong)).toMap
+    val got = Sampling.rankInStratum(vals, Seq("lang"), col("v"), Seq("id"))
+    val gotMap = got.select("id", "rank_in_stratum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap === direct)
+    // stratum sizes are exact
+    val ns = got.groupBy("lang").agg(max("rank_in_stratum").as("mx"),
+      min("n_in_stratum").as("n"), count(lit(1)).as("c")).collect()
+    ns.foreach { r => // row = (lang, mx, n, c)
+      assert(r.getLong(2) === r.getLong(3), r.getString(0)) // n == count
+      assert(r.getLong(1) === r.getLong(3) - 1, r.getString(0)) // max rank
+    }
+    // partition-layout independence
+    val re = Sampling.rankInStratum(vals.repartition(17, col("repo")),
+      Seq("lang"), col("v"), Seq("id"))
+      .select("id", "rank_in_stratum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === direct)
+    graft.util.Caches.release()
+  }
+
+  test("quantileTiers: exact per-stratum tertiles, tier sizes within one") {
+    val vals = docs.withColumn("v", pmod(col("id") * 31, lit(1009)).cast("double"))
+    val out = Sampling.quantileTiers(vals, Seq("lang"), col("v"), Seq("id"),
+      tiers = 3)
+    val sizes = out.groupBy("lang", "tier").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every (lang, tier) present, sizes = floor/ceil(n/3)
+    total.foreach { case (lang, n) =>
+      (0 until 3).foreach { t =>
+        val sz = sizes.getOrElse((lang, t), 0L)
+        assert(math.abs(sz - n / 3.0) <= 1.0, s"$lang tier $t size $sz of $n")
+      }
+    }
+    // tier boundaries respect the value order: max(v) of tier t is <= the
+    // min(v) of tier t+1 within every stratum (ties may touch, not cross)
+    val bounds = out.groupBy("lang", "tier")
+      .agg(min("v").as("mn"), max("v").as("mx")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    total.keys.foreach { lang =>
+      (0 until 2).foreach { t =>
+        assert(bounds((lang, t))._2 <= bounds((lang, t + 1))._1,
+          s"$lang tier $t max > tier ${t + 1} min")
+      }
+    }
+    graft.util.Caches.release()
+  }
+
   test("weightedRepeat: floor copies + hash-gated fractional epoch") {
     val w = when(col("lang") === "py", 2.5)
       .when(col("lang") === "go", 0.25).otherwise(1.0)

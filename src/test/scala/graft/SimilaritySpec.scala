@@ -75,6 +75,60 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq)
   }
 
+  test("semDedup: groups collapse to the farthest-from-centroid member") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant 3-member semantic groups for ids 0..4: the original, an exact
+    // copy, and a perturbed copy (cos ≈ 0.9998 — above eps, and with a
+    // strictly different centroid cosine, so the representative rule is
+    // genuinely exercised, not just the tiebreak)
+    val planted = emb.filter(col("vec_id") < 5)
+    val duped = emb
+      .unionByName(planted.select((col("vec_id") + 1000).as("vec_id"),
+        col("embedding")))
+      .unionByName(planted.select((col("vec_id") + 2000).as("vec_id"),
+        concat(array((element_at(col("embedding"), 1) + lit(0.02f))
+          .cast("float")), slice(col("embedding"), 2, 63)).as("embedding")))
+    val cents = Similarity.ivfCentroids(duped, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val out = Similarity.semDedup(duped, "vec_id", "embedding", cents,
+      eps = 0.995).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toMap
+    graft.util.Caches.release()
+    (0L until 5L).foreach { i =>
+      val members = Seq(i, i + 1000, i + 2000)
+      // all three share one group label = min id = i
+      members.foreach { m =>
+        assert(out(m)._1.contains(i), s"member $m of group $i")
+      }
+      // exactly one representative survives per group
+      assert(members.count(m => out(m)._2) === 1, s"group $i")
+    }
+    // everything ungrouped is kept with a null label
+    val ungrouped = out.filter { case (_, (lbl, _)) => lbl.isEmpty }
+    assert(ungrouped.nonEmpty && ungrouped.values.forall(_._2))
+    // the representative rule: argmin (cent_cos, id) — replay it from the
+    // same centroids via an independent per-member centroid cosine
+    val cc = Similarity.withCluster(duped, "embedding", cents)
+      .withColumn("cent_cos",
+        Similarity.centroidCosine(col("embedding"), cents))
+      .select("vec_id", "cent_cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 5L).foreach { i =>
+      val members = Seq(i, i + 1000, i + 2000)
+      val expectedRep = members.minBy(m => (cc(m), m))
+      assert(out(expectedRep)._2 === true, s"group $i rep $expectedRep")
+    }
+    // deterministic at any input layout
+    val re = Similarity.semDedup(duped.repartition(7, col("vec_id")),
+      "vec_id", "embedding", cents, eps = 0.995).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toMap
+    graft.util.Caches.release()
+    assert(re === out)
+  }
+
   test("cosine column matches plain-Scala computation on real data") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(20).collect()
