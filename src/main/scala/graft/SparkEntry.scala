@@ -803,6 +803,38 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // corpus-level boilerplate lines (C4/RefinedWeb cleaning step): a
+    // footer line is planted on EVERY document and a nav line on every
+    // third, so the heavy-hitter threshold, the short-line exclusion, and
+    // the deterministic ordering are all exercised. The exploded
+    // (id, pos, line) frame is dumped once; DuckDB re-derives the lexicon
+    // (count DISTINCT docs per line ≥ 100, trimmed length ≥ 4) and — for
+    // q_boilerplate — replays the removal + reassembly per document.
+    "q_boilerplate_lex" -> ((s, dir) => {
+      val docs = boilerDocs(s, dir)
+      val aux = s"$OracleAuxDir/boiler_lines"
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.Boilerplate.frequentLines(docs, "doc_id", "text",
+        minDocs = 100L)
+    }),
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = boilerDocs(s, dir)
+      // same dump as q_boilerplate_lex (deterministic content, either
+      // order): queries must not depend on another query having run
+      val aux = s"$OracleAuxDir/boiler_lines"
+      docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      val lex = graft.text.Boilerplate.frequentLines(docs, "doc_id", "text",
+        minDocs = 100L).select("line").collect().map(_.getString(0)).toSeq
+      graft.text.Boilerplate.removeLines(docs, "doc_id", "text", lex)
+        .select(col("doc_id"), col("text"),
+          col("n_lines").cast("bigint").as("n_lines"),
+          col("n_removed").cast("bigint").as("n_removed"))
+        .orderBy("doc_id")
+    }),
     // CCNet-style per-language perplexity tiers (head/middle/tail): the
     // range-bucketed distributed rank must assign the EXACT tier a single
     // global window assigns — the (id, lang, ppl) decision frame is dumped
@@ -1201,6 +1233,16 @@ object SparkEntry {
       |ORDERS,O_ORDERPRIORITY,4-NOT SPECIFIED
       |ORDERS,O_ORDERPRIORITY,''
       |""".stripMargin
+
+  /** documents with a footer line planted on every row and a nav line on
+    * every third — known corpus-level boilerplate for [[graft.text.Boilerplate]].
+    */
+  private def boilerDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\nSite footer boilerplate: all rights reserved."),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nHome | About | Contact")).otherwise(lit(""))).as("text"))
 
   /** documents ∪ (documents with shifted ids) — every doc gains exactly one
     * exact near-dup, giving dedup queries a known answer set.
@@ -2034,6 +2076,34 @@ object SparkEntry {
                AND 1 PRECEDING), 0) AS c
            FROM src)
          SELECT doc_id, lang FROM cum WHERE c < 8000 ORDER BY doc_id""",
+    // boilerplate lexicon: distinct-document heavy hitters re-derived from
+    // the dumped (id, pos, line) frame by line TEXT (Spark counted by
+    // 64-bit line hash — a collision would surface here as a mismatch)
+    "q_boilerplate_lex" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS id, line
+           FROM read_parquet('/tmp/graft_oracle_aux/boiler_lines/*.parquet')),
+         c AS (SELECT line, count(DISTINCT id) AS n_docs FROM src
+               WHERE length(trim(line)) >= 4 GROUP BY line)
+         SELECT line, n_docs FROM c WHERE n_docs >= 100
+         ORDER BY n_docs DESC, line LIMIT 1000""",
+    // boilerplate removal: lexicon re-derived as above, then every document
+    // reassembled (kept lines in pos order) with exact line/removal counts
+    "q_boilerplate" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, line
+           FROM read_parquet('/tmp/graft_oracle_aux/boiler_lines/*.parquet')),
+         c AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM src
+               WHERE length(trim(line)) >= 4 GROUP BY line),
+         lex AS (SELECT line FROM c WHERE n_docs >= 100
+                 ORDER BY n_docs DESC, line LIMIT 1000)
+         SELECT s.doc_id,
+           coalesce(string_agg(CASE WHEN l.line IS NULL THEN s.line END,
+             chr(10) ORDER BY s.pos), '') AS text,
+           count(*) AS n_lines,
+           count(l.line) AS n_removed
+         FROM src s LEFT JOIN lex l ON l.line = s.line
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
     // per-language perplexity tiers: the identical rank rule as ONE global
     // window per language over the dumped (doc_id, lang, ppl) doubles —
     // 0-based row_number in (ppl, doc_id) order, times tiers, integer-

@@ -86,6 +86,34 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("boilerplate: frequent lines found, short lines immune, removal exact") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      val nav = if (i % 2 == 0) "\nHome | About" else ""
+      (i, s"unique line $i$nav\nAll rights reserved.\n}\nbody $i")
+    }.toDF("id", "text")
+    val lex = graft.text.Boilerplate.frequentLines(docs, "id", "text",
+      minDocs = 20L).collect().map(r => r.getString(0) -> r.getLong(1))
+    // ordered (n_docs desc, line asc); "}" excluded by trimmed length < 4
+    assert(lex.toSeq === Seq("All rights reserved." -> 60L, "Home | About" -> 30L))
+    val cleaned = graft.text.Boilerplate.removeLines(docs, "id", "text",
+      lex.map(_._1).toIndexedSeq)
+    val byId = cleaned.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(byId(1L) === (("unique line 1\n}\nbody 1", 4, 1)))
+    assert(byId(2L) === (("unique line 2\n}\nbody 2", 5, 2)))
+    // layout independence of the lexicon (hash-count pass shuffles)
+    val lex2 = graft.text.Boilerplate.frequentLines(docs.repartition(7),
+      "id", "text", minDocs = 20L).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(lex2.toSeq === lex.toSeq)
+    // removing everything leaves the empty document, counts intact
+    val gutted = graft.text.Boilerplate.removeLines(
+      Seq((9L, "a b c d")).toDF("id", "text"), "id", "text", Seq("a b c d"))
+      .collect().head
+    assert(gutted.getString(1) === "" && gutted.getInt(3) === 1)
+  }
+
   test("media: synth is deterministic; stub decode features are stable") {
     val m1 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
     val m2 = Media.synth(spark, 200L).collect().sortBy(_.media_id)
