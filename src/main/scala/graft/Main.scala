@@ -7,14 +7,16 @@ import graft.runner.Runner
 /** spark-submit entry point with two modes:
   *
   *   graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]
-  *              [--decontaminate=<parquet>]
+  *              [--decontaminate=<parquet>] [--boilerplate[=minDocs]]
   *     — run (or resume) the quality-filter pipeline over a deterministic
   *       synthetic corpus and print a run report; --near-dup adds the
   *       transitive MinHash near-duplicate stage after exact dedup;
   *       --clf-gate distills a quality classifier from the run's own
   *       verdicts and drops kept rows scoring below t (default 0.5);
   *       --decontaminate drops kept rows colliding with the eval set in
-  *       the given parquet (a `text` column) on 8-gram shingles.
+  *       the given parquet (a `text` column) on 8-gram shingles;
+  *       --boilerplate removes lines shared by >= minDocs kept documents
+  *       from every document (rows left blank drop as boilerplate_only).
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -30,7 +32,7 @@ object Main {
     if (args.length < 2) {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
-          "[--clf-gate[=t]] [--decontaminate=<parquet>]\n" +
+          "[--clf-gate[=t]] [--decontaminate=<parquet>] [--boilerplate[=minDocs]]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -46,7 +48,7 @@ object Main {
     if (positional.length < 2) {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
-          "[--clf-gate[=t]] [--decontaminate=<parquet>]")
+          "[--clf-gate[=t]] [--decontaminate=<parquet>] [--boilerplate[=minDocs]]")
       sys.exit(2)
     }
     val nearDup =
@@ -66,6 +68,19 @@ object Main {
           case _ =>
             System.err.println(
               s"--clf-gate threshold must be a number in (0,1), got: $f")
+            sys.exit(2)
+        }
+    }
+    // --boilerplate[=minDocs]: remove lines shared by >= minDocs kept
+    // documents (default 1000) everywhere; gutted rows drop
+    val boiler = flags.collectFirst {
+      case "--boilerplate" => Runner.BoilerplateConfig(minDocs = 1000L)
+      case f if f.startsWith("--boilerplate=") =>
+        f.stripPrefix("--boilerplate=").toLongOption match {
+          case Some(m) if m > 1 => Runner.BoilerplateConfig(minDocs = m)
+          case _ =>
+            System.err.println(
+              s"--boilerplate minDocs must be an integer > 1, got: $f")
             sys.exit(2)
         }
     }
@@ -102,7 +117,7 @@ object Main {
       Runner.DeconConfig(spark.read.parquet(p)))
     val report = Runner.run(spark, CorpusGen.files(spark, n),
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
-      classifierGate = clfGate, decontaminate = decon)
+      classifierGate = clfGate, decontaminate = decon, boilerplate = boiler)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -115,6 +130,9 @@ object Main {
     }
     report.lineage.filter(_.stage == "dedup").foreach { l =>
       println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "boilerplate").foreach { l =>
+      println(f"[graft]   boiler=${l.ruleId}%-13s dropped=${l.violations}")
     }
     report.lineage.filter(_.stage == "decontaminate").foreach { l =>
       println(f"[graft]   decon=${l.ruleId}%-14s dropped=${l.violations}")

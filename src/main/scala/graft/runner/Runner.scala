@@ -44,6 +44,14 @@ object Runner {
     }
   }
 
+  /** Opt-in corpus-boilerplate removal stage config (C4-style): lines in
+    * at least `minDocs` distinct kept documents are removed everywhere.
+    */
+  final case class BoilerplateConfig(
+      minDocs: Long,
+      maxLines: Int = 1000,
+      minTrimmedLen: Int = 4)
+
   /** Run (or resume) the pipeline. Stages:
     *   1. "annotated" — scored + rule-annotated frame (the expensive pass)
     *   2. "verdicts"  — narrowed keep/drop output (the published dataset)
@@ -67,6 +75,10 @@ object Runner {
         * before the classifier gate): kept rows colliding with the eval
         * set's n-gram shingles flip to "decontaminated" */
       decontaminate: Option[DeconConfig] = None,
+      /** opt-in corpus-boilerplate removal after the dedup stages (and
+        * before decontamination): lines shared by ≥ minDocs kept documents
+        * are removed everywhere; gutted rows flip to "boilerplate_only" */
+      boilerplate: Option[BoilerplateConfig] = None,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -78,7 +90,7 @@ object Runner {
     // the nearDup branch entirely) — the run config is sealed into the
     // store on first run and every resume must match it
     guardRunConfig(store, workDir,
-      renderRunConfig(nearDup, classifierGate, decontaminate))
+      renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -100,12 +112,21 @@ object Runner {
             val staged = stage("verdicts_exact")(exact)
             QualityPipeline.dedupNearDup(staged.as[FileVerdict], mh).toDF()
         }
-        val decond = decontaminate match {
+        val boiled = boilerplate match {
           case None => deduped
+          case Some(bp) =>
+            // materialize pre-boiler: the stage consumes its input twice
+            // (lexicon pass + rewrite)
+            val staged = stage("verdicts_preboiler")(deduped)
+            QualityPipeline.removeBoilerplate(staged.as[FileVerdict],
+              bp.minDocs, bp.maxLines, bp.minTrimmedLen).toDF()
+        }
+        val decond = decontaminate match {
+          case None => boiled
           case Some(dc) =>
             // materialize pre-decon: the stage consumes its input twice
             // (shingle probe + final join)
-            val staged = stage("verdicts_predecon")(deduped)
+            val staged = stage("verdicts_predecon")(boiled)
             QualityPipeline.decontaminate(staged.as[FileVerdict],
               dc.benchmark, dc.textCol, dc.n, dc.minHits).toDF()
         }
@@ -151,12 +172,16 @@ object Runner {
       "coalesce(sum(case when array_contains(dropReasons,'clf_low') " +
         "then 1 else 0 end),0) as clf_drops",
       "coalesce(sum(case when array_contains(dropReasons,'decontaminated') " +
-        "then 1 else 0 end),0) as decon_drops").head()
+        "then 1 else 0 end),0) as decon_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'boilerplate_only') " +
+        "then 1 else 0 end),0) as boiler_drops").head()
     val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
         stats.getLong(0), stats.getLong(3), 0L)) ++
+      boilerplate.map(_ => LineageRow(runId, "boilerplate",
+        "boilerplate_only", stats.getLong(0), stats.getLong(6), 0L)) ++
       decontaminate.map(_ => LineageRow(runId, "decontaminate",
         "decontaminated", stats.getLong(0), stats.getLong(5), 0L)) ++
       classifierGate.map(_ => LineageRow(runId, "classifier", "clf_low",
@@ -185,7 +210,8 @@ object Runner {
   private[runner] def renderRunConfig(
       nearDup: Option[graft.dedup.Dedup.MinHashConfig],
       classifierGate: Option[Double] = None,
-      decontaminate: Option[DeconConfig] = None): String = {
+      decontaminate: Option[DeconConfig] = None,
+      boilerplate: Option[BoilerplateConfig] = None): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
@@ -194,7 +220,10 @@ object Runner {
     val cg = classifierGate.fold("clfGate=off")(t => s"clfGate=$t")
     val dc = decontaminate.fold("decon=off")(d =>
       s"decon=ngram(n=${d.n},minHits=${d.minHits},bench=${d.fingerprint})")
-    s"$nd;$cg;$dc;scrub=${graft.filter.Scrub.default.fingerprint}"
+    val bp = boilerplate.fold("boiler=off")(b =>
+      s"boiler=lines(minDocs=${b.minDocs},maxLines=${b.maxLines}," +
+        s"minLen=${b.minTrimmedLen})")
+    s"$nd;$cg;$dc;$bp;scrub=${graft.filter.Scrub.default.fingerprint}"
   }
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
@@ -219,19 +248,25 @@ object Runner {
     val withClf =
       if (stored.contains(";clfGate=")) stored else s"$stored;clfGate=off"
     // absent decon = off = byte-identical behavior (like clfGate); the
-    // field sits BEFORE scrub in the canonical order
+    // field sits BEFORE boiler/scrub in the canonical order
     val withDecon =
       if (withClf.contains(";decon=")) withClf
       else if (withClf.contains(";scrub="))
         withClf.replace(";scrub=", ";decon=off;scrub=")
       else s"$withClf;decon=off"
+    // absent boiler = off = byte-identical behavior; sits BEFORE scrub
+    val withBoiler =
+      if (withDecon.contains(";boiler=")) withDecon
+      else if (withDecon.contains(";scrub="))
+        withDecon.replace(";scrub=", ";boiler=off;scrub=")
+      else s"$withDecon;boiler=off"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
-    if (withDecon.contains(";scrub=")) withDecon
-    else s"$withDecon;scrub=$LegacyR3ScrubFp"
+    if (withBoiler.contains(";scrub=")) withBoiler
+    else s"$withBoiler;scrub=$LegacyR3ScrubFp"
   }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,
