@@ -142,6 +142,43 @@ class PlanSpec extends SparkSpec {
     graft.util.Caches.release()
   }
 
+  test("rankInStratum: windows partition by (stratum, bucket); offsets broadcast") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.sampling.Sampling.rankInStratum(
+      tbl("documents"), Seq("lang"), col("n_chars").cast("double"),
+      Seq("doc_id"))
+    val s = plan(out)
+    // the expensive row_number window must include the range bucket in its
+    // partition spec — a stratum-only spec is the one-reducer-per-language
+    // plan the decomposition exists to avoid
+    val rnLines = s.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty, s"no row_number window in plan:\n$s")
+    rnLines.foreach { l =>
+      assert(l.contains("__bk"), s"window not bucket-partitioned: $l")
+    }
+    // the per-bucket offsets frame joins back as a broadcast
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+    graft.util.Caches.release()
+  }
+
+  test("semDedup: cluster self-join is sort-merge, never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+    val cents = graft.similarity.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", k = 4, iters = 1)
+    val out = graft.similarity.Similarity.semDedup(
+      emb, "vec_id", "embedding", cents, eps = 0.995)
+    val s = plan(out)
+    assert(!s.contains("CartesianProduct"), s"cartesian in semDedup:\n$s")
+    graft.util.Caches.release()
+  }
+
+  test("boilerplate removal is map-side: no Exchange in the rewrite plan") {
+    val s = plan(graft.text.Boilerplate.removeLines(
+      tbl("documents"), "doc_id", "text", Seq("a shared line")))
+    assert(!s.contains("Exchange"), s"removal shuffled:\n$s")
+  }
+
   test("fused batch counts: one plan, no cartesian beyond 1-row scalars") {
     val rules = Vector[Rule](
       PkRule("pk", "orders", Seq("o_custkey")),
