@@ -803,6 +803,36 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
         .orderBy("doc_id")
     }),
+    // mojibake repair (ftfy's core case): every document gains a non-ASCII
+    // suffix, the whole text is then DOUBLE-garbled for every 3rd doc and
+    // single-garbled otherwise (UTF-8 bytes re-decoded as cp1252 — the
+    // classic web-crawl defect). The (id, garbled, original) frame is
+    // dumped; the QUERY repairs the garbled column via the codegen
+    // FixMojibake route and the ORACLE asserts it equals the pre-garble
+    // original — i.e. DuckDB checks the repair exactly inverts the damage,
+    // not merely that two Spark routes agree.
+    "q_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val suffixed = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          // – not — : the em-dash's single-garble output carries byte 0x9D
+          // (undefined in cp1252), so it cannot survive the DOUBLE garble
+          // planted on every 3rd doc (see ExpressionsSpec)
+          concat(col("text"), lit(" – café naïve 日本語 ©®")).as("text"))
+      val garbled = suffixed.as[(Long, String)].mapPartitions(_.map {
+        case (id, text) =>
+          def g(x: String): String = new String(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "windows-1252")
+          (id, if (id % 3 == 0) g(g(text)) else g(text), text)
+      }).toDF("doc_id", "garbled", "original")
+      val aux = s"$OracleAuxDir/mojibake"
+      garbled.coalesce(1).write.mode("overwrite").parquet(aux)
+      s.read.parquet(aux)
+        .select(col("doc_id"),
+          graft.functions.expressions.fix_mojibake(col("garbled")).as("fixed"))
+        .orderBy("doc_id")
+    }),
     // corpus-level boilerplate lines (C4/RefinedWeb cleaning step): a
     // footer line is planted on EVERY document and a nav line on every
     // third, so the heavy-hitter threshold, the short-line exclusion, and
@@ -2076,6 +2106,12 @@ object SparkEntry {
                AND 1 PRECEDING), 0) AS c
            FROM src)
          SELECT doc_id, lang FROM cum WHERE c < 8000 ORDER BY doc_id""",
+    // mojibake repair: the codegen fix of the dumped garbled text must
+    // equal the dumped pre-garble original — DuckDB replays the identity
+    "q_mojibake" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, original AS fixed
+         FROM read_parquet('/tmp/graft_oracle_aux/mojibake/*.parquet')
+         ORDER BY doc_id""",
     // boilerplate lexicon: distinct-document heavy hitters re-derived from
     // the dumped (id, pos, line) frame by line TEXT (Spark counted by
     // 64-bit line hash — a collision would surface here as a mismatch)

@@ -97,6 +97,103 @@ object NfcNormalize {
   }
 }
 
+/** Mojibake repair kernel — the published ftfy technique's core case:
+  * UTF-8 bytes mistakenly decoded as Windows-1252/Latin-1 ("é" → "Ã©",
+  * "—" → "â€”"), the single most common encoding defect in web crawls.
+  * Repair = re-encode the chars as cp1252 bytes and strictly re-decode as
+  * UTF-8; applied up to `MaxRounds` times (double-mojibake exists in the
+  * wild). STRICT both ways — any unmappable char or malformed byte
+  * sequence aborts the round and returns the text as-was, so clean text
+  * (pure ASCII fast path included) always passes through untouched and
+  * the repair is idempotent by construction: a successful round's output
+  * either repairs further or stops changing.
+  *
+  * Guard against FALSE repairs (real text that happens to round-trip,
+  * e.g. isolated "Â©"-like sequences in legitimately-mixed content): a
+  * round is accepted only when it does not LENGTHEN the text — true
+  * mojibake always shrinks (multi-char artifacts collapse into one
+  * code point), and an accepted round must also leave fewer suspicious
+  * high-latin chars than it started with.
+  */
+object MojibakeRepair {
+  private val MaxRounds = 2
+
+  private def suspicious(s: String): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // the cp1252 mojibake alphabet: latin-1 supplement + the 0x80-0x9F
+      // punctuation block cp1252 maps into U+2013..U+2122
+      if ((c >= 0x80 && c <= 0xFF) || (c >= 0x2013 && c <= 0x2122)) n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def hasHighByteShape(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // every UTF-8 lead byte for a non-ASCII char decodes (via cp1252/
+      // latin-1) into [0xC2,0xFF] — without one, no repair is possible
+      if (c >= 0xC2 && c <= 0xFF) return true
+      i += 1
+    }
+    false
+  }
+
+  /** One strict cp1252-encode → utf8-decode round; null when not cleanly
+    * round-trippable.
+    */
+  private def round(s: String): String = {
+    val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
+      dec.decode(bytes).toString
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  def fix(s: String): String = {
+    if (s == null) return null
+    var cur = s
+    var i = 0
+    while (i < MaxRounds && hasHighByteShape(cur)) {
+      val next = round(cur)
+      if (next == null || next.length > cur.length ||
+        suspicious(next) >= suspicious(cur)) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+}
+
+/** [[MojibakeRepair.fix]] as a codegen'd expression: string → string. */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_mojibake"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      MojibakeRepair.fix(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.MojibakeRepair.fix($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibake =
+    copy(child = newChild)
+}
+
 /** Order-preserving bucket of a double: the top `bits` of the IEEE-754
   * bit pattern remapped to a total order (the classic sortable-key flip:
   * positive values flip the sign bit, negatives flip every bit). Monotone
@@ -312,6 +409,9 @@ object expressions {
   def double_sort_bucket(c: Column, bits: Int = 8): Column =
     Bridge.column(DoubleSortBucket(Bridge.expression(c), bits))
 
+  def fix_mojibake(c: Column): Column =
+    Bridge.column(FixMojibake(Bridge.expression(c)))
+
   /** SQL registration for an existing session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -323,6 +423,8 @@ object expressions {
       es => Fnv64(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fix_mojibake",
+      es => FixMojibake(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_entropy_scrub",
       es => EntropyGatedScrub(es.head, es(1).eval().toString,
         es(2).eval().toString, es(3).eval().toString.toDouble), "built-in")
@@ -353,6 +455,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (es: Seq[Expression]) => FixMojibake(es.head)))
     e.injectFunction((
       new FunctionIdentifier("graft_entropy_scrub"),
       new ExpressionInfo(classOf[EntropyGatedScrub].getName, "graft_entropy_scrub"),

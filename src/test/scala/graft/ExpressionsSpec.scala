@@ -51,6 +51,50 @@ class ExpressionsSpec extends SparkSpec {
     assert(real.count() === 500)
   }
 
+  test("fix_mojibake: repairs single and double cp1252 mojibake, leaves clean text") {
+    def garble(s: String): String = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    // fixture chars avoid UTF-8 bytes undefined in cp1252 (0x81/0x8D/0x8F/
+    // 0x90/0x9D — e.g. の is E3 81 AE): a crawl garbling THOSE replaces the
+    // byte with U+FFFD, i.e. destroys information no repair can recover
+    val samples = Seq(
+      "café — naïve résumé ©®",
+      "日本語テキスト",
+      "mixed: ASCII + éèê + 中文",
+      "quotes “smart and ‘single’ – dashes") // ” is E2 80 9D — 0x9D again
+    samples.foreach { s =>
+      assert(graft.functions.MojibakeRepair.fix(garble(s)) === s, s"single: $s")
+      // already-clean text passes through untouched (no false repair)
+      assert(graft.functions.MojibakeRepair.fix(s) === s, s"clean: $s")
+    }
+    // DOUBLE garble additionally requires the single-garble OUTPUT to
+    // re-encode to cp1252-defined bytes: — garbles to â€” whose ” is
+    // E2 80 9D → byte 0x9D undefined — destroyed at the second level, so
+    // no repair can exist. Use byte-safe chars here.
+    val doubleSafe = Seq("café naïve résumé ©®", "日本語テキスト", "éèê 中文 – ok")
+    doubleSafe.foreach { s =>
+      assert(graft.functions.MojibakeRepair.fix(garble(garble(s))) === s,
+        s"double: $s")
+    }
+    assert(graft.functions.MojibakeRepair.fix("pure ascii text") ===
+      "pure ascii text")
+    assert(graft.functions.MojibakeRepair.fix("") === "")
+    assert(graft.functions.MojibakeRepair.fix(null) === null)
+    // repaired output is a fixpoint for these shapes
+    samples.foreach { s =>
+      val once = graft.functions.MojibakeRepair.fix(garble(s))
+      assert(graft.functions.MojibakeRepair.fix(once) === once)
+    }
+    // Column route (codegen) == static kernel
+    val df = samples.zipWithIndex
+      .map { case (s, i) => (i.toLong, garble(s)) }.toDF("id", "g")
+    val got = df.select($"id", expressions.fix_mojibake($"g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) === s)
+    }
+  }
+
   test("double_sort_bucket: monotone in Spark's double order, edge-safe") {
     val rnd = new java.util.SplittableRandom(3L)
     val special = Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
