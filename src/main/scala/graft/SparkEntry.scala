@@ -1110,6 +1110,98 @@ object SparkEntry {
       val aux = s"$OracleAuxDir/wav_params"
       params.coalesce(1).write.mode("overwrite").parquet(aux)
       graft.multimodal.Media.audioStats(media).toDF().orderBy("media_id")
+    }),
+
+    // ---- URL hygiene (C4/CCNet/RefinedWeb front door) ----------------------
+    // the messy-URL fixture (scheme case, userinfo, default vs explicit
+    // ports, tracking params, fragments, 2-level public suffixes) is dumped
+    // once; the QUERY normalizes via the codegen Column chain and the
+    // oracle replays the whole normalization + eTLD+1 rule in DuckDB SQL —
+    // any semantic drift between the two regex engines hash-mismatches
+    "q_url_normalize" -> ((s, dir) => {
+      val urls = urlFixture(s, dir)
+      val aux = s"$OracleAuxDir/urls"
+      urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.UrlFilter.withUrlColumns(s.read.parquet(aux), "url")
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("url_norm"), col("url_host"), col("url_domain"))
+        .orderBy("doc_id")
+    }),
+    // blocklist drop: the oracle re-derives the registrable domain from the
+    // RAW url and applies NOT IN independently
+    "q_url_filter" -> ((s, dir) => {
+      val urls = urlFixture(s, dir)
+      val aux = s"$OracleAuxDir/urls"
+      urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.UrlFilter.blocklistFilter(s.read.parquet(aux), "url",
+        UrlBlocklist)
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // exact-URL dedup: ~10 docs per normalized URL by construction (the
+    // variety selector is doc_id%50; the differing parts are all tracking
+    // params / fragments that normalization strips); winner = hash-order
+    // minimum, replayed in DuckDB over the dumped (doc_id, url, h)
+    "q_url_dedup" -> ((s, dir) => {
+      val urls = urlDedupFixture(s, dir)
+      val aux = s"$OracleAuxDir/urls_dedup"
+      urls.select(col("doc_id"), col("url"),
+        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.UrlFilter.dedupByUrl(urls, "url", Seq("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // per-domain cap (two-phase salted quota under the hood): DuckDB
+    // re-derives the domain from the raw url AND replays the hash-order
+    // rank, checking the whole composition
+    "q_domain_cap" -> ((s, dir) => {
+      val urls = urlFixture(s, dir)
+      val aux = s"$OracleAuxDir/urls_cap"
+      urls.select(col("doc_id"), col("url"),
+        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.UrlFilter.perDomainCap(urls, "url", k = 5,
+        tieCols = Seq("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- distribution drift between snapshots ------------------------------
+    // PSI over n_chars: baseline = even docs, current = odd docs with a
+    // planted +40 shift; the oracle computes the identical eps-floored
+    // bucket shares and ln terms straight from the documents table — no
+    // aux dump, the strongest oracle form
+    "q_drift_psi" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("n_chars").cast("double").as("v"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("n_chars") + lit(40)).cast("double").as("v"))
+      graft.checks.Drift.psiByBucket(base, cur, col("v"), DriftBounds)
+        .select(col("bucket").cast("bigint").as("bucket"),
+          col("base_cnt").cast("bigint").as("base_cnt"),
+          col("cur_cnt").cast("bigint").as("cur_cnt"),
+          round(col("psi_term"), 6).as("psi_term6"))
+        .orderBy("bucket")
+    }),
+    // categorical drift on lang: every 7th current doc is relabeled 'xx'
+    // (a language that does not exist in the baseline — exercises the
+    // full-outer empty side); shares and deltas replayed exactly
+    "q_drift_cat" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val base = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("lang"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(when(pmod(col("doc_id"), lit(7)) === 1, lit("xx"))
+          .otherwise(col("lang")).as("lang"))
+      graft.checks.Drift.categoricalDrift(base, cur, col("lang"))
+        .select(col("key"),
+          col("base_cnt").cast("bigint").as("base_cnt"),
+          col("cur_cnt").cast("bigint").as("cur_cnt"),
+          round(col("base_share"), 6).as("base_share6"),
+          round(col("cur_share"), 6).as("cur_share6"),
+          round(col("share_delta"), 6).as("share_delta6"))
+        .orderBy("key")
     }))
 
   /** Location where queries dump engine-synthesized inputs so the driver's
@@ -1139,6 +1231,72 @@ object SparkEntry {
     val duped = emb.select(col("vec_id"), col("embedding"))
       .unionByName(copies.select(col("vec_id"), col("embedding")))
     (duped, q)
+  }
+
+  /** Registrable domains dropped by q_url_filter — covers both a 2-label
+    * domain and one under a two-level public suffix (so the blocklist
+    * probe exercises the eTLD+1 derivation, not just a host suffix match).
+    */
+  private val UrlBlocklist: Seq[String] = Seq("spam.example", "badsite.co.uk")
+
+  /** PSI bucket boundaries for q_drift_psi over documents.n_chars
+    * (observed range ≈ 48..553 at every SF — the generator's length model
+    * is SF-independent); the planted +40 shift moves mass across several
+    * of these edges.
+    */
+  private val DriftBounds: Seq[Double] = Seq(100, 200, 300, 400, 500)
+
+  /** Deterministic messy-URL corpus over documents.doc_id: independent
+    * modular selectors compose scheme case / absent scheme, userinfo,
+    * default vs explicit ports, IP and single-label and two-level-suffix
+    * hosts (incl. the blocklisted pair), mixed-case hosts/paths, tracking
+    * params in leading/trailing/middle query positions, and fragments —
+    * every branch of [[graft.text.UrlFilter.normalizeUrl]] is hit by
+    * construction.
+    */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def m(k: Int) = pmod(id, lit(k))
+    val scheme = when(m(4) === 0, "http://").when(m(4) === 1, "HTTPS://")
+      .when(m(4) === 2, "").otherwise("HtTp://")
+    val user = when(m(5) === 0, "user:pw@").otherwise("")
+    val hostC = when(m(7) === 0, "www.Example.COM")
+      .when(m(7) === 1, "news.BBC.co.uk")
+      .when(m(7) === 2, "spam.example")
+      .when(m(7) === 3, "media.badsite.co.uk")
+      .when(m(7) === 4, "192.168.0.1")
+      .when(m(7) === 5, "intranet")
+      .otherwise("a.b.example.org")
+    val port = when(m(6) === 0, ":80").when(m(6) === 1, ":443")
+      .when(m(6) === 2, ":8080").otherwise("")
+    val path = when(m(3) === 0, "").when(m(3) === 1, "/path/to/Page")
+      .otherwise("/search")
+    val query = when(m(8) === 0, concat(lit("?utm_source=feed&id="), id))
+      .when(m(8) === 1, concat(lit("?id="), id, lit("&gclid=CLICK")))
+      .when(m(8) === 2, lit("?fbclid=zz"))
+      .when(m(8) === 3, lit("?utm_campaign=a&utm_medium=b"))
+      .when(m(8) === 4, lit("?a=1&utm_term=x&b=2"))
+      .otherwise(lit(""))
+    val frag = when(m(2) === 0, concat(lit("#sec-"), id)).otherwise(lit(""))
+    tbl(s, dir, "documents").select(id,
+      concat(scheme, user, hostC, port, path, query, frag).as("url"))
+  }
+
+  /** URL-dedup corpus: 50 canonical pages (doc_id % 50), each reached by
+    * ~10 raw variants whose differences are ALL normalization-invisible
+    * (tracking params, fragments, host case) — so exact-URL dedup must
+    * keep exactly one hash-order winner per page.
+    */
+  private def urlDedupFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val junk = when(pmod(id, lit(3)) === 0,
+        concat(lit("?utm_source=s"), id))
+      .when(pmod(id, lit(3)) === 1,
+        concat(lit("?gclid=g"), id, lit("#frag")))
+      .otherwise(concat(lit("#sec-"), id))
+    tbl(s, dir, "documents").select(id,
+      concat(lit("http://Site-"), pmod(id, lit(50)),
+        lit(".example.com/page"), junk).as("url"))
   }
 
   /** Sheet content shared by the CSV-directory and native-xlsx gate
@@ -2416,5 +2574,149 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
            epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
          FROM s GROUP BY user_id, sid
-         ORDER BY user_id, first_us""")
+         ORDER BY user_id, first_us""",
+    // full independent replay of normalizeUrl + host + eTLD+1 from the
+    // RAW dumped urls — scheme default/lowercase, userinfo strip,
+    // default-port strip, 4-stage tracking-param removal, empty path → /,
+    // two-level public-suffix rule; any semantic gap between Spark's Java
+    // regex and DuckDB's RE2 reading of the same patterns hash-mismatches
+    "q_url_normalize" ->
+      (s"WITH ${urlNormSql(s"$OracleAuxPathForSql/urls/*.parquet")}" +
+        """ SELECT doc_id, url_norm, url_host, url_domain
+           FROM fin ORDER BY doc_id"""),
+    "q_url_filter" ->
+      (s"WITH ${urlNormSql(s"$OracleAuxPathForSql/urls/*.parquet")}" +
+        s""" SELECT doc_id FROM fin
+           WHERE url_domain NOT IN (${UrlBlocklist.map(d => s"'$d'").mkString(",")})
+           ORDER BY doc_id"""),
+    "q_url_dedup" ->
+      (s"WITH ${urlNormSql(s"$OracleAuxPathForSql/urls_dedup/*.parquet",
+          carry = Seq("h"))}," +
+        """ ranked AS (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY url_norm ORDER BY h, doc_id) AS rn
+             FROM fin)
+           SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+    "q_domain_cap" ->
+      (s"WITH ${urlNormSql(s"$OracleAuxPathForSql/urls_cap/*.parquet",
+          carry = Seq("h"))}," +
+        """ ranked AS (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY url_domain ORDER BY h, doc_id) AS rn
+             FROM fin)
+           SELECT doc_id FROM ranked WHERE rn <= 5 ORDER BY doc_id"""),
+    // PSI decomposition recomputed from the documents table directly (no
+    // aux dump): same bucket rule (count of boundaries ≤ v), same eps
+    // floor, DuckDB's own ln — only the 6-dp round absorbs libm ulps
+    "q_drift_psi" ->
+      """WITH base AS (
+           SELECT len(list_filter([100.0,200.0,300.0,400.0,500.0],
+             b -> CAST(n_chars AS DOUBLE) >= b)) AS bucket,
+             count(*) AS cnt
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         cur AS (
+           SELECT len(list_filter([100.0,200.0,300.0,400.0,500.0],
+             b -> CAST(n_chars + 40 AS DOUBLE) >= b)) AS bucket,
+             count(*) AS cnt
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (
+           SELECT coalesce(base.bucket, cur.bucket) AS bucket,
+             coalesce(base.cnt, 0) AS base_cnt, coalesce(cur.cnt, 0) AS cur_cnt
+           FROM base FULL OUTER JOIN cur ON base.bucket = cur.bucket),
+         t AS (
+           SELECT bucket, base_cnt, cur_cnt,
+             greatest(CAST(base_cnt AS DOUBLE) / sum(base_cnt) OVER (), 1e-6) AS p,
+             greatest(CAST(cur_cnt AS DOUBLE) / sum(cur_cnt) OVER (), 1e-6) AS q
+           FROM j)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(base_cnt AS BIGINT) AS base_cnt,
+           CAST(cur_cnt AS BIGINT) AS cur_cnt,
+           round((p - q) * ln(p / q), 6) AS psi_term6
+         FROM t ORDER BY bucket""",
+    "q_drift_cat" ->
+      """WITH b AS (
+           SELECT lang AS key, count(*) AS cnt
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         c AS (
+           SELECT CASE WHEN doc_id % 7 = 1 THEN 'xx' ELSE lang END AS key,
+             count(*) AS cnt
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (
+           SELECT coalesce(b.key, c.key) AS key,
+             coalesce(b.cnt, 0) AS base_cnt, coalesce(c.cnt, 0) AS cur_cnt
+           FROM b FULL OUTER JOIN c ON b.key = c.key),
+         t AS (
+           SELECT key, base_cnt, cur_cnt,
+             CAST(base_cnt AS DOUBLE) / sum(base_cnt) OVER () AS bs,
+             CAST(cur_cnt AS DOUBLE) / sum(cur_cnt) OVER () AS cs
+           FROM j)
+         SELECT key, CAST(base_cnt AS BIGINT) AS base_cnt,
+           CAST(cur_cnt AS BIGINT) AS cur_cnt,
+           round(bs, 6) AS base_share6, round(cs, 6) AS cur_share6,
+           round(cs - bs, 6) AS share_delta6
+         FROM t ORDER BY key""")
+
+  /** The aux-dump root as it appears inside oracle SQL text. Oracle SQL is
+    * rendered once at Verify time, so the fixed default path (which the
+    * driver's DuckDB reads) is what belongs in the text.
+    */
+  private def OracleAuxPathForSql: String = OracleAuxDir
+
+  /** DuckDB replay of [[graft.text.UrlFilter.normalizeUrl]] / `host` /
+    * `registrableDomain` over a dumped `(doc_id, url[, carry…])` parquet —
+    * the shared front half of the four URL oracles. Ends in a CTE `fin`
+    * with columns (doc_id, carry…, url_norm, url_host, url_domain). The
+    * regex patterns are the SAME strings the Spark expressions compile
+    * (interpolated from [[graft.text.UrlFilter.TrackingParams]] and
+    * [[graft.text.UrlFilter.TwoLevelSuffixes]]) — RE2-compatible by
+    * construction, so both engines must read them identically.
+    */
+  private def urlNormSql(path: String, carry: Seq[String] = Nil): String = {
+    val ks = carry.map(c => s", $c").mkString
+    val T = graft.text.UrlFilter.TrackingParams
+    val suf = graft.text.UrlFilter.TwoLevelSuffixes
+      .map(s => s"'$s'").mkString(",")
+    s"""src AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, trim(url) AS u$ks
+        FROM read_parquet('$path')),
+      s1 AS (SELECT doc_id$ks, regexp_replace(u, '#.*', '') AS nf FROM src),
+      s2 AS (SELECT doc_id$ks, nf,
+          lower(coalesce(nullif(regexp_extract(nf,
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''), 'http')) AS sch,
+          regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM s1),
+      s3 AS (SELECT doc_id$ks, sch, rest,
+          regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+            '^[^/@]*@', '') AS hostraw
+        FROM s2),
+      s4 AS (SELECT doc_id$ks, sch,
+          CASE WHEN sch = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+               WHEN sch = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+               ELSE hostraw END AS hst,
+          regexp_replace(rest, '^[^/?#]*', '') AS pq0
+        FROM s3),
+      s5 AS (SELECT doc_id$ks, sch, hst,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(pq0,
+            '&($T)=[^&]*', '', 'g'),
+            '\\?($T)=[^&]*&', '?', 'g'),
+            '\\?($T)=[^&]*$$', '', 'g'),
+            '[?&]$$', '', 'g') AS pq
+        FROM s4),
+      nrm AS (SELECT doc_id$ks,
+          sch || '://' || hst ||
+            CASE WHEN pq = '' THEN '/' ELSE pq END AS url_norm,
+          regexp_replace(hst, ':[0-9]+$$', '') AS url_host
+        FROM s5),
+      dom AS (SELECT doc_id$ks, url_norm, url_host,
+          regexp_replace(url_host, '\\.$$', '') AS hh
+        FROM nrm),
+      lab AS (SELECT doc_id$ks, url_norm, url_host, hh,
+          str_split(hh, '.') AS ls FROM dom),
+      fin AS (SELECT doc_id$ks, url_norm, url_host,
+          CASE WHEN len(ls) <= 2 OR regexp_matches(hh, '^[0-9.]+$$') THEN hh
+               WHEN array_to_string(ls[-2:], '.') IN ($suf)
+                 THEN array_to_string(ls[-3:], '.')
+               ELSE array_to_string(ls[-2:], '.') END AS url_domain
+        FROM lab)"""
+  }
 }

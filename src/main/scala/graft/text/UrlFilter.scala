@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-crawl corpora — the published C4 / CCNet /
+  * RefinedWeb front-door steps that run BEFORE any content is read:
+  * canonicalize the URL, derive the registrable domain, drop blocklisted
+  * domains, dedup exact URLs, and cap documents per domain so no single
+  * site dominates the mix (RefinedWeb §3.1 "URL filtering"; C4 uses a
+  * domain blocklist; per-domain caps appear in Dolma/FineWeb recipes).
+  *
+  * Everything here is a pure `Column` expression over the URL string —
+  * map-side, whole-stage-codegen, zero shuffle — because at 100 TB these
+  * run on EVERY row before the pipeline earns the right to read content.
+  * The only shuffling member is [[perDomainCap]], which delegates to the
+  * skew-safe two-phase quota (a mega-domain — e.g. one host holding 10 %
+  * of the crawl — spreads over salt buckets instead of one reducer).
+  *
+  * Regex patterns stay inside the RE2-compatible subset (no backrefs, no
+  * lookaround) so the DuckDB oracle replays them verbatim.
+  */
+object UrlFilter {
+
+  /** Query parameters that never change page identity (tracking /
+    * attribution); stripped by [[normalizeUrl]]. Public knowledge — the
+    * standard utm_* family plus the big ad-click ids.
+    */
+  val TrackingParams = "utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid"
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Canonical form of a URL, as one codegen expression chain:
+    *  1. trim; drop the `#fragment`;
+    *  2. lowercase the scheme (absent scheme ⇒ `http`);
+    *  3. lowercase host, drop `user@` info, drop a scheme-default port
+    *     (`:80` for http, `:443` for https);
+    *  4. strip tracking params ([[TrackingParams]]) wherever they sit in
+    *     the query string, then tidy dangling `?`/`&`;
+    *  5. empty path ⇒ `/`.
+    * Param ORDER is preserved (sorting reorders semantics on some sites);
+    * two URLs differing only in param order stay distinct — the content
+    * dedup passes catch those.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(coalesce(
+      nullif(regexp_extract(noFrag, s"^([A-Za-z][A-Za-z0-9+.-]*)://", 1),
+        lit("")),
+      lit("http")))
+    val rest = regexp_replace(noFrag, SchemeRe, "")
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?#]*)", 1)), "^[^/@]*@", "")
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val pathq0 = regexp_replace(rest, "^[^/?#]*", "")
+    // drop &tracker=… anywhere, then a leading ?tracker=…& (promote the
+    // next param), then a lone ?tracker=…, then a dangling ? or &
+    val pathq = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      pathq0,
+      s"&($TrackingParams)=[^&]*", ""),
+      s"\\?($TrackingParams)=[^&]*&", "?"),
+      s"\\?($TrackingParams)=[^&]*$$", ""),
+      "[?&]$", "")
+    concat(scheme, lit("://"), host,
+      when(pathq === "", lit("/")).otherwise(pathq))
+  }
+
+  /** Lowercased host of a URL (userinfo and port stripped) — works on raw
+    * or normalized input.
+    */
+  def host(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(regexp_replace(trim(url), SchemeRe, ""),
+        "^([^/?#]*)", 1)),
+      "^[^/@]*@", ""), ":[0-9]+$", "")
+
+  /** Two-level public suffixes that make the registrable domain three
+    * labels deep (`bbc.co.uk`, not `co.uk`). A bounded excerpt of the
+    * public suffix list — the full list is a runtime config in a real
+    * deployment; the RULE (suffix-set membership decides 2 vs 3 labels)
+    * is what this encodes.
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr",
+    "com.sg", "com.hk", "com.tw", "co.za", "com.pl")
+
+  /** eTLD+1 from a host: the last two labels, or three when the last two
+    * are a [[TwoLevelSuffixes]] member. Pure array expression — no UDF.
+    * IP-literal hosts and single-label hosts pass through unchanged.
+    */
+  def registrableDomain(hostCol: Column): Column = {
+    val h = regexp_replace(hostCol, "\\.$", "")
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(n <= 2 || h.rlike("^[0-9.]+$"), h)
+      .when(n >= 3 && last2.isin(TwoLevelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Normalized URL + host + registrable domain in one projection —
+    * the standard enrichment the other stages key on.
+    */
+  def withUrlColumns(df: DataFrame, urlCol: String,
+      normCol: String = "url_norm", hostCol: String = "url_host",
+      domainCol: String = "url_domain"): DataFrame = {
+    val norm = normalizeUrl(col(urlCol))
+    df.withColumn(normCol, norm)
+      .withColumn(hostCol, host(norm))
+      .withColumn(domainCol, registrableDomain(host(norm)))
+  }
+
+  /** Drop rows whose registrable domain is blocklisted. The blocklist is
+    * a literal `InSet` (codegen hash probe) — bounded by definition (C4's
+    * famous list is ~400k entries; an InSet of that size still broadcasts
+    * in the plan itself). Map-side, zero shuffle.
+    */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val dom = registrableDomain(host(normalizeUrl(col(urlCol))))
+    df.filter(!dom.isin(blockedDomains: _*) || dom.isNull)
+  }
+
+  /** Exact-URL dedup: keep ONE row per normalized URL, the hash-order
+    * minimum (ties by `tieCols`) — deterministic and partition-layout
+    * independent. Shuffles (url_norm, hash, tieCols) only — never content:
+    * the winner set joins back to the full row by the tie columns.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, tieCols: Seq[String],
+      seed: Long = 42L): DataFrame = {
+    val norm = normalizeUrl(col(urlCol))
+    val keyed = df.withColumn("__u", norm)
+      .withColumn("__h", graft.sampling.Sampling.sampleHash(seed,
+        tieCols.map(col)))
+    val winners = keyed
+      .select((col("__u") +: col("__h") +: tieCols.map(col)): _*)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
+          .orderBy(col("__h").asc +: tieCols.map(col(_).asc): _*)))
+      .filter(col("__rn") === 1)
+      .select(tieCols.map(col): _*)
+    df.join(winners, tieCols, "left_semi")
+  }
+
+  /** At most `k` documents per registrable domain, hash-order uniform —
+    * the RefinedWeb/FineWeb per-site cap. Delegates to the two-phase
+    * salted quota: a hot domain spreads over salt buckets in the wide
+    * pass, so no reducer ever sees a whole mega-site.
+    */
+  def perDomainCap(df: DataFrame, urlCol: String, k: Int,
+      tieCols: Seq[String], seed: Long = 42L): DataFrame = {
+    val enriched = df.withColumn("__dom",
+      registrableDomain(host(normalizeUrl(col(urlCol)))))
+    graft.sampling.Sampling.quotaPerStratum(enriched, Seq("__dom"), k,
+      tieCols, seed).drop("__dom")
+  }
+}
