@@ -1202,6 +1202,52 @@ object SparkEntry {
           round(col("cur_share"), 6).as("cur_share6"),
           round(col("share_delta"), 6).as("share_delta6"))
         .orderBy("key")
+    }),
+
+    // ---- code-file quality signals -----------------------------------------
+    // the constructed corpus (comment families, xml prologs, digit/hex
+    // blobs, comment-density bands, the empty doc) is dumped once; the
+    // QUERY computes every count and the keep verdict via the codegen
+    // Columns, and DuckDB independently recomputes ALL of them from the
+    // raw text — line split, marker probes, token split, char classes,
+    // and the full verdict composition
+    "q_code_stats" -> ((s, dir) => {
+      val docs = codeFixture(s, dir)
+      val aux = s"$OracleAuxDir/code_docs"
+      docs.coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.CodeStats.withCodeStats(s.read.parquet(aux), "text")
+        .withColumn("keep", graft.text.CodeStats.codeKeepVerdict)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("n_lines"), col("n_comment_lines"), col("max_line_len"),
+          col("n_tokens"), col("n_alpha_tokens"),
+          col("n_digit_chars"), col("n_hex_chars"),
+          col("has_xml_head").cast("int").as("xml_head"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+    // entropy is replayed TRULY cross-engine (DuckDB char split +
+    // frequency + -Σ p·log2 p straight from the documents table); deflate
+    // has no independent engine in-sandbox, so it uses the dual-route
+    // pattern (typed mapPartitions dump vs codegen Expression query —
+    // same contract as q_fingerprints)
+    "q_text_signals" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val typed = docs.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, graft.functions.DeflateHelper.deflatedSizeBytes(
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        })
+        .toDF("doc_id", "deflate_size")
+      val aux = s"$OracleAuxDir/deflate"
+      typed.coalesce(1).write.mode("overwrite").parquet(aux)
+      docs.select(col("doc_id").cast("bigint").as("doc_id"),
+        round(graft.functions.expressions.char_entropy(col("text")), 6)
+          .as("entropy6"),
+        graft.functions.expressions.deflate_size(col("text"))
+          .as("deflate_size"))
+        .orderBy("doc_id")
     }))
 
   /** Location where queries dump engine-synthesized inputs so the driver's
@@ -1297,6 +1343,38 @@ object SparkEntry {
     tbl(s, dir, "documents").select(id,
       concat(lit("http://Site-"), pmod(id, lit(50)),
         lit(".example.com/page"), junk).as("url"))
+  }
+
+  /** Code-corpus fixture for q_code_stats: modular selectors plant every
+    * branch of [[graft.text.CodeStats]] — all five comment-marker
+    * families, an XML prolog in the head, digit- and hex-dominant bodies
+    * (the data-file drops), ≥10-line bodies on both sides of the
+    * comment-density band, a 300-char line, and the empty document.
+    */
+  private def codeFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def m(k: Int) = pmod(id, lit(k))
+    val comments = when(m(5) === 0, lit("\n// c comment\n// another one"))
+      .when(m(5) === 1, lit("\n# hash comment"))
+      .when(m(5) === 2, lit("\n-- sql comment\n; lisp comment"))
+      .when(m(5) === 3, lit("\n' basic comment"))
+      .otherwise(lit(""))
+    val xml = when(m(7) === 0, lit("<?xml version=\"1.0\"?>\n"))
+      .otherwise(lit(""))
+    val data = when(m(3) === 0,
+        lit("\n0123456789 8675309 42 999999 31337 2718281828 314159265"))
+      .when(m(3) === 1, lit("\ndeadbeef CAFEBABE 0ff1ce bada55 5eed f00d"))
+      .otherwise(lit(""))
+    val longLine = when(m(11) === 0, concat(lit("\n"), repeat(lit("ab"), 150)))
+      .otherwise(lit(""))
+    val body = when(id === 0, lit(""))
+      .when(m(13) === 0, lit("10 20 30 40 50 60 70 80 90 100 110 120"))
+      .when(m(13) === 1, repeat(lit("deadbeef"), 24))
+      .when(m(17) === 0, repeat(lit("val alpha = beta\n"), 12))
+      .when(m(17) === 1,
+        concat(repeat(lit("val alpha = beta\n"), 10), lit("// doc\n// more")))
+      .otherwise(concat(xml, col("text"), comments, data, longLine))
+    tbl(s, dir, "documents").select(id, body.as("text"))
   }
 
   /** Sheet content shared by the CSV-directory and native-xlsx gate
@@ -2654,7 +2732,73 @@ object SparkEntry {
            CAST(cur_cnt AS BIGINT) AS cur_cnt,
            round(bs, 6) AS base_share6, round(cs, 6) AS cur_share6,
            round(cs - bs, 6) AS share_delta6
-         FROM t ORDER BY key""")
+         FROM t ORDER BY key""",
+    // full independent recomputation of every code metric AND the keep
+    // verdict from the raw dumped text — line split, marker probes, token
+    // split, char classes, threshold composition
+    "q_code_stats" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+           FROM read_parquet('/tmp/graft_oracle_aux/code_docs/*.parquet')),
+         ln AS (SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)),
+             l -> trim(l)), l -> len(l) > 0) AS lines FROM src),
+         tk AS (SELECT doc_id, text, lines,
+           CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM ln),
+         m AS (SELECT doc_id,
+           len(lines) AS n_lines,
+           len(list_filter(lines, l -> starts_with(l, '#')
+             OR starts_with(l, '''') OR starts_with(l, '--')
+             OR starts_with(l, '//') OR starts_with(l, ';')))
+             AS n_comment_lines,
+           coalesce(list_max(list_transform(lines, l -> len(l))), 0)
+             AS max_line_len,
+           len(toks) AS n_tokens,
+           len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+             AS n_alpha_tokens,
+           len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit_chars,
+           len(regexp_replace(text, '[^0-9A-Fa-f]', '', 'g')) AS n_hex_chars,
+           len(text) AS n_chars,
+           contains(substr(text, 1, 100), '<?xml') AS xml_head
+           FROM tk)
+         SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_comment_lines AS BIGINT) AS n_comment_lines,
+           CAST(max_line_len AS BIGINT) AS max_line_len,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_alpha_tokens AS BIGINT) AS n_alpha_tokens,
+           CAST(n_digit_chars AS BIGINT) AS n_digit_chars,
+           CAST(n_hex_chars AS BIGINT) AS n_hex_chars,
+           CAST(xml_head AS INT) AS xml_head,
+           CAST((CAST(n_alpha_tokens AS DOUBLE) / greatest(n_tokens, 1) >= 0.25
+             AND CAST(n_digit_chars AS DOUBLE) / greatest(n_chars, 1) < 0.50
+             AND CAST(n_hex_chars AS DOUBLE) / greatest(n_chars, 1) < 0.90
+             AND NOT xml_head
+             AND (n_lines < 10
+               OR (CAST(n_comment_lines AS DOUBLE) / greatest(n_lines, 1) >= 0.01
+                 AND CAST(n_comment_lines AS DOUBLE) / greatest(n_lines, 1) <= 0.80)))
+             AS INT) AS keep
+         FROM m ORDER BY doc_id""",
+    // entropy: DuckDB's own char split + frequencies + -Σ p·log2 p over
+    // the documents table (true cross-engine, no dump); deflate: the
+    // typed-route dump the codegen query route must match byte-for-byte
+    "q_text_signals" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         f AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+         tot AS (SELECT doc_id, sum(n) AS tn FROM f GROUP BY doc_id),
+         e AS (SELECT f.doc_id,
+           round(-sum((CAST(f.n AS DOUBLE) / tot.tn)
+             * log2(CAST(f.n AS DOUBLE) / tot.tn)), 6) AS entropy6
+           FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+         SELECT CAST(e.doc_id AS BIGINT) AS doc_id, e.entropy6,
+           CAST(z.deflate_size AS BIGINT) AS deflate_size
+         FROM e
+         JOIN read_parquet('/tmp/graft_oracle_aux/deflate/*.parquet') z
+           USING (doc_id)
+         ORDER BY doc_id""")
 
   /** The aux-dump root as it appears inside oracle SQL text. Oracle SQL is
     * rendered once at Verify time, so the fixed default path (which the

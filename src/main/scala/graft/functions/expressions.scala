@@ -239,6 +239,90 @@ object DoubleSortBucket {
   }
 }
 
+/** Deflate-size kernel: the compressed byte size of a string's UTF-8
+  * bytes under raw DEFLATE (zlib level 6, nowrap). `deflated/original`
+  * is the classic redundancy proxy quality signal: templated, generated,
+  * and highly repetitive files compress far below prose or real code,
+  * and near-random blobs don't compress at all — a corpus-free,
+  * single-pass complement to the duplicate-line and n-gram repetition
+  * metrics. Deterministic for a given zlib level and input (the JDK
+  * bundles zlib), so the typed route and the codegen route must agree
+  * byte-for-byte.
+  *
+  * Thread-confined Deflater + output buffer are reused across rows —
+  * a per-row Deflater allocation would dominate the cost at 10^12 files.
+  */
+object DeflateHelper {
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+  }
+
+  def deflatedSize(s: UTF8String): Long = deflatedSizeBytes(s.getBytes)
+
+  def deflatedSizeBytes(bytes: Array[Byte]): Long = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** [[DeflateHelper.deflatedSize]] as a codegen'd expression: string → long. */
+case class DeflateSize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_size"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateHelper.deflatedSize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateHelper.deflatedSize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}
+
+/** Character-level Shannon entropy (bits/char) as a codegen'd expression:
+  * string → double. Low entropy flags repetitive/degenerate text, high
+  * entropy flags random blobs — the whole-document counterpart of the
+  * entropy gate in [[SecretEntropy]], whose counting kernel it reuses.
+  * An independent engine replays it exactly (char split → frequency →
+  * −Σ p·log2 p), which is how the cross-engine oracle checks it.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    SecretEntropy.entropyBits(s, 0, s.length)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("entStr")
+      s"""java.lang.String $s = $c.toString();
+         |${ev.value} = graft.functions.SecretEntropy.entropyBits($s, 0, $s.length());""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Entropy-gated secret scrubbing kernel — the public secret-scanner
   * technique (truffleHog-style) the fixed-prefix regex families cannot
   * cover: random API keys and tokens have no known prefix, but they DO
@@ -409,6 +493,12 @@ object expressions {
   def double_sort_bucket(c: Column, bits: Int = 8): Column =
     Bridge.column(DoubleSortBucket(Bridge.expression(c), bits))
 
+  def deflate_size(c: Column): Column =
+    Bridge.column(DeflateSize(Bridge.expression(c)))
+
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
+
   def fix_mojibake(c: Column): Column =
     Bridge.column(FixMojibake(Bridge.expression(c)))
 
@@ -425,6 +515,10 @@ object expressions {
       es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fix_mojibake",
       es => FixMojibake(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_deflate_size",
+      es => DeflateSize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_entropy_scrub",
       es => EntropyGatedScrub(es.head, es(1).eval().toString,
         es(2).eval().toString, es(3).eval().toString.toDouble), "built-in")
@@ -459,6 +553,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
       (es: Seq[Expression]) => FixMojibake(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (es: Seq[Expression]) => DeflateSize(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
     e.injectFunction((
       new FunctionIdentifier("graft_entropy_scrub"),
       new ExpressionInfo(classOf[EntropyGatedScrub].getName, "graft_entropy_scrub"),
