@@ -8,6 +8,7 @@ import graft.runner.Runner
   *
   *   graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]
   *              [--decontaminate=<parquet>] [--boilerplate[=minDocs]]
+  *              [--code-gate]
   *     — run (or resume) the quality-filter pipeline over a deterministic
   *       synthetic corpus and print a run report; --near-dup adds the
   *       transitive MinHash near-duplicate stage after exact dedup;
@@ -16,7 +17,10 @@ import graft.runner.Runner
   *       --decontaminate drops kept rows colliding with the eval set in
   *       the given parquet (a `text` column) on 8-gram shingles;
   *       --boilerplate removes lines shared by >= minDocs kept documents
-  *       from every document (rows left blank drop as boilerplate_only).
+  *       from every document (rows left blank drop as boilerplate_only);
+  *       --code-gate applies the published source-file filters (alpha
+  *       tokens, digit/hex blobs, xml prolog, comment-density band) to
+  *       kept rows before the dedup stages.
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -32,7 +36,8 @@ object Main {
     if (args.length < 2) {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
-          "[--clf-gate[=t]] [--decontaminate=<parquet>] [--boilerplate[=minDocs]]\n" +
+          "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
+          "[--boilerplate[=minDocs]] [--code-gate]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -48,13 +53,18 @@ object Main {
     if (positional.length < 2) {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
-          "[--clf-gate[=t]] [--decontaminate=<parquet>] [--boilerplate[=minDocs]]")
+          "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
+          "[--boilerplate[=minDocs]] [--code-gate]")
       sys.exit(2)
     }
     val nearDup =
       if (flags.contains("--near-dup"))
         Some(graft.dedup.Dedup.MinHashConfig(threshold = 0.9))
       else None
+    // --code-gate: apply the published source-file filter composition
+    // (alpha tokens, digit/hex blobs, xml prolog, comment-density band)
+    // to kept rows BEFORE the dedup stages
+    val codeGate = flags.contains("--code-gate")
     // --clf-gate[=threshold]: distill a classifier from this run's own
     // verdicts and drop kept rows scoring below the threshold. Malformed
     // or out-of-range values take the usage path (exit 2) like every
@@ -117,7 +127,8 @@ object Main {
       Runner.DeconConfig(spark.read.parquet(p)))
     val report = Runner.run(spark, CorpusGen.files(spark, n),
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
-      classifierGate = clfGate, decontaminate = decon, boilerplate = boiler)
+      classifierGate = clfGate, decontaminate = decon, boilerplate = boiler,
+      codeGate = codeGate)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -130,6 +141,9 @@ object Main {
     }
     report.lineage.filter(_.stage == "dedup").foreach { l =>
       println(f"[graft]   dedup=${l.ruleId}%-13s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "codegate").foreach { l =>
+      println(f"[graft]   codegate=${l.ruleId}%-11s dropped=${l.violations}")
     }
     report.lineage.filter(_.stage == "boilerplate").foreach { l =>
       println(f"[graft]   boiler=${l.ruleId}%-13s dropped=${l.violations}")

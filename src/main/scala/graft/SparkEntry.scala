@@ -1248,6 +1248,44 @@ object SparkEntry {
         graft.functions.expressions.deflate_size(col("text"))
           .as("deflate_size"))
         .orderBy("doc_id")
+    }),
+
+    // ---- notebook → script conversion --------------------------------------
+    // deterministic nbformat-4 JSON is synthesized per document (markdown +
+    // code cells from the text, a rotating third cell covering code/
+    // markdown/raw, an empty-source edge) and dumped; the QUERY converts
+    // via ONE from_json projection and DuckDB independently re-parses the
+    // JSON and replays the whole contract — per-type counts, line joins,
+    // comment prefixing, raw-cell drop, blank-line cell separator
+    "q_notebook" -> ((s, dir) => {
+      val docs = notebookFixture(s, dir)
+      val aux = s"$OracleAuxDir/notebooks"
+      docs.coalesce(1).write.mode("overwrite").parquet(aux)
+      val nb = s.read.parquet(aux)
+      val stats = graft.text.Notebook.cellStats(col("nb_json"))
+      nb.select(col("doc_id").cast("bigint").as("doc_id"),
+          stats.getField("n_code").as("n_code"),
+          stats.getField("n_markdown").as("n_markdown"),
+          stats.getField("n_other").as("n_other"),
+          graft.text.Notebook.toScript(col("nb_json")).as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- code-language identification --------------------------------------
+    // path/shebang fixture dumped; the QUERY runs the full detection
+    // chain (basename specials → extension table → shebang probe →
+    // unknown) and DuckDB replays the identical regexes + mapping tables
+    // (interpolated from the same Scala constants, like q_url_*)
+    "q_code_lang" -> ((s, dir) => {
+      val docs = codeLangFixture(s, dir)
+      val aux = s"$OracleAuxDir/code_paths"
+      docs.coalesce(1).write.mode("overwrite").parquet(aux)
+      s.read.parquet(aux)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          graft.text.CodeLang.extension(col("path")).as("ext"),
+          graft.text.CodeLang.shebangInterp(col("head")).as("interp"),
+          graft.text.CodeLang.detect(col("path"), col("head")).as("lang"))
+        .orderBy("doc_id")
     }))
 
   /** Location where queries dump engine-synthesized inputs so the driver's
@@ -1375,6 +1413,65 @@ object SparkEntry {
         concat(repeat(lit("val alpha = beta\n"), 10), lit("// doc\n// more")))
       .otherwise(concat(xml, col("text"), comments, data, longLine))
     tbl(s, dir, "documents").select(id, body.as("text"))
+  }
+
+  /** Notebook fixture for q_notebook: deterministic nbformat-4 JSON per
+    * document — a markdown header cell, a code cell carrying the document
+    * text, and a third cell whose type rotates code/markdown/raw by
+    * doc_id (every conversion branch on every third row), plus an
+    * empty-source code cell every 5th row and an empty cells array every
+    * 11th. Built with `to_json` so escaping is the JSON library's job.
+    */
+  private def notebookFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val head = substring(col("text"), 1, 60)
+    val cell1 = struct(lit("markdown").as("cell_type"),
+      array(lit("# Notebook title\n"), lit("intro prose")).as("source"))
+    val cell2 = struct(lit("code").as("cell_type"),
+      array(lit("x = 1\n"), concat(lit("s = '"), id.cast("string"),
+        lit("'"))).as("source"))
+    val cell3Type = when(pmod(id, lit(3)) === 0, lit("code"))
+      .when(pmod(id, lit(3)) === 1, lit("markdown"))
+      .otherwise(lit("raw"))
+    val cell3 = struct(cell3Type.as("cell_type"),
+      array(concat(head, lit("\n")), lit("tail line")).as("source"))
+    val cell4 = struct(lit("code").as("cell_type"),
+      array().cast("array<string>").as("source"))
+    val cellsArr = when(pmod(id, lit(11)) === 0,
+        array().cast("array<struct<cell_type:string,source:array<string>>>"))
+      .when(pmod(id, lit(5)) === 0, array(cell1, cell2, cell3, cell4))
+      .otherwise(array(cell1, cell2, cell3))
+    tbl(s, dir, "documents").select(id,
+      to_json(struct(cellsArr.as("cells"), lit(4).as("nbformat")))
+        .as("nb_json"))
+  }
+
+  /** Path/shebang fixture for q_code_lang: 12 rotating shapes exercising
+    * every precedence rung — extensions (incl. uppercase and compound
+    * basenames), special basenames, shebang variants (absolute path, env
+    * indirection, flags, space after `#!`), a dotfile, an unknown
+    * extension, and the nothing-matches row.
+    */
+  private def codeLangFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val m = pmod(id, lit(12))
+    val path = when(m === 0, lit("src/main/App.scala"))
+      .when(m === 1, lit("deep/pkg/Util.JAVA"))
+      .when(m === 2, lit("scripts/tool.py"))
+      .when(m === 3, lit("Makefile"))
+      .when(m === 4, lit("cmake/CMakeLists.txt"))
+      .when(m === 5, lit("bin/run"))
+      .when(m === 6, lit("bin/deploy"))
+      .when(m === 7, lit("bin/migrate"))
+      .when(m === 8, lit(".gitignore"))
+      .when(m === 9, lit("notes/readme.xyz"))
+      .when(m === 10, lit("nb/analysis.ipynb"))
+      .otherwise(lit("LICENSE"))
+    val head = when(m === 5, lit("#!/usr/bin/env python3\nimport sys\n"))
+      .when(m === 6, lit("#! /bin/bash\nset -e\n"))
+      .when(m === 7, lit("#!/usr/bin/perl -w\nuse strict;\n"))
+      .otherwise(substring(col("text"), 1, 40))
+    tbl(s, dir, "documents").select(id, path.as("path"), head.as("head"))
   }
 
   /** Sheet content shared by the CSV-directory and native-xlsx gate
@@ -2798,7 +2895,84 @@ object SparkEntry {
          FROM e
          JOIN read_parquet('/tmp/graft_oracle_aux/deflate/*.parquet') z
            USING (doc_id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // DuckDB independently re-parses the dumped nbformat JSON and replays
+    // the whole conversion contract: per-type counts, code-cell line
+    // joins, markdown comment prefixing, raw-cell drop, blank-line
+    // separator, empty-source and empty-cells edges
+    "q_notebook" ->
+      """WITH nb AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             json_transform(json_extract(nb_json, '$.cells'),
+               '[{"cell_type":"VARCHAR","source":["VARCHAR"]}]') AS cells
+           FROM read_parquet('/tmp/graft_oracle_aux/notebooks/*.parquet')),
+         p AS (
+           SELECT doc_id, cells,
+             list_filter(
+               list_transform(cells, c ->
+                 CASE WHEN c.cell_type = 'code'
+                        THEN coalesce(list_aggregate(
+                          coalesce(c.source, CAST([] AS VARCHAR[])),
+                          'string_agg', ''), '')
+                      WHEN c.cell_type = 'markdown'
+                        THEN coalesce(list_aggregate(
+                          list_transform(
+                            coalesce(c.source, CAST([] AS VARCHAR[])),
+                            l -> '# ' || l),
+                          'string_agg', ''), '')
+                 END),
+               x -> x IS NOT NULL) AS pieces
+           FROM nb)
+         SELECT doc_id,
+           CAST(len(list_filter(cells, c -> c.cell_type = 'code'))
+             AS BIGINT) AS n_code,
+           CAST(len(list_filter(cells, c -> c.cell_type = 'markdown'))
+             AS BIGINT) AS n_markdown,
+           CAST(len(cells)
+             - len(list_filter(cells, c -> c.cell_type = 'code'))
+             - len(list_filter(cells, c -> c.cell_type = 'markdown'))
+             AS BIGINT) AS n_other,
+           coalesce(list_aggregate(pieces, 'string_agg',
+             chr(10) || chr(10)), '') AS script
+         FROM p ORDER BY doc_id""",
+    // DuckDB replays the identical feature regexes and the three mapping
+    // tables (VALUES lists interpolated from the same Scala constants —
+    // the q_url_* precedent) plus the basename→extension→shebang→unknown
+    // precedence
+    "q_code_lang" -> {
+      def vals(t: Seq[(String, String)]): String =
+        t.map { case (k, v) => s"('$k','$v')" }.mkString(", ")
+      s"""WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, path, head
+           FROM read_parquet('/tmp/graft_oracle_aux/code_paths/*.parquet')),
+         em(k, v) AS (VALUES ${vals(graft.text.CodeLang.ExtensionMap)}),
+         bm(k, v) AS (VALUES ${vals(graft.text.CodeLang.BasenameMap)}),
+         sm(k, v) AS (VALUES ${vals(graft.text.CodeLang.ShebangMap)}),
+         feat AS (
+           SELECT doc_id,
+             lower(coalesce(regexp_extract(coalesce(path, ''),
+               '([^/]*)$$', 1), '')) AS bn,
+             coalesce(regexp_extract(coalesce(head, ''),
+               '^([^' || chr(10) || ']*)', 1), '') AS fl
+           FROM src),
+         feat2 AS (
+           SELECT doc_id, bn,
+             CASE WHEN regexp_matches(bn, '\\.[^.]+$$')
+                  THEN regexp_extract(bn, '\\.([^.]+)$$', 1)
+                  ELSE '' END AS ext,
+             lower(coalesce(regexp_extract(
+               coalesce(regexp_extract(fl,
+                 '^#!\\s*(?:/\\S*/)?(?:env\\s+)?(\\S+)', 1), ''),
+               '([^/]*)$$', 1), '')) AS interp
+           FROM feat)
+         SELECT f.doc_id, f.ext, f.interp,
+           coalesce(bm.v, em.v, sm.v, 'unknown') AS lang
+         FROM feat2 f
+         LEFT JOIN bm ON f.bn = bm.k
+         LEFT JOIN em ON f.ext = em.k
+         LEFT JOIN sm ON f.interp = sm.k
+         ORDER BY f.doc_id"""
+    })
 
   /** The aux-dump root as it appears inside oracle SQL text. Oracle SQL is
     * rendered once at Verify time, so the fixed default path (which the

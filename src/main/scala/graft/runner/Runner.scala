@@ -79,6 +79,11 @@ object Runner {
         * before decontamination): lines shared by ≥ minDocs kept documents
         * are removed everywhere; gutted rows flip to "boilerplate_only" */
       boilerplate: Option[BoilerplateConfig] = None,
+      /** opt-in code-stats gate (The Stack/StarCoder source-file filters)
+        * BEFORE the dedup stages — row-pure and map-side-cheap, so every
+        * row it drops is a row MinHash never shingles; kept rows failing
+        * the composition flip to "code_stats" */
+      codeGate: Boolean = false,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -90,7 +95,8 @@ object Runner {
     // the nearDup branch entirely) — the run config is sealed into the
     // store on first run and every resume must match it
     guardRunConfig(store, workDir,
-      renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate))
+      renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate,
+        codeGate))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -103,9 +109,14 @@ object Runner {
     // stage's write completes, without evicting any other consumer's frames
     val verdictsDf = graft.util.Caches.scoped {
       stage("verdicts") {
+        val ruleVerdicts = QualityPipeline.verdicts(annotated)
+        // code gate FIRST (when on): row-pure and map-side, so it shrinks
+        // everything downstream — dedup never shingles a row it drops
+        val gated =
+          if (codeGate) QualityPipeline.gateByCodeStats(ruleVerdicts)
+          else ruleVerdicts
         // content-dedup after filtering: one survivor per distinct content
-        val exact =
-          QualityPipeline.dedupByContent(QualityPipeline.verdicts(annotated)).toDF()
+        val exact = QualityPipeline.dedupByContent(gated).toDF()
         val deduped = nearDup match {
           case None => exact
           case Some(mh) =>
@@ -174,10 +185,14 @@ object Runner {
       "coalesce(sum(case when array_contains(dropReasons,'decontaminated') " +
         "then 1 else 0 end),0) as decon_drops",
       "coalesce(sum(case when array_contains(dropReasons,'boilerplate_only') " +
-        "then 1 else 0 end),0) as boiler_drops").head()
+        "then 1 else 0 end),0) as boiler_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'code_stats') " +
+        "then 1 else 0 end),0) as codegate_drops").head()
     val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
+      (if (codeGate) Seq(LineageRow(runId, "codegate", "code_stats",
+        stats.getLong(0), stats.getLong(7), 0L)) else Nil) ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
         stats.getLong(0), stats.getLong(3), 0L)) ++
       boilerplate.map(_ => LineageRow(runId, "boilerplate",
@@ -211,7 +226,8 @@ object Runner {
       nearDup: Option[graft.dedup.Dedup.MinHashConfig],
       classifierGate: Option[Double] = None,
       decontaminate: Option[DeconConfig] = None,
-      boilerplate: Option[BoilerplateConfig] = None): String = {
+      boilerplate: Option[BoilerplateConfig] = None,
+      codeGate: Boolean = false): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
@@ -223,7 +239,8 @@ object Runner {
     val bp = boilerplate.fold("boiler=off")(b =>
       s"boiler=lines(minDocs=${b.minDocs},maxLines=${b.maxLines}," +
         s"minLen=${b.minTrimmedLen})")
-    s"$nd;$cg;$dc;$bp;scrub=${graft.filter.Scrub.default.fingerprint}"
+    val cs = if (codeGate) "codeGate=on" else "codeGate=off"
+    s"$nd;$cg;$dc;$bp;$cs;scrub=${graft.filter.Scrub.default.fingerprint}"
   }
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
@@ -254,19 +271,27 @@ object Runner {
       else if (withClf.contains(";scrub="))
         withClf.replace(";scrub=", ";decon=off;scrub=")
       else s"$withClf;decon=off"
-    // absent boiler = off = byte-identical behavior; sits BEFORE scrub
+    // absent boiler = off = byte-identical behavior; sits BEFORE codeGate
     val withBoiler =
       if (withDecon.contains(";boiler=")) withDecon
+      else if (withDecon.contains(";codeGate="))
+        withDecon.replace(";codeGate=", ";boiler=off;codeGate=")
       else if (withDecon.contains(";scrub="))
         withDecon.replace(";scrub=", ";boiler=off;scrub=")
       else s"$withDecon;boiler=off"
+    // absent codeGate = off = byte-identical behavior; sits BEFORE scrub
+    val withCodeGate =
+      if (withBoiler.contains(";codeGate=")) withBoiler
+      else if (withBoiler.contains(";scrub="))
+        withBoiler.replace(";scrub=", ";codeGate=off;scrub=")
+      else s"$withBoiler;codeGate=off"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
-    if (withBoiler.contains(";scrub=")) withBoiler
-    else s"$withBoiler;scrub=$LegacyR3ScrubFp"
+    if (withCodeGate.contains(";scrub=")) withCodeGate
+    else s"$withCodeGate;scrub=$LegacyR3ScrubFp"
   }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,
