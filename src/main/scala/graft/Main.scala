@@ -8,7 +8,7 @@ import graft.runner.Runner
   *
   *   graft.Main <nRows> <workDir> [runId] [--near-dup] [--clf-gate[=t]]
   *              [--decontaminate=<parquet>] [--boilerplate[=minDocs]]
-  *              [--code-gate]
+  *              [--code-gate] [--nb-convert] [--lang-detect]
   *     — run (or resume) the quality-filter pipeline over a deterministic
   *       synthetic corpus and print a run report; --near-dup adds the
   *       transitive MinHash near-duplicate stage after exact dedup;
@@ -20,7 +20,12 @@ import graft.runner.Runner
   *       from every document (rows left blank drop as boilerplate_only);
   *       --code-gate applies the published source-file filters (alpha
   *       tokens, digit/hex blobs, xml prolog, comment-density band) to
-  *       kept rows before the dedup stages.
+  *       kept rows before the dedup stages;
+  *       --nb-convert plants .ipynb rows in the synthetic corpus and
+  *       rewrites them to scripts (code cells verbatim, markdown as
+  *       comments, kernel language) before scoring;
+  *       --lang-detect backfills empty stated langs from the file path /
+  *       shebang before scoring.
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -37,7 +42,8 @@ object Main {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
-          "[--boilerplate[=minDocs]] [--code-gate]\n" +
+          "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
+          "[--lang-detect]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -54,7 +60,8 @@ object Main {
       System.err.println(
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
-          "[--boilerplate[=minDocs]] [--code-gate]")
+          "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
+          "[--lang-detect]")
       sys.exit(2)
     }
     val nearDup =
@@ -65,6 +72,11 @@ object Main {
     // (alpha tokens, digit/hex blobs, xml prolog, comment-density band)
     // to kept rows BEFORE the dedup stages
     val codeGate = flags.contains("--code-gate")
+    // --nb-convert / --lang-detect: ingest transforms before scoring.
+    // --nb-convert also plants .ipynb rows in the synthetic corpus (the
+    // default corpus has none, so the stage would be a proven no-op)
+    val nbConvert = flags.contains("--nb-convert")
+    val langDetect = flags.contains("--lang-detect")
     // --clf-gate[=threshold]: distill a classifier from this run's own
     // verdicts and drop kept rows scoring below the threshold. Malformed
     // or out-of-range values take the usage path (exit 2) like every
@@ -125,14 +137,18 @@ object Main {
     val t0 = System.nanoTime()
     val decon = deconPath.map(p =>
       Runner.DeconConfig(spark.read.parquet(p)))
-    val report = Runner.run(spark, CorpusGen.files(spark, n),
+    val report = Runner.run(spark,
+      CorpusGen.files(spark, n, notebooks = nbConvert),
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
       classifierGate = clfGate, decontaminate = decon, boilerplate = boiler,
-      codeGate = codeGate)
+      codeGate = codeGate, nbConvert = nbConvert, langDetect = langDetect)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
       f"wall=${sec}%.1fs throughput=${report.rows / sec}%.0f files/sec")
+    report.lineage.filter(_.stage == "ingest").foreach { l =>
+      println(f"[graft]   ingest=${l.ruleId}%-12s rewritten=${l.violations}")
+    }
     report.lineage.filter(_.stage == "filter").foreach { l =>
       println(f"[graft]   rule=${l.ruleId}%-14s violations=${l.violations}")
     }

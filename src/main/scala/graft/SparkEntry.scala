@@ -1267,7 +1267,9 @@ object SparkEntry {
           stats.getField("n_code").as("n_code"),
           stats.getField("n_markdown").as("n_markdown"),
           stats.getField("n_other").as("n_other"),
-          graft.text.Notebook.toScript(col("nb_json")).as("script"))
+          graft.text.Notebook.toScript(col("nb_json")).as("script"),
+          graft.text.Notebook.kernelLanguage(col("nb_json"))
+            .as("kernel_lang"))
         .orderBy("doc_id")
     }),
 
@@ -1441,8 +1443,16 @@ object SparkEntry {
         array().cast("array<struct<cell_type:string,source:array<string>>>"))
       .when(pmod(id, lit(5)) === 0, array(cell1, cell2, cell3, cell4))
       .otherwise(array(cell1, cell2, cell3))
+    // kernelspec metadata: mixed-case language rotating python/Scala, and
+    // ABSENT every 7th row (to_json drops null fields by default, so the
+    // key vanishes from the JSON — the null-kernel branch)
+    val meta = when(pmod(id, lit(7)) =!= 0,
+      struct(struct(
+        when(pmod(id, lit(2)) === 0, lit("Python")).otherwise(lit("scala"))
+          .as("language")).as("kernelspec")))
     tbl(s, dir, "documents").select(id,
-      to_json(struct(cellsArr.as("cells"), lit(4).as("nbformat")))
+      to_json(struct(cellsArr.as("cells"), meta.as("metadata"),
+        lit(4).as("nbformat")))
         .as("nb_json"))
   }
 
@@ -2902,12 +2912,12 @@ object SparkEntry {
     // separator, empty-source and empty-cells edges
     "q_notebook" ->
       """WITH nb AS (
-           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, nb_json,
              json_transform(json_extract(nb_json, '$.cells'),
                '[{"cell_type":"VARCHAR","source":["VARCHAR"]}]') AS cells
            FROM read_parquet('/tmp/graft_oracle_aux/notebooks/*.parquet')),
          p AS (
-           SELECT doc_id, cells,
+           SELECT doc_id, cells, nb_json,
              list_filter(
                list_transform(cells, c ->
                  CASE WHEN c.cell_type = 'code'
@@ -2933,7 +2943,9 @@ object SparkEntry {
              - len(list_filter(cells, c -> c.cell_type = 'markdown'))
              AS BIGINT) AS n_other,
            coalesce(list_aggregate(pieces, 'string_agg',
-             chr(10) || chr(10)), '') AS script
+             chr(10) || chr(10)), '') AS script,
+           lower(json_extract_string(nb_json,
+             '$.metadata.kernelspec.language')) AS kernel_lang
          FROM p ORDER BY doc_id""",
     // DuckDB replays the identical feature regexes and the three mapping
     // tables (VALUES lists interpolated from the same Scala constants —

@@ -100,7 +100,20 @@ object CorpusGen {
     * contain overlap ids, which is harmless because only the tests rely
     * on disjointness.
     */
-  def rowFor(id: Long, seed: Long): FileRow = {
+  def rowFor(id: Long, seed: Long): FileRow = rowFor(id, seed, notebooks = false)
+
+  /** `notebooks = true` additionally plants Jupyter rows: ids with
+    * id % 53 == 0 (and > 0) become nbformat-4 .ipynb files — JSON wrapping
+    * the base row's code lines in one code cell plus a markdown cell, with
+    * a python kernelspec and stated lang "jupyter" (not in the corpus
+    * dictionary, so unconverted notebooks fail the lang-domain rule — the
+    * planted motivation for the --nb-convert ingest stage). Off by default:
+    * every pre-existing count/sha oracle is derived with notebooks=false.
+    * 53 is coprime with the other planted classes (83/89/97), so test-sized
+    * corpora (n <= 4399 = 53*83) see disjoint plantings.
+    */
+  def rowFor(id: Long, seed: Long, notebooks: Boolean): FileRow = {
+    if (notebooks && id > 0 && id % 53 == 0) return nbRowFor(id, seed)
     if (id > 0 && id % 89 == 0) {
       val self = rowFor0(id, seed)
       val donor = rowFor0(id - 1, seed)
@@ -113,6 +126,54 @@ object CorpusGen {
       return self.copy(content = donor.content + codeLine(r) + "\n")
     }
     rowFor0(id, seed)
+  }
+
+  /** JSON-string escape for notebook source lines (quote, backslash, and
+    * control chars — the full RFC 8259 mandatory set).
+    */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic planted notebook row: the base row's content wrapped in
+    * nbformat-4 JSON — [markdown summary cell, one code cell holding every
+    * base line, one raw cell (conversion drops it)] — under a .ipynb path
+    * and stated lang "jupyter". [[graft.text.Notebook.toScript]] over this
+    * JSON reconstructs exactly `"# notebook " + id + "\n\n\n" + base.content`
+    * (markdown prefixing + blank-line cell joins), which is what the specs
+    * assert.
+    */
+  private[graft] def nbRowFor(id: Long, seed: Long): FileRow = {
+    val base = rowFor0(id, seed)
+    val nbPath = base.path.replaceAll("\\.[^./]*$", "") + ".ipynb"
+    // source lines keep their trailing \n (nbformat stores them that way)
+    val lines = base.content.split("\n", -1).toSeq match {
+      case init :+ "" => init.map(_ + "\n") // content ends with \n
+      case all => all.init.map(_ + "\n") :+ all.last
+    }
+    val srcJson = lines.map(l => "\"" + jsonEscape(l) + "\"").mkString(",")
+    val json =
+      s"""{"nbformat":4,"nbformat_minor":5,""" +
+        s""""metadata":{"kernelspec":{"name":"python3","language":"python"}},""" +
+        s""""cells":[""" +
+        s"""{"cell_type":"markdown","source":["notebook $id\\n"]},""" +
+        s"""{"cell_type":"code","source":[$srcJson]},""" +
+        s"""{"cell_type":"raw","source":["meta\\n"]}]}"""
+    base.copy(path = nbPath, lang = "jupyter", content = json)
   }
 
   private def rowFor0(id: Long, seed: Long): FileRow = {
@@ -161,11 +222,14 @@ object CorpusGen {
     * (`spark.range` splits the id space; each row derived independently).
     */
   def files(spark: SparkSession, n: Long, seed: Long = 42L,
-            partitions: Int = 0): Dataset[FileRow] = {
+            partitions: Int = 0,
+            /** plant .ipynb notebook rows (see [[rowFor]]) — opt-in so the
+              * default corpus stays byte-identical across rounds */
+            notebooks: Boolean = false): Dataset[FileRow] = {
     import spark.implicits._
     val base =
       if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
-    base.mapPartitions(_.map(id => rowFor(id, seed)))
+    base.mapPartitions(_.map(id => rowFor(id, seed, notebooks)))
   }
 
   /** Keys-only projection (repo, path, commit) of the same corpus — the

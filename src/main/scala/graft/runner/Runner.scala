@@ -1,7 +1,7 @@
 package graft.runner
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{array_contains, col}
+import org.apache.spark.sql.functions.{array_contains, coalesce, col, count, lit, sum, when}
 import graft.corpus.CorpusGen
 import graft.filter.QualityPipeline
 import graft.model.{FileRow, FileVerdict, LineageRow}
@@ -84,6 +84,14 @@ object Runner {
         * row it drops is a row MinHash never shingles; kept rows failing
         * the composition flip to "code_stats" */
       codeGate: Boolean = false,
+      /** opt-in notebook→script ingestion BEFORE scoring: .ipynb rows that
+        * parse as nbformat-4 are rewritten to scripts with the kernel
+        * language (see [[QualityPipeline.convertNotebooks]]) */
+      nbConvert: Boolean = false,
+      /** opt-in language backfill BEFORE scoring: rows with an empty
+        * stated lang get the path/shebang-derived language (see
+        * [[QualityPipeline.backfillLanguages]]) */
+      langDetect: Boolean = false,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -96,14 +104,40 @@ object Runner {
     // store on first run and every resume must match it
     guardRunConfig(store, workDir,
       renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate,
-        codeGate))
+        codeGate, nbConvert, langDetect))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
 
+    // ingest transforms rewrite content/lang but never identity, so the
+    // dup-key aggregation keeps scanning the ORIGINAL pruned key
+    // projection (no from_json in the 3-column scan)
+    val ingested0 =
+      if (nbConvert) QualityPipeline.convertNotebooks(files) else files
+    val ingested =
+      if (langDetect) QualityPipeline.backfillLanguages(ingested0)
+      else ingested0
+    // ingest lineage: ONE extra aggregate over the pre-transform frame,
+    // pruned to (path, lang, ipynb content) — only paid when a flag is on
+    val ingestLineage: Seq[LineageRow] =
+      if (!nbConvert && !langDetect) Nil
+      else {
+        val isNb = graft.text.CodeLang.extension(col("path")) === "ipynb" &&
+          graft.text.Notebook.cells(col("content")).isNotNull
+        val r = files.toDF().select(
+          coalesce(sum(when(isNb, 1L)), lit(0L)).as("nb"),
+          coalesce(sum(when(col("lang").isNull || col("lang") === "", 1L)),
+            lit(0L)).as("lf"),
+          count(lit(1)).as("n")).head()
+        (if (nbConvert) Seq(LineageRow(runId, "ingest", "nb_convert",
+          r.getLong(2), r.getLong(0), 0L)) else Nil) ++
+          (if (langDetect) Seq(LineageRow(runId, "ingest", "lang_detect",
+            r.getLong(2), r.getLong(1), 0L)) else Nil)
+      }
+
     val annotated = stage("annotated") {
-      QualityPipeline.annotate(QualityPipeline.score(files), commitsDim, cfg,
-        rawKeys = Some(files.toDF().select("repo", "path", "commit")))
+      QualityPipeline.annotate(QualityPipeline.score(ingested), commitsDim,
+        cfg, rawKeys = Some(files.toDF().select("repo", "path", "commit")))
     }
     // scoped: the near-dup builders' internal caches are released when the
     // stage's write completes, without evicting any other consumer's frames
@@ -188,7 +222,8 @@ object Runner {
         "then 1 else 0 end),0) as boiler_drops",
       "coalesce(sum(case when array_contains(dropReasons,'code_stats') " +
         "then 1 else 0 end),0) as codegate_drops").head()
-    val lineage = (QualityPipeline.lineage(annotated, runId, cfg) :+
+    val lineage = ingestLineage ++
+      (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
       (if (codeGate) Seq(LineageRow(runId, "codegate", "code_stats",
@@ -227,7 +262,9 @@ object Runner {
       classifierGate: Option[Double] = None,
       decontaminate: Option[DeconConfig] = None,
       boilerplate: Option[BoilerplateConfig] = None,
-      codeGate: Boolean = false): String = {
+      codeGate: Boolean = false,
+      nbConvert: Boolean = false,
+      langDetect: Boolean = false): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
@@ -240,7 +277,11 @@ object Runner {
       s"boiler=lines(minDocs=${b.minDocs},maxLines=${b.maxLines}," +
         s"minLen=${b.minTrimmedLen})")
     val cs = if (codeGate) "codeGate=on" else "codeGate=off"
-    s"$nd;$cg;$dc;$bp;$cs;scrub=${graft.filter.Scrub.default.fingerprint}"
+    // ingest transforms rewrite the content/lang every checkpoint embeds,
+    // so they are part of what the checkpoints CONTAIN
+    val ing = s"ingest=nb:${if (nbConvert) "on" else "off"}," +
+      s"lang:${if (langDetect) "on" else "off"}"
+    s"$nd;$cg;$dc;$bp;$cs;$ing;scrub=${graft.filter.Scrub.default.fingerprint}"
   }
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
@@ -279,19 +320,28 @@ object Runner {
       else if (withDecon.contains(";scrub="))
         withDecon.replace(";scrub=", ";boiler=off;scrub=")
       else s"$withDecon;boiler=off"
-    // absent codeGate = off = byte-identical behavior; sits BEFORE scrub
+    // absent codeGate = off = byte-identical behavior; sits BEFORE ingest
     val withCodeGate =
       if (withBoiler.contains(";codeGate=")) withBoiler
+      else if (withBoiler.contains(";ingest="))
+        withBoiler.replace(";ingest=", ";codeGate=off;ingest=")
       else if (withBoiler.contains(";scrub="))
         withBoiler.replace(";scrub=", ";codeGate=off;scrub=")
       else s"$withBoiler;codeGate=off"
+    // absent ingest = both transforms off = byte-identical behavior; sits
+    // BEFORE scrub
+    val withIngest =
+      if (withCodeGate.contains(";ingest=")) withCodeGate
+      else if (withCodeGate.contains(";scrub="))
+        withCodeGate.replace(";scrub=", ";ingest=nb:off,lang:off;scrub=")
+      else s"$withCodeGate;ingest=nb:off,lang:off"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
-    if (withCodeGate.contains(";scrub=")) withCodeGate
-    else s"$withCodeGate;scrub=$LegacyR3ScrubFp"
+    if (withIngest.contains(";scrub=")) withIngest
+    else s"$withIngest;scrub=$LegacyR3ScrubFp"
   }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,

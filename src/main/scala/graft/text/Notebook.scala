@@ -54,6 +54,17 @@ object Notebook {
       (size(cs).cast("long") - ct("code") - ct("markdown")).as("n_other"))
   }
 
+  /** The notebook's kernel language (`metadata.kernelspec.language`,
+    * lowercased), or null when the JSON is malformed or the field is
+    * absent. Parsed with its own schema projection so the cells contract
+    * above stays byte-for-byte replayable on its own.
+    */
+  def kernelLanguage(json: Column): Column =
+    lower(from_json(json,
+      "metadata STRUCT<kernelspec: STRUCT<language: STRING>>",
+      Map.empty[String, String])
+      .getField("metadata").getField("kernelspec").getField("language"))
+
   /** The converted script (see conversion contract above), or null when
     * the input doesn't parse as a notebook. `source` lines keep their own
     * trailing `\n`s (nbformat stores them), so joining with "" preserves
