@@ -468,6 +468,117 @@ case class EntropyGatedCount(child: Expression, pattern: String,
     copy(child = newChild)
 }
 
+/** Kernel for [[UrlRegistrableDomain]]: raw URL → eTLD+1, the single-pass
+  * JVM twin of the Column composition
+  * `UrlFilter.registrableDomain(UrlFilter.host(UrlFilter.normalizeUrl(u)))`.
+  * The Column form inlines the ~10-regex normalize/host chain once per
+  * REFERENCE (the domain logic references its input ~6×, a null-guarded
+  * blocklist predicate doubles that) — at q_url_filter's fixture that blew
+  * Janino's 64 KB method limit and fell back to interpreted eval with 10×
+  * redundant regex work per row. Here the URL is read once; a spec pins
+  * byte-equality against the Column composition over an adversarial
+  * matrix. Patterns are the SAME RE2-compatible strings the DuckDB oracle
+  * replays.
+  */
+object UrlDomain {
+
+  /** Two-level public suffixes (single source — `UrlFilter.TwoLevelSuffixes`
+    * aliases this so the oracle SQL keeps interpolating one constant).
+    */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr",
+    "com.sg", "com.hk", "com.tw", "co.za", "com.pl")
+
+  private val suffixSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](TwoLevelSuffixes.size * 2)
+    TwoLevelSuffixes.foreach(s.add)
+    s
+  }
+
+  private val schemeRe = java.util.regex.Pattern.compile(
+    "^[A-Za-z][A-Za-z0-9+.-]*://")
+  private val userinfoRe = java.util.regex.Pattern.compile("^[^/@]*@")
+  private val portRe = java.util.regex.Pattern.compile(":[0-9]+$")
+  private val ipishRe = java.util.regex.Pattern.compile("^[0-9.]+$")
+
+  /** Host of a raw or normalized URL — identical contract to
+    * [[graft.text.UrlFilter.host]] (trim spaces, strip scheme, take up to
+    * the first `/?#`, lowercase, strip userinfo, strip any `:port`).
+    * Lowercasing goes through UTF8String so the two routes can never
+    * disagree on non-ASCII hosts.
+    */
+  def hostOf(url: String): String = {
+    // Spark's trim() strips the SPACE character only (not Java trim's
+    // full <= U+0020 range)
+    var a = 0
+    var b = url.length
+    while (a < b && url.charAt(a) == ' ') a += 1
+    while (b > a && url.charAt(b - 1) == ' ') b -= 1
+    var s = url.substring(a, b)
+    s = schemeRe.matcher(s).replaceFirst("")
+    var cut = s.length
+    var i = 0
+    while (i < cut) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?' || c == '#') cut = i else i += 1
+    }
+    s = s.substring(0, cut)
+    s = UTF8String.fromString(s).toLowerCase.toString
+    s = userinfoRe.matcher(s).replaceFirst("")
+    portRe.matcher(s).replaceFirst("")
+  }
+
+  /** eTLD+1 of a host string — identical contract to
+    * [[graft.text.UrlFilter.registrableDomain]] (strip one trailing dot;
+    * `<= 2` labels or IP-ish pass through; suffix-set membership decides
+    * 2 vs 3 labels; split keeps interior empty labels like Spark's).
+    */
+  def domainOfHost(host: String): String = {
+    val h = if (host.endsWith(".")) host.substring(0, host.length - 1) else host
+    val labels = h.split("\\.", -1)
+    val n = labels.length
+    if (n <= 2 || ipishRe.matcher(h).find()) h
+    else {
+      val last2 = labels(n - 2) + "." + labels(n - 1)
+      if (suffixSet.contains(last2)) labels(n - 3) + "." + last2
+      else last2
+    }
+  }
+
+  def registrableDomainOfUrl(url: UTF8String): UTF8String =
+    UTF8String.fromString(domainOfHost(hostOf(url.toString)))
+}
+
+/** Raw URL → registrable domain (eTLD+1) as ONE codegen'd expression —
+  * see [[UrlDomain]] for why this exists (64 KB codegen blowup + 6-10×
+  * redundant regex evaluation when the equivalent Column chain is
+  * referenced from predicates).
+  */
+case class UrlRegistrableDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_url_domain"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  override def nullSafeEval(input: Any): Any =
+    UrlDomain.registrableDomainOfUrl(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UrlDomain.registrableDomainOfUrl($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlRegistrableDomain =
+    copy(child = newChild)
+}
+
 object expressions {
 
   /** Column-level entry points (usable without SQL registration). */
@@ -502,6 +613,9 @@ object expressions {
   def fix_mojibake(c: Column): Column =
     Bridge.column(FixMojibake(Bridge.expression(c)))
 
+  def url_domain(c: Column): Column =
+    Bridge.column(UrlRegistrableDomain(Bridge.expression(c)))
+
   /** SQL registration for an existing session (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -515,6 +629,8 @@ object expressions {
       es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fix_mojibake",
       es => FixMojibake(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_url_domain",
+      es => UrlRegistrableDomain(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate_size",
       es => DeflateSize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
@@ -572,5 +688,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[EntropyGatedCount].getName, "graft_entropy_count"),
       (es: Seq[Expression]) => EntropyGatedCount(es.head,
         es(1).eval().toString, es(2).eval().toString.toDouble)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_url_domain"),
+      new ExpressionInfo(classOf[UrlRegistrableDomain].getName, "graft_url_domain"),
+      (es: Seq[Expression]) => UrlRegistrableDomain(es.head)))
   }
 }

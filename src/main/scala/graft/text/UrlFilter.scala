@@ -82,16 +82,7 @@ object UrlFilter {
     * deployment; the RULE (suffix-set membership decides 2 vs 3 labels)
     * is what this encodes.
     */
-  val TwoLevelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "org.nz", "net.nz",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "co.in", "net.in", "org.in",
-    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr",
-    "com.sg", "com.hk", "com.tw", "co.za", "com.pl")
+  val TwoLevelSuffixes: Seq[String] = graft.functions.UrlDomain.TwoLevelSuffixes
 
   /** eTLD+1 from a host: the last two labels, or three when the last two
     * are a [[TwoLevelSuffixes]] member. Pure array expression — no UDF.
@@ -108,6 +99,20 @@ object UrlFilter {
       .otherwise(last2)
   }
 
+  /** Raw URL → eTLD+1 in ONE codegen'd expression
+    * ([[graft.functions.UrlRegistrableDomain]]) — semantics pinned
+    * byte-equal to `registrableDomain(host(normalizeUrl(url)))` by spec.
+    * Use this form wherever the domain feeds a PREDICATE or a key: the
+    * Column composition above re-inlines its ~10-regex input chain at
+    * every reference (a null-guarded blocklist filter expanded to >64 KB
+    * of generated code and fell back to interpreted eval); the expression
+    * reads the URL once.
+    */
+  def registrableDomainOfUrl(urlCol: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.UrlRegistrableDomain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(urlCol)))
+
   /** Normalized URL + host + registrable domain in one projection —
     * the standard enrichment the other stages key on.
     */
@@ -117,7 +122,7 @@ object UrlFilter {
     val norm = normalizeUrl(col(urlCol))
     df.withColumn(normCol, norm)
       .withColumn(hostCol, host(norm))
-      .withColumn(domainCol, registrableDomain(host(norm)))
+      .withColumn(domainCol, registrableDomainOfUrl(col(urlCol)))
   }
 
   /** Drop rows whose registrable domain is blocklisted. The blocklist is
@@ -127,8 +132,10 @@ object UrlFilter {
     */
   def blocklistFilter(df: DataFrame, urlCol: String,
       blockedDomains: Seq[String]): DataFrame = {
-    val dom = registrableDomain(host(normalizeUrl(col(urlCol))))
-    df.filter(!dom.isin(blockedDomains: _*) || dom.isNull)
+    val dom = registrableDomainOfUrl(col(urlCol))
+    // coalesce form: ONE reference to dom (null url -> null isin -> kept),
+    // where `!isin || isNull` would inline the domain expression twice
+    df.filter(coalesce(!dom.isin(blockedDomains: _*), lit(true)))
   }
 
   /** Exact-URL dedup: keep ONE row per normalized URL, the hash-order
@@ -160,7 +167,7 @@ object UrlFilter {
   def perDomainCap(df: DataFrame, urlCol: String, k: Int,
       tieCols: Seq[String], seed: Long = 42L): DataFrame = {
     val enriched = df.withColumn("__dom",
-      registrableDomain(host(normalizeUrl(col(urlCol)))))
+      registrableDomainOfUrl(col(urlCol)))
     graft.sampling.Sampling.quotaPerStratum(enriched, Seq("__dom"), k,
       tieCols, seed).drop("__dom")
   }

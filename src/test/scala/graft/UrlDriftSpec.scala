@@ -52,6 +52,64 @@ class UrlDriftSpec extends SparkSpec {
     assert(dom1("http://co.uk/") === "co.uk") // bare suffix: nothing above it
   }
 
+  test("UrlRegistrableDomain kernel is byte-equal to the Column chain") {
+    // the codegen Expression (one URL read) must agree with the composed
+    // Column route registrableDomain(host(normalizeUrl(u))) on every edge:
+    // schemes (present/absent/upper/exotic), userinfo, default and exotic
+    // ports, fragments before paths, trailing dots, interior empty labels,
+    // IPs, single labels, two-level suffixes, mixed case, spaces, empties
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM/A", "www.example.com/x",
+      "http://user:pw@example.com:80/p", "https://example.com:443/p",
+      "http://example.com:443/p", "http://example.com:8080/p",
+      "http://news.bbc.co.uk/x", "http://a.b.example.org/x",
+      "http://192.168.0.1:8080/x", "http://localhost/x",
+      "http://e.com#sec", "  http://e.com/x#a  ", "http://E.com/Path/To",
+      "http://example.com./x", "http://example.com../x",
+      "http://a..b.com/x", "ftp://Files.example.co.jp/x",
+      "mailto:foo@bar.com", "http://@example.com/x",
+      "http://x.CO.UK/", "", " ", "http://", "http:///path",
+      "http://e.com/p?utm_source=x&id=1", "http://com.au/",
+      "http://?q=1", "http://#f", "http://10.0.0.1.", "http://...",
+      "a", ".", "http://xn--bcher-kva.example/x")
+    val df = urls.toDF("url")
+    val both = df.select(
+      UrlFilter.registrableDomainOfUrl(col("url")).as("kernel"),
+      UrlFilter.registrableDomain(
+        UrlFilter.host(UrlFilter.normalizeUrl(col("url")))).as("chain"))
+      .collect()
+    for ((r, u) <- both.zip(urls))
+      assert(r.getString(0) === r.getString(1), s"url=[$u]")
+    // null: the kernel is null-in-null-out (the sane Expression contract);
+    // the Column chain yields "" — a concat_ws-over-nulls artifact, not a
+    // domain. The one DOWNSTREAM consumer of the difference is the
+    // blocklist predicate, which keeps the row either way (asserted in the
+    // blocklistFilter test below)
+    val nr = Seq(Option.empty[String]).toDF("url").select(
+      UrlFilter.registrableDomainOfUrl(col("url")).as("kernel"),
+      UrlFilter.registrableDomain(
+        UrlFilter.host(UrlFilter.normalizeUrl(col("url")))).as("chain"))
+      .head()
+    assert(nr.isNullAt(0) && nr.getString(1) === "")
+    // and over a broad generated matrix (every scheme/host/port/path/query
+    // combination), so the equivalence is not just the hand-picked edges
+    val gen = for {
+      scheme <- Seq("", "http://", "HTTPS://", "ftp://")
+      user <- Seq("", "u@", "U:p@")
+      hostp <- Seq("Ex.COM", "a.b.co.uk", "127.0.0.1", "x", "x.y.z.com.",
+        "b..c.org")
+      port <- Seq("", ":80", ":443", ":9090")
+      tail <- Seq("", "/", "/P?utm_source=1&x=2#f", "#only")
+    } yield s"$scheme$user$hostp$port$tail"
+    val g = gen.toDF("url").select(
+      UrlFilter.registrableDomainOfUrl(col("url")).as("kernel"),
+      UrlFilter.registrableDomain(
+        UrlFilter.host(UrlFilter.normalizeUrl(col("url")))).as("chain"))
+      .collect()
+    for ((r, u) <- g.zip(gen))
+      assert(r.getString(0) === r.getString(1), s"url=[$u]")
+  }
+
   test("blocklistFilter drops by registrable domain, keeps null-host rows") {
     val df = Seq(
       (1L, "http://media.badsite.co.uk/a"), // blocked via 2-level suffix
