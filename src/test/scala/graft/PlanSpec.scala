@@ -66,6 +66,21 @@ class PlanSpec extends SparkSpec {
       s"UDF leaked into the hot path:\n$s")
   }
 
+  test("ingest transforms are map-side: no Exchange, no UDF") {
+    import spark.implicits._
+    val files = Seq(
+      graft.model.FileRow("r", "a/x.ipynb", "c", "", "{}"),
+      graft.model.FileRow("r", "a/y.py", "c", "", "print(1)")).toDS()
+    val s1 = plan(graft.filter.QualityPipeline.convertNotebooks(files).toDF())
+    assert(!s1.contains("Exchange"), s"notebook conversion shuffled:\n$s1")
+    assert(!s1.contains("BatchEvalPython") && !s1.toLowerCase.contains("scalaudf"),
+      s"UDF in the conversion path:\n$s1")
+    val s2 = plan(graft.filter.QualityPipeline.backfillLanguages(files).toDF())
+    assert(!s2.contains("Exchange"), s"lang backfill shuffled:\n$s2")
+    assert(!s2.contains("BatchEvalPython") && !s2.toLowerCase.contains("scalaudf"),
+      s"UDF in the backfill path:\n$s2")
+  }
+
   test("hashRateSample is map-side: a pure filter, no Exchange in the plan") {
     import org.apache.spark.sql.functions.col
     val s = plan(graft.sampling.Sampling.hashRateSample(

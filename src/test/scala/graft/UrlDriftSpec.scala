@@ -162,6 +162,21 @@ class UrlDriftSpec extends SparkSpec {
     assert(again === capped.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("blocklist plan evaluates the domain ONCE (single kernel reference)") {
+    // range-backed (a Seq-backed LocalRelation would be constant-folded
+    // away by ConvertToLocalRelation and leave no Filter to inspect)
+    val df = spark.range(100).select(
+      concat(lit("http://site"), pmod(col("id"), lit(7)), lit(".com/x"))
+        .as("url"))
+    val s = UrlFilter.blocklistFilter(df, "url", Seq("site1.com"))
+      .queryExecution.executedPlan.toString
+    // the 64KB blowup came from re-inlining the domain chain per reference;
+    // the fixed predicate must carry exactly one graft_url_domain call
+    val hits = "graft_url_domain".r.findAllIn(s).size
+    assert(hits === 1, s"expected one kernel reference, got $hits:\n$s")
+    assert(!s.contains("Exchange"), s"blocklist filter shuffled:\n$s")
+  }
+
   test("url columns stay map-side: no Exchange in the enrichment plan") {
     val df = Seq((1L, "http://a.com/x")).toDF("doc_id", "url")
     val plan = UrlFilter.withUrlColumns(
