@@ -755,6 +755,24 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"), col("shard_id"))
         .orderBy("doc_id")
     }),
+    // training-sequence packing (GPT concat-and-chunk): token counts + the
+    // permutation hash are dumped; DuckDB replays the ENTIRE rule — global
+    // exclusive prefix sum in (h, doc_id) order, the spanned-sequence
+    // series, and the per-span offset/length arithmetic
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.wsTokenCount(col("text")).cast("long")
+          .as("n_tok"))
+      val aux = s"$OracleAuxDir/pack_hash"
+      docs.select(col("doc_id"), col("n_tok"),
+        graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.output.Shards.packSequences(docs, budgetTokens = 512L,
+        tokenCount = col("n_tok"), tieCols = Seq("doc_id"), seed = 11L)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("seq_id"),
+          col("n_tokens"), col("tok_start"), col("seq_off"), col("n_in_seq"))
+        .orderBy("doc_id", "seq_id")
+    }),
     // trained quality classifier: labels come from the heuristic band
     // score (the classifier learns to mimic it — the CCNet-style setup);
     // training is deterministic driver-side GD, scoring a pure projection.
@@ -2513,6 +2531,29 @@ object SparkEntry {
            FROM src)
          SELECT doc_id, CAST(c // 50000 AS BIGINT) AS shard_id
          FROM cum ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH src AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_tok AS BIGINT) AS n_tok, h
+           FROM read_parquet('/tmp/graft_oracle_aux/pack_hash/*.parquet')),
+         cum AS (
+           SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS c
+           FROM src),
+         spans AS (
+           SELECT doc_id, n_tok, c,
+             unnest(generate_series(c // 512, (c + n_tok - 1) // 512))
+               AS seq_id
+           FROM cum WHERE n_tok > 0)
+         SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           n_tok AS n_tokens,
+           CAST(greatest(seq_id * 512 - c, 0) AS BIGINT) AS tok_start,
+           CAST(greatest(c - seq_id * 512, 0) AS BIGINT) AS seq_off,
+           CAST(least(seq_id * 512 + 512, c + n_tok)
+             - greatest(seq_id * 512, c) AS BIGINT) AS n_in_seq
+         FROM spans ORDER BY doc_id, seq_id""",
     "q_sample_quota" ->
       """WITH ranked AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,

@@ -50,6 +50,21 @@ object Shards {
   def assignShards(df: DataFrame, shardBytes: Long, weight: Column,
       tieCols: Seq[String], seed: Long = 42L): DataFrame = {
     require(shardBytes > 0, s"shardBytes=$shardBytes must be positive")
+    withGlobalCum(df, weight, tieCols, seed)
+      // integral `div`, not `/`: long ÷ long via double misrounds near a
+      // boundary once cums outgrow the mantissa — exact at any scale
+      .withColumn("shard_id", expr(s"__cum div ${shardBytes}L"))
+      .drop("__w", "__cum")
+  }
+
+  /** Shared bucketed-exact-prefix machinery of [[assignShards]] and
+    * [[packSequences]]: appends `__w` (the long weight, null→0) and
+    * `__cum` (the row's EXCLUSIVE global cumulative weight in
+    * hash(seed, tieCols) permutation order). One content exchange (the
+    * per-bucket window); the 256 bucket offsets broadcast.
+    */
+  private[output] def withGlobalCum(df: DataFrame, weight: Column,
+      tieCols: Seq[String], seed: Long): DataFrame = {
     require(tieCols.nonEmpty, "tieCols must name the row identity")
     // cached: feeds BOTH the slim bucket-sum aggregation and the windowed
     // main pass (the exchanges differ, so Spark cannot reuse one scan).
@@ -72,10 +87,54 @@ object Shards {
       .join(broadcast(offsets), col("__bk") === col("__o_bk"))
       .withColumn("__cum",
         col("__off") + coalesce(sum(col("__w")).over(wLocal), lit(0L)))
-      // integral `div`, not `/`: long ÷ long via double misrounds near a
-      // boundary once cums outgrow the mantissa — exact at any scale
-      .withColumn("shard_id", expr(s"__cum div ${shardBytes}L"))
-      .drop("__sh", "__w", "__bk", "__o_bk", "__off", "__cum")
+      .drop("__sh", "__bk", "__o_bk", "__off")
+  }
+
+  /** Training-sequence packing — GPT-style "concat and chunk": the kept
+    * corpus is concatenated in a deterministic hash permutation (the same
+    * global shuffle [[assignShards]] uses) and cut into fixed
+    * `budgetTokens`-token training sequences, documents SPLITTING across
+    * sequence boundaries (no padding, no truncation loss — the classic
+    * pretraining packing; contrast with the per-document
+    * [[graft.text.TextAnalysis.chunkByLines]], which never crosses
+    * documents). Emits one row per (document × overlapped sequence):
+    *
+    *   tieCols…, `n_tokens` (the doc's own count), `seq_id`,
+    *   `tok_start` (first token of the doc landing in this sequence,
+    *   0-based within the doc), `seq_off` (where it lands in the
+    *   sequence), `n_in_seq` (how many land there).
+    *
+    * Invariants (spec-pinned): Σ n_in_seq per doc = its token count;
+    *   Σ n_in_seq per seq_id = budgetTokens for every sequence except the
+    *   last; assignments are a pure function of row identity (layout- and
+    *   parallelism-independent).
+    *
+    * Zero-token documents occupy no slot and emit no row. Scale: the one
+    * content exchange is the shared bucketed prefix window; the span
+    * explode is map-side (a doc overlaps ⌈len/budget⌉+1 ≤ small
+    * sequences); every downstream column is codegen arithmetic. The rule
+    * is replayable by any engine with a window + series generator — the
+    * `q_pack_sequences` DuckDB oracle does exactly that.
+    */
+  def packSequences(df: DataFrame, budgetTokens: Long, tokenCount: Column,
+      tieCols: Seq[String], seed: Long = 42L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    val b = lit(budgetTokens)
+    withGlobalCum(df, tokenCount, tieCols, seed)
+      .filter(col("__w") > 0)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__cum div ${budgetTokens}L"),
+          expr(s"(__cum + __w - 1) div ${budgetTokens}L"))))
+      .withColumn("__seq_start", col("seq_id") * b)
+      .withColumn("tok_start",
+        greatest(col("__seq_start") - col("__cum"), lit(0L)))
+      .withColumn("seq_off",
+        greatest(col("__cum") - col("__seq_start"), lit(0L)))
+      .withColumn("n_in_seq",
+        least(col("__seq_start") + b, col("__cum") + col("__w")) -
+          greatest(col("__seq_start"), col("__cum")))
+      .withColumn("n_tokens", col("__w"))
+      .drop("__w", "__cum", "__seq_start")
   }
 
   /** Assign and MATERIALIZE: parquet partitioned by `shard_id`, reusing

@@ -59,6 +59,75 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  // ---- training-sequence packing (concat-and-chunk) ----------------------
+
+  private val B = 512L
+
+  private def tokDocs(n: Int) =
+    (0 until n).map { i =>
+      // token counts 0..~900 incl. planted zeros (i%41==0) and
+      // budget-straddlers (> B, spanning 2-3 sequences)
+      val t = if (i % 41 == 0) 0L else ((i * 97) % 900 + 1).toLong
+      (i.toLong, t)
+    }.toDF("doc_id", "n_tok")
+
+  private def packed(n: Int, parts: Int) = {
+    val out = graft.output.Shards.packSequences(tokDocs(n).repartition(parts),
+      budgetTokens = B, tokenCount = col("n_tok"), tieCols = Seq("doc_id"),
+      seed = 11L)
+      .select(col("doc_id"), col("seq_id"), col("n_tokens"),
+        col("tok_start"), col("seq_off"), col("n_in_seq"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    graft.util.Caches.release()
+    out
+  }
+
+  test("packSequences: spans tile each doc and fill every sequence exactly") {
+    val n = 700
+    val rows = packed(n, 4)
+    val byDoc = rows.groupBy(_._1)
+    // zero-token docs emit nothing; every other doc appears
+    val expectTok = (0 until n).map(i =>
+      i.toLong -> (if (i % 41 == 0) 0L else ((i * 97) % 900 + 1).toLong)).toMap
+    assert(byDoc.keySet === expectTok.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (id, spans) =>
+      val tok = expectTok(id)
+      assert(spans.forall(_._3 == tok), s"doc $id n_tokens mismatch")
+      // spans tile [0, tok): contiguous tok_starts, lengths sum to tok
+      assert(spans.map(_._6).sum === tok, s"doc $id spans do not sum")
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 === 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._6 === b._4, s"doc $id gap")
+        case _ =>
+      }
+      // consecutive sequence ids, in-bounds offsets
+      assert(sorted.map(_._2) === (sorted.head._2 to sorted.last._2))
+      sorted.foreach { sp =>
+        assert(sp._5 >= 0 && sp._5 + sp._6 <= B, s"doc $id overflows seq")
+      }
+    }
+    // every sequence except the LAST is exactly full; offsets tile [0, B)
+    val bySeq = rows.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.keys.toSeq.sorted === (0L to lastSeq))
+    bySeq.foreach { case (sq, spans) =>
+      val filled = spans.map(_._6).sum
+      if (sq != lastSeq) assert(filled === B, s"seq $sq holds $filled")
+      else assert(filled <= B)
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 === 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._6 === b._5, s"seq $sq gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("packSequences is partition-layout independent") {
+    assert(packed(400, 1) === packed(400, 13))
+  }
+
   test("writeShards: partitioned layout round-trips; content shuffles once") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
