@@ -1275,6 +1275,23 @@ object SparkEntry {
     // via ONE from_json projection and DuckDB independently re-parses the
     // JSON and replays the whole contract — per-type counts, line joins,
     // comment prefixing, raw-cell drop, blank-line cell separator
+    // fill-in-the-middle transform: the four decision hashes are dumped;
+    // DuckDB replays the ENTIRE rule (pmod gates, integer cut points,
+    // substr split, PSM/SPM serialization) over the documents text
+    "q_fim" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aux = s"$OracleAuxDir/fim_hash"
+      val ids = Seq(col("doc_id"))
+      docs.select((col("doc_id") +: (0L to 3L).map(k =>
+          graft.sampling.Sampling.sampleHash(42L ^ k, ids).as(s"h$k"))): _*)
+        .coalesce(1).write.mode("overwrite").parquet(aux)
+      graft.text.Fim.withFim(docs, "text", Seq("doc_id"))
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("fim_applied"), col("fim_spm"),
+          col("fim_cut_lo"), col("fim_cut_hi"), col("fim_text"))
+        .orderBy("doc_id")
+    }),
+
     "q_notebook" -> ((s, dir) => {
       val docs = notebookFixture(s, dir)
       val aux = s"$OracleAuxDir/notebooks"
@@ -2951,6 +2968,40 @@ object SparkEntry {
     // the whole conversion contract: per-type counts, code-cell line
     // joins, markdown comment prefixing, raw-cell drop, blank-line
     // separator, empty-source and empty-cells edges
+    "q_fim" ->
+      """WITH hsh AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, h0, h1, h2, h3
+           FROM read_parquet('/tmp/graft_oracle_aux/fim_hash/*.parquet')),
+         d AS (
+           SELECT h.doc_id, dd.text, h.h0, h.h1, h.h2, h.h3,
+             CAST(length(dd.text) AS BIGINT) AS L
+           FROM hsh h JOIN documents dd ON CAST(dd.doc_id AS BIGINT) = h.doc_id),
+         c AS (
+           SELECT doc_id, text, L,
+             text IS NOT NULL AND ((h0 % 100) + 100) % 100 < 50 AS applied,
+             least(((h1 % (L+1)) + (L+1)) % (L+1),
+                   ((h2 % (L+1)) + (L+1)) % (L+1)) AS lo,
+             greatest(((h1 % (L+1)) + (L+1)) % (L+1),
+                      ((h2 % (L+1)) + (L+1)) % (L+1)) AS hi,
+             ((h3 % 100) + 100) % 100 < 50 AS spm
+           FROM d),
+         p AS (
+           SELECT doc_id, text, applied, spm, lo, hi,
+             substr(text, 1, CAST(lo AS BIGINT)) AS pre,
+             substr(text, CAST(lo+1 AS BIGINT), CAST(hi-lo AS BIGINT)) AS mid,
+             substr(text, CAST(hi+1 AS BIGINT), CAST(L-hi AS BIGINT)) AS suf
+           FROM c)
+         SELECT doc_id, applied AS fim_applied,
+           applied AND spm AS fim_spm,
+           CASE WHEN applied THEN CAST(lo AS BIGINT) END AS fim_cut_lo,
+           CASE WHEN applied THEN CAST(hi AS BIGINT) END AS fim_cut_hi,
+           CASE WHEN NOT applied THEN text
+                WHEN spm THEN '<fim_suffix>' || suf || '<fim_prefix>' || pre
+                  || '<fim_middle>' || mid
+                ELSE '<fim_prefix>' || pre || '<fim_suffix>' || suf
+                  || '<fim_middle>' || mid
+           END AS fim_text
+         FROM p ORDER BY doc_id""",
     "q_notebook" ->
       """WITH nb AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, nb_json,
