@@ -328,6 +328,39 @@ object Bench {
           passageRounds.max
         } finally s.stop()
       }
+    // training-sequence packing cost — the output-stage prefix machinery
+    // over slim (id, n_tok) rows at corpus scale: one bucket-window
+    // exchange + broadcast offsets + map-side span explode. No content is
+    // generated — the packing rule itself is what's measured — so rows run
+    // 10x the pipeline n by default. Same two-round protocol.
+    val packN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PACK_ROWS",
+      math.min(10 * n, 10000000L).toString).toLong
+    def packShot(s: SparkSession, rows: Long, parts: Int): Long = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val docs = s.range(0L, rows, 1L, parts)
+        .select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(900L)) + 1L).as("n_tok"))
+      graft.output.Shards.packSequences(docs, budgetTokens = 2048L,
+        tokenCount = col("n_tok"), tieCols = Seq("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+      graft.util.Caches.release()
+      rows
+    }
+    val packRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    val tpPack =
+      if (scaleOnly) -1.0
+      else {
+        val s = session(cpus)
+        try {
+          packShot(s, 50000L, cpus) // JIT warm-up
+          (1 to 2).foreach { _ =>
+            val t0 = System.nanoTime()
+            val rows = packShot(s, packN, 4 * cpus)
+            packRounds += rows / ((System.nanoTime() - t0) / 1e9)
+          }
+          packRounds.max
+        } finally s.stop()
+      }
     // ---- scale-shape stress: single-shot series at a 10x-bench n ---------
     // catches threshold crossovers a 1-3M-row run cannot (broadcast caps,
     // closure collect limits, fetch-strategy flips). Minutes-to-an-hour of
@@ -488,6 +521,9 @@ object Bench {
       f""""passagededup_rows":$paraN,""" +
       f""""passagededup_rounds":${arr(passageRounds.toSeq)},""" +
       f""""passagededup_diag":${mapJson(passageDiag)},""" +
+      f""""rows_per_sec_pack_n$cpus":$tpPack%.1f,""" +
+      f""""pack_rows":$packN,""" +
+      f""""pack_rounds":${arr(packRounds.toSeq)},""" +
       f""""scaling_n_low":$lowCpus,"scaling_n_high":$midCpus,""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_raw":$effRaw%.3f""" +
       satJson + stressField + "}"
