@@ -53,6 +53,54 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 
+  /** [[contaminationFlags]] for a HUGE eval-shingle set — the scale path
+    * when the exact distinct set no longer broadcasts (10^8+ shingles ≈
+    * gigabytes exact vs tens of MB as a sketch). Two stages, IDENTICAL
+    * output to the exact route (spec-pinned):
+    *
+    *   1. a Bloom sketch of the benchmark shingles (Spark's public
+    *      `stat.bloomFilter` — one distributed aggregate) rides the plan
+    *      as a literal and prefilters the corpus shingles MAP-SIDE via the
+    *      codegen [[graft.functions.BloomMightContainLong]] probe — no
+    *      false negatives, so nothing contaminated can slip past;
+    *   2. the surviving candidates (true hits + fpp·|corpus shingles|
+    *      false positives) are verified with an exact SHUFFLE semi-join
+    *      against the true set — removing the false positives, which is
+    *      what makes the two routes byte-identical.
+    *
+    * The shuffle carries only the candidate (shingle, id) pairs — at 1 %
+    * fpp that is ~1 % of the corpus-shingle volume the exact route never
+    * shuffles at all, which is the trade: tiny broadcast + small shuffle
+    * vs huge broadcast + no shuffle. `expectedShingles = 0` counts the
+    * benchmark side first (one extra slim pass over the SMALL side) to
+    * size the sketch.
+    */
+  def contaminationFlagsBloom(docs: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      n: Int = 8, minHits: Int = 1, fpp: Double = 0.01,
+      expectedShingles: Long = 0L): DataFrame = {
+    require(n > 0 && minHits > 0, s"n=$n minHits=$minHits must be positive")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp outside (0,1)")
+    val benchShingles = graft.util.Caches.track(
+      docShingles(benchmark.select(lit(0L).as("__bid"),
+          col(benchTextCol).as("__btxt")), "__bid", "__btxt", n)
+        .select(col("shingle")).distinct())
+    val expected = if (expectedShingles > 0) expectedShingles
+      else math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("shingle", expected, fpp)
+    val candidates = docShingles(docs, idCol, textCol, n)
+      .filter(graft.functions.expressions
+        .bloom_might_contain(col("shingle"), bloom))
+    val hits = candidates
+      .join(benchShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol).cast("long"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
   // ---- exact-substring decontamination (Aho–Corasick) --------------------
 
   /** Needle set for [[exactSubstringFlags]]: the NON-OVERLAPPING

@@ -45,6 +45,38 @@ class DecontaminateSpec extends SparkSpec {
 
   // ---- exact-substring decontamination ------------------------------------
 
+  test("bloom route is byte-identical to the exact route, at any fpp") {
+    // a broader corpus than the fixture: 300 generated docs, ~1/5 seeded
+    // with a bench 8-gram run (forces true hits the verify join must keep
+    // and plenty of non-hits the sketch must mostly reject)
+    val big = (0 until 300).map { i =>
+      val body = s"doc $i " + (s"tok${i % 17} " * 12)
+      (100L + i, if (i % 5 == 0) body + benchText else body)
+    }.toDF("id", "text")
+    val exact = Decontaminate.contaminationFlags(big, "id", "text",
+        bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    // fpp 0.5: the sketch passes LOTS of false positives — the exact
+    // verify join must remove every one (identical output is the contract)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloomed = Decontaminate.contaminationFlagsBloom(big, "id", "text",
+          bench, "text", fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(bloomed === exact, s"fpp=$fpp diverged from the exact route")
+    }
+    graft.util.Caches.release()
+    // plan shape: the sketch probe is a map-side Filter on the corpus
+    // side and the verify join is a shuffle join, never a broadcast of
+    // the shingle set
+    val plan = Decontaminate.contaminationFlagsBloom(big, "id", "text",
+      bench, "text").queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"no sketch probe in plan:\n$plan")
+    graft.util.Caches.release()
+  }
+
   test("benchNeedles: aligned chunks, tail dropped, distinct, code-point counting") {
     val a = "0123456789abcdefXYZ" // len 19, chunk 8 -> 2 full chunks, tail dropped
     val b = "0123456789abcdef"    // duplicates a's chunks exactly
