@@ -28,7 +28,12 @@ object Runner {
       benchmark: DataFrame,
       textCol: String = "text",
       n: Int = 8,
-      minHits: Int = 1) {
+      minHits: Int = 1,
+      /** Bloom-prefiltered probe for eval sets too big to broadcast
+        * exactly — byte-identical output, so deliberately NOT part of the
+        * resume seal (checkpoints from either route interchange).
+        */
+      bloom: Boolean = false) {
     /** Order-independent content fingerprint of the eval set — sealed into
       * the work dir so a resume against a DIFFERENT benchmark refuses
       * instead of silently reusing stale decontamination verdicts.
@@ -173,7 +178,8 @@ object Runner {
             // (shingle probe + final join)
             val staged = stage("verdicts_predecon")(boiled)
             QualityPipeline.decontaminate(staged.as[FileVerdict],
-              dc.benchmark, dc.textCol, dc.n, dc.minHits).toDF()
+              dc.benchmark, dc.textCol, dc.n, dc.minHits,
+              bloomPrefilter = dc.bloom).toDF()
         }
         classifierGate match {
           case None => decond
