@@ -553,6 +553,26 @@ object SparkEntry {
         .contaminationFlags(docs, "doc_id", "text", bench, "text")
         .orderBy("doc_id")
     }),
+    // the Bloom-prefiltered route against the SAME oracle replay — the
+    // sketch has no false negatives and the exact verify join removes its
+    // false positives, so the driver-gate hash must match the exact
+    // route's byte for byte (shingle dumps reused from q_decontaminate's
+    // run would race Bench re-runs, so this query re-dumps its own)
+    "q_decon_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleAuxDir/decon_bloom_doc")
+      graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
+        .select("shingle").distinct().coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleAuxDir/decon_bloom_bench")
+      // tracked benchShingles cache released by the harness after the
+      // query's action (Verify/Bench both call Caches.release per query)
+      graft.text.Decontaminate
+        .contaminationFlagsBloom(docs, "doc_id", "text", bench, "text")
+        .orderBy("doc_id")
+    }),
     // exact-substring decontamination (Aho–Corasick over aligned benchmark
     // chunks) — a TRUE cross-engine oracle with no dumps: needle extraction
     // is pure Spark SQL (sequence + substr, code-point counting), so DuckDB
@@ -2243,6 +2263,24 @@ object SparkEntry {
          bs AS (
            SELECT DISTINCT shingle
            FROM read_parquet('/tmp/graft_oracle_aux/decon_bench/*.parquet')),
+         hits AS (
+           SELECT doc_id, count(*) AS n_hits FROM ds
+           WHERE shingle IN (SELECT shingle FROM bs)
+           GROUP BY doc_id)
+         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY doc_id""",
+    // identical replay for the Bloom-prefiltered route (its own dumps):
+    // the sketch must change NOTHING about the answer
+    "q_decon_bloom" ->
+      """WITH ds AS (
+           SELECT doc_id, shingle
+           FROM read_parquet('/tmp/graft_oracle_aux/decon_bloom_doc/*.parquet')),
+         bs AS (
+           SELECT DISTINCT shingle
+           FROM read_parquet('/tmp/graft_oracle_aux/decon_bloom_bench/*.parquet')),
          hits AS (
            SELECT doc_id, count(*) AS n_hits FROM ds
            WHERE shingle IN (SELECT shingle FROM bs)
