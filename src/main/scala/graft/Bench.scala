@@ -75,6 +75,38 @@ object Bench {
     n
   }
 
+  /** Untimed diagnostic pass for the with-dedup series: how many exact-dup
+    * losers the measured corpus actually produced and how many rows stayed
+    * kept — the density/path facts without which two windows' with-dedup
+    * numbers cannot be reconciled (round-4 verdict item 2).
+    */
+  private def dedupDiagnostics(s: SparkSession, n: Long,
+      parts: Int): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val v = graft.filter.QualityPipeline.verdicts(
+      graft.filter.QualityPipeline.annotate(
+        graft.filter.QualityPipeline.score(
+          graft.corpus.CorpusGen.files(s, n, partitions = parts)),
+        graft.corpus.CorpusGen.commitsDim(s),
+        graft.filter.QualityPipeline.Config(),
+        rawKeys = Some(graft.corpus.CorpusGen.keys(s, n, partitions = parts))))
+      .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = graft.filter.QualityPipeline
+        .dedupByContent(v.as[graft.model.FileVerdict]).toDF()
+      val r = d.agg(
+        coalesce(sum(when(array_contains(col("dropReasons"),
+          "content_dup"), 1L)), lit(0L)).as("losers"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("kept")).head()
+      Map(
+        "dedup.content_dup_losers" -> r.getLong(0).toString,
+        "dedup.kept_rows" -> r.getLong(1).toString,
+        // dedupByContent default: rare-dup survivor map broadcast back
+        "dedup.survivor_join" -> "broadcast")
+    } finally { v.unpersist(); () }
+  }
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,6 +143,19 @@ object Bench {
     // keep bench re-runs of the dump-based oracle queries away from the
     // Verify dump the driver's DuckDB compare reads (see SparkEntry)
     System.setProperty("graft.oracle.aux", "/tmp/graft_bench_aux")
+    // round-4 verdict item 3: oracle-dump I/O out of the timed window.
+    // Clear the private aux dir once, then let SparkEntry.auxWrite skip
+    // re-dumping paths this process already materialized — each query runs
+    // once UNTIMED (dumps happen), then the timed runs measure the
+    // operator-only plan. Verify never sets this property.
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    rmTree(java.nio.file.Paths.get("/tmp/graft_bench_aux"))
+    System.setProperty("graft.oracle.auxSkipExisting", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val queryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RUNS", "3").toInt
@@ -123,6 +168,12 @@ object Bench {
       val spark = session(cpus)
       spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/exec warm-up
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // UNTIMED setup run: materializes the query's aux dumps (and JIT);
+        // the auxSkipExisting property then turns those writes into no-ops
+        // for the timed runs, which measure the operator-only plan
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // the timed runs report the error
+        graft.util.Caches.release()
         val times = (1 to queryRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           val t =
@@ -229,12 +280,59 @@ object Bench {
     }
     val tp = levels.map(c => c -> capacity(byLevel(c).toSeq)).toMap
     val ctl = levels.map(c => c -> capacity(ctlByLevel(c).toSeq)).toMap
-    // two sessions, best kept — a single session is exposed to one
-    // contention window (observed 6x swings); not gated, but reported
+    // with-dedup series — round-4 verdict item 2: the same reconciliation
+    // treatment paragraph dedup got. EVERY round is reported (not just the
+    // max), TWO sessions so one contention window cannot own the number,
+    // and an untimed diagnostic pass names what the measured runs actually
+    // did (exact-dup loser count, kept rows, survivor-join path) — two
+    // windows of "the same" bench are only comparable with those pinned.
+    val dedupRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    var dedupDiag = Map.empty[String, String]
     val tpFull =
       if (scaleOnly) -1.0
-      else math.max(sessionBest(cpus, dedup = true, runs = 2),
-        sessionBest(cpus, dedup = true, runs = 1))
+      else {
+        (1 to 2).foreach { si =>
+          val s = session(cpus)
+          try {
+            Runner.runInMemory(s, 50000L, partitions = cpus, includeDedup = true)
+            Runner.runInMemory(s, 200000L, partitions = 4 * cpus,
+              includeDedup = true)
+            (1 to si).foreach { _ =>
+              val t0 = System.nanoTime()
+              val rows = Runner.runInMemory(s, n, partitions = 4 * cpus,
+                includeDedup = true)
+              dedupRounds += rows / ((System.nanoTime() - t0) / 1e9)
+            }
+            if (si == 2) dedupDiag = dedupDiagnostics(s, n, 4 * cpus)
+          } finally s.stop()
+        }
+        dedupRounds.max
+      }
+    // entropy-family ablation (round-4 verdict item 1): the SAME pipeline
+    // with the hex/b64 entropy-gated secret rules removed from the scrub
+    // chain — attributes what the mandated entropy detectors cost after
+    // the run-scanner fast path (round 4 shipped them as two unprescreened
+    // java.util.regex passes and lost 1.6x without any number attributing
+    // it; this series keeps that attribution measured every round).
+    val noEntropy = new graft.filter.Scrubber(
+      graft.filter.Scrub.rules.filterNot(_.minBits.isDefined))
+    val ablationRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    val tpNoEntropy =
+      if (scaleOnly) -1.0
+      else {
+        val s = session(cpus)
+        try {
+          Runner.runInMemory(s, 50000L, partitions = cpus,
+            includeDedup = false, scrubber = noEntropy)
+          (1 to 2).foreach { _ =>
+            val t0 = System.nanoTime()
+            val rows = Runner.runInMemory(s, n, partitions = 4 * cpus,
+              includeDedup = false, scrubber = noEntropy)
+            ablationRounds += rows / ((System.nanoTime() - t0) / 1e9)
+          }
+          ablationRounds.max
+        } finally s.stop()
+      }
     // near-dup stage appended (exact dedup + MinHash/LSH + transitive
     // closure) — the flagship fuzzy-dedup cost at bench scale. MinHash over
     // every kept document is minutes per run at n=3M, so this is a
@@ -361,6 +459,54 @@ object Bench {
           packRounds.max
         } finally s.stop()
       }
+    // ---- skew-defense evidence (round-4 verdict item 5) -------------------
+    // a planted 90%-mass mega-repo; per-repo top-k two ways over the SAME
+    // slim (doc_id, repo) frame: the salted two-phase quota (the engine's
+    // path everywhere a stratum can be huge) vs the naive single-window
+    // rank. The outputs are identical rows (the two-phase == direct-window
+    // equivalence is oracle-proven, q_sample_quota); the wall-time gap is
+    // what the salt buys — the naive window funnels 90% of the corpus
+    // through ONE task regardless of cluster width, the definition of a
+    // scale killer.
+    val skewN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKEW_ROWS",
+      "8000000").toLong
+    def skewShot(salted: Boolean): Double = {
+      val s = session(cpus)
+      try {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, concat, lit, pmod,
+          row_number, when, xxhash64}
+        def job(rows: Long): Unit = {
+          val df = s.range(0L, rows, 1L, 4 * cpus)
+            .select(col("id").as("doc_id"),
+              when(pmod(xxhash64(col("id")), lit(10L)) < 9L, lit("repo_mega"))
+                .otherwise(concat(lit("repo_"),
+                  pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"))
+          val out =
+            if (salted)
+              graft.sampling.Sampling.quotaPerStratum(df, Seq("repo"), k = 25,
+                tieCols = Seq("doc_id"))
+            else {
+              val h = graft.sampling.Sampling
+                .sampleHash(42L, Seq(col("doc_id")))
+              df.withColumn("__sh", h)
+                .withColumn("__rn", row_number().over(
+                  Window.partitionBy(col("repo"))
+                    .orderBy(col("__sh").asc, col("doc_id").asc)))
+                .filter(col("__rn") <= 25).drop("__rn", "__sh")
+            }
+          out.write.format("noop").mode("overwrite").save()
+        }
+        job(100000L) // JIT warm-up
+        val t0 = System.nanoTime()
+        job(skewN)
+        skewN / ((System.nanoTime() - t0) / 1e9)
+      } finally s.stop()
+    }
+    val (tpSkewSalted, tpSkewNaive) =
+      if (scaleOnly) (-1.0, -1.0)
+      else (skewShot(salted = true), skewShot(salted = false))
+
     // ---- scale-shape stress: single-shot series at a 10x-bench n ---------
     // catches threshold crossovers a 1-3M-row run cannot (broadcast caps,
     // closure collect limits, fetch-strategy flips). Minutes-to-an-hour of
@@ -458,6 +604,29 @@ object Bench {
           else ""
         } catch { case _: java.io.IOException => "" }
       }
+    // throughput-floor regression guard (round-4 verdict item 8): compare
+    // the measured pipeline capacity against the last number RECORDED in
+    // BASELINE.md (machine-readable `BENCH_BASELINE` marker). Round 4's
+    // 1.6x regression shipped without a word anywhere — now the delta is
+    // always in the JSON and a >20% drop is loudly annotated on stderr.
+    val baselineN32: Double =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BASELINE_MD", "BASELINE.md")))
+        val m = java.util.regex.Pattern
+          .compile("BENCH_BASELINE\\s+pipeline_files_per_sec_n32=([0-9.]+)")
+          .matcher(txt)
+        if (m.find()) m.group(1).toDouble else -1.0
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val pipelineDelta =
+      if (baselineN32 > 0 && tp.getOrElse(cpus, -1.0) > 0) tp(cpus) / baselineN32
+      else -1.0
+    if (pipelineDelta >= 0 && pipelineDelta < 0.8)
+      System.err.println(
+        f"[Bench] REGRESSION: pipeline n$cpus ${tp(cpus)}%.1f files/s = " +
+          f"$pipelineDelta%.2fx the BASELINE.md floor ($baselineN32%.1f); " +
+          "do not record without documenting the cause")
+
     val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
     // a measured eff > 1.0 is a noise artifact by definition (you cannot
     // beat linear scaling on identical work) — the headline is clamped,
@@ -510,6 +679,17 @@ object Bench {
       f""""control_rows":$controlN,"control_efficiency":${math.min(ctlEff, 1.0)}%.3f,""" +
       f""""control_efficiency_raw":$ctlEff%.3f,""" +
       f""""files_per_sec_with_dedup_n$cpus":$tpFull%.1f,""" +
+      f""""with_dedup_rounds":${arr(dedupRounds.toSeq)},""" +
+      f""""with_dedup_diag":${mapJson(dedupDiag)},""" +
+      f""""files_per_sec_noentropy_n$cpus":$tpNoEntropy%.1f,""" +
+      f""""noentropy_rounds":${arr(ablationRounds.toSeq)},""" +
+      f""""rows_per_sec_skew_salted_n$cpus":$tpSkewSalted%.1f,""" +
+      f""""rows_per_sec_skew_single_window_n$cpus":$tpSkewNaive%.1f,""" +
+      f""""skew_rows":$skewN,"skew_mega_share":0.9,""" +
+      f""""skew_salted_speedup":${
+        if (tpSkewNaive > 0) tpSkewSalted / tpSkewNaive else -1.0}%.2f,""" +
+      f""""pipeline_baseline_n32":$baselineN32%.1f,""" +
+      f""""pipeline_delta_vs_baseline":$pipelineDelta%.3f,""" +
       f""""files_per_sec_with_neardup_n$cpus":$tpNearDup%.1f,""" +
       f""""neardup_rows":$nearDupN,""" +
       f""""neardup_diag":${mapJson(nearDupDiag)},""" +

@@ -200,7 +200,9 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id"), col("text"))
       val idxDir = s"$OracleAuxDir/inc_index"
-      graft.dedup.Incremental.writeIndex(docs, "id", "text", idxDir)
+      auxWrite(idxDir) {
+        graft.dedup.Incremental.writeIndex(docs, "id", "text", idxDir)
+      }
       val fresh = concat_ws(" ",
         sha2(col("text").cast("binary"), 256),
         sha2(concat(col("text"), lit("x")).cast("binary"), 256),
@@ -215,14 +217,20 @@ object SparkEntry {
           .select((col("id") + 3000000L).as("id"), fresh.as("text")))
       // dump the replay primitives: batch signatures + band buckets, and a
       // flat copy of the hive-partitioned index band table
-      graft.dedup.Dedup.minHashSignatures(batch, "id", "text")
-        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_sigs")
-      graft.dedup.Dedup.lshBuckets(
-        s.read.parquet(s"$OracleAuxDir/inc_batch_sigs"), "id")
-        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_bands")
-      s.read.parquet(s"$idxDir/bands")
-        .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_idx_bands")
+      auxWrite(s"$OracleAuxDir/inc_batch_sigs") {
+        graft.dedup.Dedup.minHashSignatures(batch, "id", "text")
+          .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_sigs")
+      }
+      auxWrite(s"$OracleAuxDir/inc_batch_bands") {
+        graft.dedup.Dedup.lshBuckets(
+          s.read.parquet(s"$OracleAuxDir/inc_batch_sigs"), "id")
+          .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_batch_bands")
+      }
+      auxWrite(s"$OracleAuxDir/inc_idx_bands") {
+        s.read.parquet(s"$idxDir/bands")
+          .select(col("id"), col("band").cast("int").as("band"), col("bucket"))
+          .write.mode("overwrite").parquet(s"$OracleAuxDir/inc_idx_bands")
+      }
       graft.dedup.Incremental.probe(batch, "id", "text", idxDir)
         .orderBy("id")
     }),
@@ -242,8 +250,10 @@ object SparkEntry {
       val verdicts = QualityPipeline.run(
         CorpusGen.files(s, 5000L), CorpusGen.commitsDim(s)).toDF()
       val aux = s"$OracleAuxDir/verdicts"
-      verdicts.select(col("keep"), col("dropReasons"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        verdicts.select(col("keep"), col("dropReasons"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       s.read.parquet(aux)
         .select(explode_outer(col("dropReasons")).as("rule_id"))
         .groupBy(coalesce(col("rule_id"), lit("__kept__")).as("rule_id"))
@@ -264,7 +274,9 @@ object SparkEntry {
           (id, LangId.classify(t), math.rint(Perplexity.score(t) / 10) * 10) }
         .toDF("doc_id", "pred_lang", "ppl_bucket")
       val aux = s"$OracleAuxDir/langid"
-      perDoc.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        perDoc.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       s.read.parquet(aux)
         .groupBy(col("pred_lang"), col("ppl_bucket"))
         .agg(count(lit(1)).as("n"))
@@ -303,7 +315,9 @@ object SparkEntry {
         "id", "text", graft.dedup.Dedup.MinHashConfig(threshold = 0.8))
         .select(col("id_a"), col("id_b"))
       val aux = s"$OracleAuxDir/neardup_pairs"
-      pairs.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        pairs.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       val p = s.read.parquet(aux)
       val participants = p.select(col("id_a").as("id"))
         .unionByName(p.select(col("id_b").as("id"))).distinct()
@@ -358,10 +372,12 @@ object SparkEntry {
         .withColumn("content", when(sel === 0,
           concat(col("content"), lit("// fork patch\n"))).otherwise(col("content")))
       val aux = s"$OracleAuxDir/fork_hashes"
-      base.unionByName(forked)
-        .select(col("repo"),
-          sha2(col("content").cast("binary"), 256).as("h")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        base.unionByName(forked)
+          .select(col("repo"),
+            sha2(col("content").cast("binary"), 256).as("h")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.dedup.Dedup.forkPairsFromHashes(s.read.parquet(aux),
         minShared = 2, minOverlap = 0.3)
         .orderBy("repo_a", "repo_b")
@@ -381,8 +397,10 @@ object SparkEntry {
       val aux = s"$OracleAuxDir/clone_posts"
       // no coalesce(1): the oracle reads a glob, and coalescing after the
       // distinct would collapse the whole aggregation onto one thread
-      fps.select(col("fid"), explode(col("fingerprints")).as("fp")).distinct()
-        .write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        fps.select(col("fid"), explode(col("fingerprints")).as("fp")).distinct()
+          .write.mode("overwrite").parquet(aux)
+      }
       // maxPostings=100 on a generated corpus with a tiny line vocabulary:
       // common-code windows appear in thousands of files and carry no
       // clone evidence — only RARE windows (per-file numeric literals the
@@ -459,13 +477,15 @@ object SparkEntry {
       val cents = graft.similarity.Similarity.ivfCentroids(
         duped, "vec_id", "embedding", k = 8, iters = 2)
       val aux = s"$OracleAuxDir/semdedup"
-      graft.similarity.Similarity.withCluster(duped, "embedding", cents)
-        .withColumn("cent_cos",
-          graft.similarity.Similarity.centroidCosine(col("embedding"), cents))
-        .select(col("vec_id").cast("bigint").as("vec_id"),
-          col("__cluster").as("cluster"), col("cent_cos"),
-          transform(col("embedding"), _.cast("double")).as("v"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        graft.similarity.Similarity.withCluster(duped, "embedding", cents)
+          .withColumn("cent_cos",
+            graft.similarity.Similarity.centroidCosine(col("embedding"), cents))
+          .select(col("vec_id").cast("bigint").as("vec_id"),
+            col("__cluster").as("cluster"), col("cent_cos"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.similarity.Similarity.semDedup(duped, "vec_id", "embedding",
         cents, eps = 0.995, maxCluster = 4096)
         .select(col("vec_id").cast("bigint").as("vec_id"), col("cluster"),
@@ -543,12 +563,16 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleAuxDir/decon_doc")
-      graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
-        .select("shingle").distinct().coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleAuxDir/decon_bench")
+      auxWrite(s"$OracleAuxDir/decon_doc") {
+        graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$OracleAuxDir/decon_doc")
+      }
+      auxWrite(s"$OracleAuxDir/decon_bench") {
+        graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
+          .select("shingle").distinct().coalesce(1).write.mode("overwrite")
+          .parquet(s"$OracleAuxDir/decon_bench")
+      }
       graft.text.Decontaminate
         .contaminationFlags(docs, "doc_id", "text", bench, "text")
         .orderBy("doc_id")
@@ -561,12 +585,16 @@ object SparkEntry {
     "q_decon_bloom" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleAuxDir/decon_bloom_doc")
-      graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
-        .select("shingle").distinct().coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleAuxDir/decon_bloom_bench")
+      auxWrite(s"$OracleAuxDir/decon_bloom_doc") {
+        graft.text.Decontaminate.docShingles(docs, "doc_id", "text", 8)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$OracleAuxDir/decon_bloom_doc")
+      }
+      auxWrite(s"$OracleAuxDir/decon_bloom_bench") {
+        graft.text.Decontaminate.docShingles(bench, "doc_id", "text", 8)
+          .select("shingle").distinct().coalesce(1).write.mode("overwrite")
+          .parquet(s"$OracleAuxDir/decon_bloom_bench")
+      }
       // tracked benchShingles cache released by the harness after the
       // query's action (Verify/Bench both call Caches.release per query)
       graft.text.Decontaminate
@@ -649,7 +677,9 @@ object SparkEntry {
           256))), // 44-char random base64, H≈5.2 ≥ 4.5
         lit("abcdabcdabcdabcdabcdabcdabcd"))) // H=2 — kept by both rules
       val aux = s"$OracleAuxDir/entropy_docs"
-      planted.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        planted.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       val docs = s.read.parquet(aux)
       def cands(rule: String, pat: String, minBits: Double) =
         docs.select(col("doc_id"),
@@ -672,9 +702,11 @@ object SparkEntry {
     "q_sample_rate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
       val aux = s"$OracleAuxDir/sample_hash"
-      docs.select(col("doc_id"),
-        graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"),
+          graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.sampling.Sampling.hashRateSample(docs, 0.3, seed = 7L, col("doc_id"))
         .select(col("doc_id").cast("bigint").as("doc_id"))
         .orderBy("doc_id")
@@ -682,9 +714,11 @@ object SparkEntry {
     "q_sample_quota" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
       val aux = s"$OracleAuxDir/quota_hash"
-      docs.select(col("doc_id"), col("lang"),
-        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"), col("lang"),
+          graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.sampling.Sampling.quotaPerStratum(docs, Seq("lang"), k = 25,
         tieCols = Seq("doc_id"))
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"))
@@ -698,9 +732,11 @@ object SparkEntry {
     "q_sample_mix" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
       val aux = s"$OracleAuxDir/mix_hash"
-      docs.select(col("doc_id"), col("lang"),
-        graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"), col("lang"),
+          graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       val weight = when(col("lang") === "en", 0.75)
         .when(col("lang") === "de", 2.25)
         .when(col("lang") === "fr", 0.5)
@@ -734,7 +770,9 @@ object SparkEntry {
         .select(xxhash64(col("repo"), col("path"), col("commit"),
           col("content")).as("id"), col("content").as("text"))
       val aux = s"$OracleAuxDir/passage_docs"
-      base.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        base.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.dedup.Dedup.passageDedup(s.read.parquet(aux), "id", "text", k = 8)
         .select(col("id"), col("text"), col("n_lines"), col("n_dropped"))
         .orderBy("id")
@@ -753,7 +791,9 @@ object SparkEntry {
         .groupBy("repo", "path", "commit")
         .agg(min("content").as("content"))
       val aux = s"$OracleAuxDir/repo_pack"
-      base.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        base.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.RepoPack.packByRepoRanged(s.read.parquet(aux),
         budgetChars = 2000)
         .orderBy("repo", "pack_id")
@@ -767,9 +807,11 @@ object SparkEntry {
     "q_shards" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       val aux = s"$OracleAuxDir/shard_hash"
-      docs.select(col("doc_id"), col("n_chars"),
-        graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"), col("n_chars"),
+          graft.sampling.Sampling.sampleHash(7L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.output.Shards.assignShards(docs, shardBytes = 50000L,
         weight = col("n_chars"), tieCols = Seq("doc_id"), seed = 7L)
         .select(col("doc_id").cast("bigint").as("doc_id"), col("shard_id"))
@@ -784,9 +826,11 @@ object SparkEntry {
         graft.text.TextAnalysis.wsTokenCount(col("text")).cast("long")
           .as("n_tok"))
       val aux = s"$OracleAuxDir/pack_hash"
-      docs.select(col("doc_id"), col("n_tok"),
-        graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"), col("n_tok"),
+          graft.sampling.Sampling.sampleHash(11L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.output.Shards.packSequences(docs, budgetTokens = 512L,
         tokenCount = col("n_tok"), tieCols = Seq("doc_id"), seed = 11L)
         .select(col("doc_id").cast("bigint").as("doc_id"), col("seq_id"),
@@ -809,15 +853,19 @@ object SparkEntry {
       val model = graft.filter.QualityClassifier.train(
         labeled, "doc_id", "text", "y")
       val aux = s"$OracleAuxDir/clf_features"
-      docs.select(col("doc_id") +:
-        graft.filter.QualityClassifier.featureCols(col("text"))
-          .map { case (n, c) => c.as(n) }: _*)
-        .coalesce(1).write.mode("overwrite").parquet(aux)
-      Seq((model.weights(0), model.weights(1), model.weights(2),
-        model.weights(3), model.weights(4), model.bias))
-        .toDF("w0", "w1", "w2", "w3", "w4", "b")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleAuxDir/clf_weights")
+      auxWrite(aux) {
+        docs.select(col("doc_id") +:
+          graft.filter.QualityClassifier.featureCols(col("text"))
+            .map { case (n, c) => c.as(n) }: _*)
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
+      auxWrite(s"$OracleAuxDir/clf_weights") {
+        Seq((model.weights(0), model.weights(1), model.weights(2),
+          model.weights(3), model.weights(4), model.bias))
+          .toDF("w0", "w1", "w2", "w3", "w4", "b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$OracleAuxDir/clf_weights")
+      }
       val z = graft.filter.QualityClassifier.marginFromFeatures(model)
       s.read.parquet(aux)
         .select(col("doc_id"), round(z, 6).as("z6"),
@@ -832,9 +880,11 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val aux = s"$OracleAuxDir/budget_hash"
-      docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        graft.sampling.Sampling.sampleHash(13L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.sampling.Sampling.sampleHash(13L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.sampling.Sampling.tokenBudgetSample(docs, Seq("lang"),
         budget = 8000L, weight = col("n_chars"), tieCols = Seq("doc_id"),
         seed = 13L)
@@ -865,7 +915,9 @@ object SparkEntry {
           (id, if (id % 3 == 0) g(g(text)) else g(text), text)
       }).toDF("doc_id", "garbled", "original")
       val aux = s"$OracleAuxDir/mojibake"
-      garbled.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        garbled.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       s.read.parquet(aux)
         .select(col("doc_id"),
           graft.functions.expressions.fix_mojibake(col("garbled")).as("fixed"))
@@ -881,9 +933,11 @@ object SparkEntry {
     "q_boilerplate_lex" -> ((s, dir) => {
       val docs = boilerDocs(s, dir)
       val aux = s"$OracleAuxDir/boiler_lines"
-      docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.Boilerplate.frequentLines(docs, "doc_id", "text",
         minDocs = 100L)
     }),
@@ -892,9 +946,11 @@ object SparkEntry {
       // same dump as q_boilerplate_lex (deterministic content, either
       // order): queries must not depend on another query having run
       val aux = s"$OracleAuxDir/boiler_lines"
-      docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       val lex = graft.text.Boilerplate.frequentLines(docs, "doc_id", "text",
         minDocs = 100L).select("line").collect().map(_.getString(0)).toSeq
       graft.text.Boilerplate.removeLines(docs, "doc_id", "text", lex)
@@ -917,7 +973,9 @@ object SparkEntry {
           (id, lang, graft.filter.Perplexity.score(text))
         }).toDF("doc_id", "lang", "ppl")
       val aux = s"$OracleAuxDir/ppl_tiers"
-      scored.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        scored.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.sampling.Sampling.quantileTiers(s.read.parquet(aux), Seq("lang"),
         col("ppl"), tieCols = Seq("doc_id"), tiers = 3)
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
@@ -942,7 +1000,9 @@ object SparkEntry {
       val typed = graft.text.TextAnalysis.fingerprints(docs, "doc_id", "text")
         .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
       val aux = s"$OracleAuxDir/fingerprints"
-      typed.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        typed.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       docs.select(col("doc_id"),
           explode(graft.functions.expressions.winnow_fp(col("text"))).as("fp"))
         .groupBy(col("doc_id"))
@@ -1080,8 +1140,10 @@ object SparkEntry {
         QualityPipeline.Config(),
         rawKeys = Some(CorpusGen.keys(s, 5000L)))
       val aux = s"$OracleAuxDir/annotated"
-      annotated.select("repo", "path", "commit", "keep", "nChars")
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        annotated.select("repo", "path", "commit", "keep", "nChars")
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       QualityPipeline.repoStats(s.read.parquet(aux)).orderBy(col("repo"))
     }),
 
@@ -1098,7 +1160,9 @@ object SparkEntry {
         .join(feats.select(col("media_id"), col("n_bytes"),
           col("frames_sampled")), "media_id")
       val aux = s"$OracleAuxDir/media"
-      dump.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        dump.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       s.read.parquet(aux)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
@@ -1124,7 +1188,9 @@ object SparkEntry {
         }
         .toDF("media_id", "w", "h", "ra", "ga", "ba", "rb", "gb", "bb")
       val aux = s"$OracleAuxDir/png_params"
-      params.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        params.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.multimodal.Media.imageStats(media).toDF().orderBy("media_id")
     }),
 
@@ -1146,7 +1212,9 @@ object SparkEntry {
         }
         .toDF("media_id", "rate", "channels", "frames", "amp", "half")
       val aux = s"$OracleAuxDir/wav_params"
-      params.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        params.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.multimodal.Media.audioStats(media).toDF().orderBy("media_id")
     }),
 
@@ -1159,7 +1227,9 @@ object SparkEntry {
     "q_url_normalize" -> ((s, dir) => {
       val urls = urlFixture(s, dir)
       val aux = s"$OracleAuxDir/urls"
-      urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.UrlFilter.withUrlColumns(s.read.parquet(aux), "url")
         .select(col("doc_id").cast("bigint").as("doc_id"),
           col("url_norm"), col("url_host"), col("url_domain"))
@@ -1170,7 +1240,9 @@ object SparkEntry {
     "q_url_filter" -> ((s, dir) => {
       val urls = urlFixture(s, dir)
       val aux = s"$OracleAuxDir/urls"
-      urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        urls.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.UrlFilter.blocklistFilter(s.read.parquet(aux), "url",
         UrlBlocklist)
         .select(col("doc_id").cast("bigint").as("doc_id"))
@@ -1183,9 +1255,11 @@ object SparkEntry {
     "q_url_dedup" -> ((s, dir) => {
       val urls = urlDedupFixture(s, dir)
       val aux = s"$OracleAuxDir/urls_dedup"
-      urls.select(col("doc_id"), col("url"),
-        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        urls.select(col("doc_id"), col("url"),
+          graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.UrlFilter.dedupByUrl(urls, "url", Seq("doc_id"))
         .select(col("doc_id").cast("bigint").as("doc_id"))
         .orderBy("doc_id")
@@ -1196,9 +1270,11 @@ object SparkEntry {
     "q_domain_cap" -> ((s, dir) => {
       val urls = urlFixture(s, dir)
       val aux = s"$OracleAuxDir/urls_cap"
-      urls.select(col("doc_id"), col("url"),
-        graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
-        .coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        urls.select(col("doc_id"), col("url"),
+          graft.sampling.Sampling.sampleHash(42L, Seq(col("doc_id"))).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.UrlFilter.perDomainCap(urls, "url", k = 5,
         tieCols = Seq("doc_id"))
         .select(col("doc_id").cast("bigint").as("doc_id"))
@@ -1252,7 +1328,9 @@ object SparkEntry {
     "q_code_stats" -> ((s, dir) => {
       val docs = codeFixture(s, dir)
       val aux = s"$OracleAuxDir/code_docs"
-      docs.coalesce(1).write.mode("overwrite").parquet(aux)
+      auxWrite(aux) {
+        docs.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
       graft.text.CodeStats.withCodeStats(s.read.parquet(aux), "text")
         .withColumn("keep", graft.text.CodeStats.codeKeepVerdict)
         .select(col("doc_id").cast("bigint").as("doc_id"),
@@ -1356,6 +1434,27 @@ object SparkEntry {
     */
   private def OracleAuxDir: String =
     System.getProperty("graft.oracle.aux", "/tmp/graft_oracle_aux")
+
+  /** Skip `body` when Bench has already materialized `path` in this
+    * process. Every aux dump is a DETERMINISTIC function of (query, sfDir),
+    * so re-writing it inside a timed bench run measures the dump harness,
+    * not the operator (round-4 verdict item 3: q_code_clones spent 40+ s of
+    * its timed window regenerating fixtures). Bench clears its private aux
+    * dir once at startup, runs each query once untimed (dumps happen), sets
+    * `graft.oracle.auxSkipExisting=1`, and times the operator-only re-runs.
+    * Verify NEVER sets the property — correctness runs always re-dump.
+    * Existence = a `_SUCCESS` marker under `path` (depth ≤ 2, covering
+    * multi-table layouts like the incremental index).
+    */
+  private def auxWrite(path: String)(body: => Unit): Unit = {
+    val skip = "1" == System.getProperty("graft.oracle.auxSkipExisting") && {
+      val d = new java.io.File(path)
+      new java.io.File(d, "_SUCCESS").exists() ||
+        Option(d.listFiles()).exists(_.exists(f =>
+          f.isDirectory && new java.io.File(f, "_SUCCESS").exists()))
+    }
+    if (!skip) body
+  }
 
   /** embeddings ∪ 10 exact copies of vector 0 (ids 1000000..1000009), plus
     * the query vector itself — the planted construction behind the ANN
@@ -3104,7 +3203,9 @@ object SparkEntry {
                   ELSE '' END AS ext,
              lower(coalesce(regexp_extract(
                coalesce(regexp_extract(fl,
-                 '^#!\\s*(?:/\\S*/)?(?:env\\s+)?(\\S+)', 1), ''),
+                 '^#![ ' || chr(9) || ']*(?:/[^ ' || chr(9) || chr(13) ||
+                 ']*/)?(?:env[ ' || chr(9) || ']+)?([^ ' || chr(9) ||
+                 chr(13) || ']+)', 1), ''),
                '([^/]*)$$', 1), '')) AS interp
            FROM feat)
          SELECT f.doc_id, f.ext, f.interp,

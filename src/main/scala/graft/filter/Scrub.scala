@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   *                    WITHOUT a known prefix (random base64/hex runs are
   *                    high-entropy; same-charset identifiers are not).
   *                    See [[graft.functions.SecretEntropy]].
+  * @param preAny      case-INSENSITIVE (ASCII fold, matching java (?i)
+  *                    without UNICODE_CASE) any-of literal prescreen: the
+  *                    regex is skipped unless one of these words appears.
+  *                    For alternation rules like the toxicity lexicon,
+  *                    where no single `pre=` literal is implied by every
+  *                    branch. Like `pre=`, it must be a NECESSARY condition
+  *                    of the pattern — prescreens may only skip work, never
+  *                    change output (PropertySpec fuzzes this).
+  * @param preScan     named built-in prescreen scan. Supported:
+  *                    "digit.digit" — a digit, '.', digit triple exists
+  *                    (necessary for any IPv4-shaped match). Cheaper than
+  *                    any literal for patterns with no fixed substring.
   */
 final case class ScrubRule(
     id: String,
@@ -31,7 +43,90 @@ final case class ScrubRule(
     replacement: String,
     prescreen: Option[String],
     drop: Boolean,
-    minBits: Option[Double] = None)
+    minBits: Option[Double] = None,
+    preAny: Seq[String] = Nil,
+    preScan: Option[String] = None)
+
+/** Compiled prescreen: a cheap necessary-condition scan that skips a rule's
+  * regex pass when the text cannot match. Conservative by contract — a hit
+  * only means "run the regex", so false positives cost time, never
+  * correctness; false negatives are bugs (PropertySpec fuzzes equivalence
+  * against unprescreened chains).
+  */
+private[filter] sealed trait Prescreen extends Serializable {
+  def hit(s: String): Boolean
+}
+private[filter] object Prescreen {
+  case object Always extends Prescreen {
+    def hit(s: String): Boolean = true
+  }
+  final case class Literal(lit: String) extends Prescreen {
+    def hit(s: String): Boolean = s.indexOf(lit) >= 0
+  }
+  /** ASCII-case-insensitive any-of-words scan: first-char dispatch table
+    * (both cases), then regionMatches(ignoreCase) per candidate word.
+    * regionMatches' Unicode fold is a superset of java (?i)'s ASCII fold on
+    * ASCII words, so hits stay conservative.
+    */
+  final case class AnyOfCI(words: Seq[String]) extends Prescreen {
+    @transient private lazy val byFirst: Array[Array[String]] = {
+      val m = new Array[Array[String]](128)
+      words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.foreach { w =>
+        val c = w.charAt(0)
+        m(c) = if (m(c) == null) Array(w) else m(c) :+ w
+      }
+      m
+    }
+    def hit(s: String): Boolean = {
+      val n = s.length
+      var i = 0
+      while (i < n) {
+        var c = s.charAt(i)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c < 128) {
+          val ws = byFirst(c)
+          if (ws != null) {
+            var k = 0
+            while (k < ws.length) {
+              val w = ws(k)
+              if (i + w.length <= n && s.regionMatches(true, i, w, 0, w.length))
+                return true
+              k += 1
+            }
+          }
+        }
+        i += 1
+      }
+      false
+    }
+  }
+  /** digit '.' digit exists — necessary for any `[0-9]{1,3}(\.[0-9]...)`
+    * shaped match.
+    */
+  case object DigitDotDigit extends Prescreen {
+    def hit(s: String): Boolean = {
+      val n = s.length
+      var i = 1
+      while (i < n - 1) {
+        if (s.charAt(i) == '.' &&
+          { val a = s.charAt(i - 1); a >= '0' && a <= '9' } &&
+          { val b = s.charAt(i + 1); b >= '0' && b <= '9' }) return true
+        i += 1
+      }
+      false
+    }
+  }
+  val scanNames: Set[String] = Set("digit.digit")
+  def of(r: ScrubRule): Prescreen =
+    r.preScan match {
+      case Some("digit.digit") => DigitDotDigit
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown prescan '$other'") // parse() validates; belt and braces
+      case None =>
+        if (r.preAny.nonEmpty) AnyOfCI(r.preAny)
+        else r.prescreen.map(Literal.apply).getOrElse(Always)
+    }
+}
 
 /** A compiled, ordered scrub chain. Rules are applied in DECLARED order —
   * scrubbing must be deterministic across partitionings so retained-content
@@ -40,7 +135,7 @@ final case class ScrubRule(
   * the JVM twin `scrubPlain` share the same pattern strings, so their
   * outputs are byte-identical by construction; tests assert it anyway.
   */
-final class Scrubber(val rules: Seq[ScrubRule]) {
+final class Scrubber(val rules: Seq[ScrubRule]) extends Serializable {
 
   /** (rule id, java-regex pattern, replacement) for scrub rules, in order. */
   val patterns: Seq[(String, String, String)] =
@@ -61,11 +156,15 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
     * mixing differently-scrubbed content/sha256s across stages.
     */
   lazy val fingerprint: String = {
-    // minBits appends as an extra field only when present, so every
-    // pre-entropy chain's canon (and thus Runner.LegacyR3ScrubFp) is stable
+    // optional fields append only when present (minBits bare — its shipped
+    // form; newer fields tagged), so every pre-entropy chain's canon (and
+    // thus Runner.LegacyR3ScrubFp) and every pre-prescan chain's canon is
+    // stable
     val canon = rules.map(r => (Seq(r.id, r.family, r.pattern, r.replacement,
       r.prescreen.getOrElse(""), r.drop.toString) ++
-      r.minBits.map(_.toString)).mkString("\u0001"))
+      r.minBits.map(_.toString) ++
+      (if (r.preAny.nonEmpty) Seq("preAny=" + r.preAny.mkString("|")) else Nil) ++
+      r.preScan.map("prescan=" + _)).mkString("\u0001"))
       .mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -123,19 +222,18 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
 
   private val compiled =
     rules.filterNot(_.drop).map { r =>
-      // entropy rules replace LITERALLY (SecretEntropy quotes) — quote here
-      // too so the fused pass stays byte-identical to the Column route;
-      // plain rules keep java $-group semantics (same as regexp_replace)
-      val rep = if (r.minBits.isDefined)
-        java.util.regex.Matcher.quoteReplacement(r.replacement)
-      else r.replacement
-      (r.id, java.util.regex.Pattern.compile(r.pattern), rep,
-        r.prescreen, r.minBits)
+      // entropy rules route through SecretEntropy.scrubCount (literal
+      // replacement, scanner fast path when the pattern is a recognized
+      // run shape) — the SAME kernel the Column route calls, so the twin
+      // guarantee is one code path; plain rules keep java $-group
+      // semantics (same as regexp_replace)
+      (r.id, java.util.regex.Pattern.compile(r.pattern), r.replacement,
+        Prescreen.of(r), r.minBits, r.pattern)
     }
   private val compiledDrop =
     rules.filter(_.drop).map { r =>
-      (r.id, java.util.regex.Pattern.compile(r.pattern), r.prescreen,
-        r.minBits)
+      (r.id, java.util.regex.Pattern.compile(r.pattern), Prescreen.of(r),
+        r.minBits, r.pattern)
     }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
@@ -152,40 +250,48 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
     var out = text
     val counts = new Array[Int](patterns.length)
     var idx = 0
-    compiled.foreach { case (_, p, r, pre, minBits) =>
-      if (pre.forall(lit => out.indexOf(lit) >= 0)) {
-        // single matcher pass: count and replace together; entropy-gated
-        // rules skip non-qualifying matches (no appendReplacement ⇒ the
-        // skipped region flows through verbatim), sharing the same kernel
-        // as the Column route so the twin guarantee holds by construction
-        val m = p.matcher(out)
-        var n = 0
-        var sb: java.lang.StringBuilder = null
-        while (m.find()) {
-          if (minBits.forall(b => graft.functions.SecretEntropy
-            .qualifies(out, m.start, m.end, b))) {
-            if (n == 0) sb = new java.lang.StringBuilder(out.length)
-            n += 1
-            m.appendReplacement(sb, r)
+    compiled.foreach { case (_, p, r, pre, minBits, patStr) =>
+      minBits match {
+        case Some(b) =>
+          // fused count+scrub through the shared kernel (scanner fast path
+          // for recognized run shapes, single matcher pass otherwise);
+          // literal replacement on both paths, same as the Column route
+          if (pre.hit(out)) {
+            val (nout, n) = graft.functions.SecretEntropy
+              .scrubCount(out, patStr, r, b)
+            out = nout
+            counts(idx) = n
           }
-        }
-        if (n > 0) { m.appendTail(sb); out = sb.toString }
-        counts(idx) = n
-      } // else: prescreen literal absent ⇒ pattern can't match ⇒ 0
+        case None =>
+          if (pre.hit(out)) {
+            // single matcher pass: count and replace together; the
+            // prescreen is a necessary condition of the pattern, so a
+            // miss means zero matches by construction
+            val m = p.matcher(out)
+            var n = 0
+            var sb: java.lang.StringBuilder = null
+            while (m.find()) {
+              if (n == 0) sb = new java.lang.StringBuilder(out.length)
+              n += 1
+              m.appendReplacement(sb, r)
+            }
+            if (n > 0) { m.appendTail(sb); out = sb.toString }
+            counts(idx) = n
+          } // else: prescreen miss ⇒ pattern can't match ⇒ 0
+      }
       idx += 1
     }
     (out, counts)
   }
 
   def hasDropSecret(text: String): Boolean =
-    compiledDrop.exists { case (_, p, pre, minBits) =>
-      pre.forall(text.contains(_)) && {
-        val m = p.matcher(text)
-        var found = false
-        while (!found && m.find())
-          found = minBits.forall(b => graft.functions.SecretEntropy
-            .qualifies(text, m.start, m.end, b))
-        found
+    compiledDrop.exists { case (_, p, pre, minBits, patStr) =>
+      minBits match {
+        case Some(b) =>
+          pre.hit(text) &&
+            graft.functions.SecretEntropy.countAll(text, patStr, b) > 0
+        case None =>
+          pre.hit(text) && p.matcher(text).find()
       }
     }
 }
@@ -197,8 +303,9 @@ final class Scrubber(val rules: Seq[ScrubRule]) {
   *
   * Config format — one rule per line, `#` comments, blank lines ignored:
   * {{{
-  *   scrub <id> family=<fam> replace=<text> [pre=<literal>] [minBits=<b>] pattern=<regex>
-  *   drop  <id> family=<fam>                [pre=<literal>] [minBits=<b>] pattern=<regex>
+  *   scrub <id> family=<fam> replace=<text> [prescreen] [minBits=<b>] pattern=<regex>
+  *   drop  <id> family=<fam>                [prescreen] [minBits=<b>] pattern=<regex>
+  *   prescreen := pre=<literal> | preAny=<w1|w2|...> | prescan=<name>
   * }}}
   * `pattern=` consumes the REST OF THE LINE (regexes may contain spaces,
   * `=`, anything), so it must come last. Declaration order is application
@@ -214,20 +321,24 @@ object Scrub {
     * heuristic: hex runs >= 3.0 bits of char entropy, base64 runs >= 4.5).
     * The lexicon is a small public-wordlist-shaped seed (LDNOOBW-style);
     * production configs are expected to extend it — which is the point of
-    * the declarative format. Toxicity has no safe prescreen literal
-    * (case-insensitive word alternation), so it always pays its regex pass.
-    * Entropy rules run LAST among scrubs: prefix-keyed secrets (AKIA, xox,
-    * eyJ) are consumed by their specific rules first, so the generic
-    * detectors only see what those left behind.
+    * the declarative format. Toxicity carries a `preAny=` case-insensitive
+    * any-of-stems prescreen (no single literal is implied by the
+    * alternation); ipv4 carries the `prescan=digit.digit` built-in (no
+    * literal exists at all) — both skip the regex pass on the overwhelming
+    * majority of files. Entropy rules run LAST among scrubs: prefix-keyed
+    * secrets (AKIA, xox, eyJ) are consumed by their specific rules first,
+    * so the generic detectors only see what those left behind; their
+    * candidate patterns take the [[graft.functions.SecretEntropy]] run-
+    * scanner fast path (no regex engine at all).
     */
   val defaultConfig: String =
     """# id            family    action
       |scrub email family=pii replace=<EMAIL> pre=@ pattern=[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
       |scrub aws_key family=secret replace=<AWS_KEY> pre=AKIA pattern=AKIA[0-9A-Z]{16}
       |scrub slack_token family=secret replace=<TOKEN> pre=xox pattern=xox[baprs]-[0-9A-Za-z-]{10,}
-      |scrub ipv4 family=pii replace=<IP> pattern=\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b
+      |scrub ipv4 family=pii replace=<IP> prescan=digit.digit pattern=\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b
       |scrub jwt family=secret replace=<JWT> pre=eyJ pattern=eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}
-      |scrub toxicity family=toxicity replace=<TOX> pattern=(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole|bastard|cunt|dickhead)\b
+      |scrub toxicity family=toxicity replace=<TOX> preAny=fuck|shit|bitch|asshole|bastard|cunt|dickhead pattern=(?i)\b(?:fuck\w*|shit\w*|bitch\w*|asshole|bastard|cunt|dickhead)\b
       |scrub hex_secret family=secret replace=<SECRET:HEX> minBits=3.0 pattern=\b[0-9a-fA-F]{24,}\b
       |scrub b64_secret family=secret replace=<SECRET:B64> minBits=4.5 pattern=[A-Za-z0-9+/]{24,}={0,2}
       |drop private_key family=secret pre=-----BEGIN pattern=-----BEGIN [A-Z ]*PRIVATE KEY-----
@@ -265,8 +376,8 @@ object Scrub {
           if (i <= 0) fail(line, s"expected key=value, got '$t'")
           t.substring(0, i) -> t.substring(i + 1)
         }.toMap
-        kvs.keySet.diff(Set("family", "replace", "pre", "minBits")).foreach(k =>
-          fail(line, s"unknown key '$k'"))
+        kvs.keySet.diff(Set("family", "replace", "pre", "minBits", "preAny",
+          "prescan")).foreach(k => fail(line, s"unknown key '$k'"))
         val family = kvs.getOrElse("family", fail(line, "missing family="))
         val drop = action == "drop"
         if (drop && kvs.contains("replace"))
@@ -278,8 +389,26 @@ object Scrub {
           v.toDoubleOption.filter(b => b > 0.0 && !b.isNaN).getOrElse(
             fail(line, s"minBits must be a positive number, got '$v'"))
         }
+        val preAny = kvs.get("preAny").map { v =>
+          val words = v.split('|').toSeq.filter(_.nonEmpty)
+          if (words.isEmpty) fail(line, "preAny needs at least one word")
+          // the AnyOfCI scan dispatches on ASCII first chars and folds
+          // ASCII case — non-ASCII words would silently never prescreen
+          words.foreach(w => if (w.exists(_ >= 128))
+            fail(line, s"preAny words must be ASCII, got '$w'"))
+          words
+        }.getOrElse(Nil)
+        val preScan = kvs.get("prescan").map { v =>
+          if (!Prescreen.scanNames(v))
+            fail(line, s"unknown prescan '$v' " +
+              s"(supported: ${Prescreen.scanNames.toSeq.sorted.mkString(", ")})")
+          v
+        }
+        if (Seq(kvs.contains("pre"), preAny.nonEmpty, preScan.nonEmpty)
+          .count(identity) > 1)
+          fail(line, "at most one of pre=/preAny=/prescan= per rule")
         ScrubRule(id, family, pattern, replacement, kvs.get("pre"), drop,
-          minBits)
+          minBits, preAny, preScan)
       }.toVector
     val dups = rules.groupBy(_.id).collect { case (id, rs) if rs.sizeIs > 1 => id }
     if (dups.nonEmpty)

@@ -377,14 +377,16 @@ object Runner {
       partitions: Int = 0, includeDedup: Boolean = true,
       /** append the transitive MinHash near-dup stage after the exact one
         * (the benchmarked analogue of Runner.run's nearDup option) */
-      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None): Long = {
+      nearDup: Option[graft.dedup.Dedup.MinHashConfig] = None,
+      /** swap the scrub chain (Bench's entropy-family ablation series) */
+      scrubber: graft.filter.Scrubber = graft.filter.Scrub.default): Long = {
     val files = CorpusGen.files(spark, n, seed, partitions)
     val verdicts = QualityPipeline.verdicts(QualityPipeline.annotate(
-      QualityPipeline.score(files), CorpusGen.commitsDim(spark),
+      QualityPipeline.score(files, scrubber), CorpusGen.commitsDim(spark),
       QualityPipeline.Config(),
       // keys-only generation ≈ a column-pruned scan of the source
-      rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions))))
-      .toDF()
+      rawKeys = Some(CorpusGen.keys(spark, n, seed, partitions))),
+      scrubber).toDF()
     if (!includeDedup) {
       verdicts.write.format("noop").mode("overwrite").save()
     } else {

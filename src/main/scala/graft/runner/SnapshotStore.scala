@@ -53,6 +53,133 @@ object SnapshotStore {
     * reference's per-batch volatile tables + final publish,
     * GQ:665-676,770-787).
     */
+  /** Versioned snapshot-commit-log binding — the closest buildable thing
+    * to the north rule's Iceberg snapshot checkpoints with zero new jars
+    * (round-4 verdict item 4). Layout under `root`:
+    * {{{
+    *   data/<stage>/v<K>/ ...      immutable parquet snapshot dirs
+    *   commits/v<K>.manifest       full table state AT version K:
+    *                               one "<stage>\t<dataPath>" line per
+    *                               published stage (atomic-rename visible)
+    *   _GRAFT_<key>                run-metadata blobs (seals)
+    * }}}
+    * Iceberg-like guarantees, proven in CheckRunnerSpec:
+    *  - COMMIT = write `commits/.tmp…` then RENAME to `v<K>.manifest`; the
+    *    rename is the only publication step, so a manifest is either fully
+    *    visible or absent — a crash mid-stage leaves data dirs without a
+    *    manifest, invisible to every reader, and resume recomputes only
+    *    the uncommitted stage;
+    *  - monotone versions: current state = the max-K manifest; each commit
+    *    rewrites the FULL stage→path map, so one file read resolves any
+    *    version (no log replay);
+    *  - TIME TRAVEL: data dirs are immutable and per-version — a reader
+    *    pinned at version N resolves paths through manifest N and can
+    *    never observe version N+1 rows, half-written or otherwise;
+    *  - rename-fails-if-exists arbitrates concurrent committers (the
+    *    Delta-style optimistic protocol): the loser re-reads state and
+    *    retries at K+1.
+    */
+  val commitLog: Binding = (spark, root) => new CommitLogStore(spark, root)
+
+  /** Concrete class of [[commitLog]] — exposed for time-travel reads. */
+  final class CommitLogStore(spark: SparkSession, root: String)
+      extends SnapshotStore {
+    private def fs(p: Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val commitsDir = new Path(s"$root/commits")
+
+    private def manifestPath(v: Int) = new Path(commitsDir, f"v$v%06d.manifest")
+
+    /** Latest committed version; 0 = nothing committed yet. */
+    def currentVersion: Int = {
+      val f = fs(commitsDir)
+      if (!f.exists(commitsDir)) 0
+      else f.listStatus(commitsDir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .foldLeft(0)(math.max)
+    }
+
+    /** stage → data path AT `version` (0 or missing ⇒ empty state). */
+    def manifest(version: Int): Map[String, String] = {
+      val p = manifestPath(version)
+      val f = fs(p)
+      if (version <= 0 || !f.exists(p)) Map.empty
+      else {
+        val in = f.open(p)
+        val text =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+      }
+    }
+
+    /** Time travel: the stage's snapshot AS OF `version`. */
+    def readAt(name: String, version: Int): Option[DataFrame] =
+      manifest(version).get(name).map(spark.read.parquet(_))
+
+    def isDone(name: String): Boolean =
+      manifest(currentVersion).contains(name)
+
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      manifest(currentVersion).get(name) match {
+        case Some(path) => spark.read.parquet(path) // committed ⇒ resume
+        case None =>
+          // data first (invisible until the manifest commit), then commit.
+          // The dir name carries a uuid so two concurrent stagers of the
+          // same name can never write into each other's snapshot — the
+          // manifest commit decides whose becomes visible.
+          var v = currentVersion
+          val dataPath = s"$root/data/$name/v${v + 1}-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          compute.write.mode("overwrite").parquet(dataPath)
+          var committed = false
+          while (!committed) {
+            val state = manifest(v) + (name -> dataPath)
+            val target = manifestPath(v + 1)
+            val f = fs(target)
+            f.mkdirs(commitsDir)
+            val tmp = new Path(commitsDir,
+              s".tmp-${java.util.UUID.randomUUID()}")
+            val out = f.create(tmp, true)
+            try out.write(state.toSeq.sorted
+              .map { case (k, p) => s"$k\t$p" }.mkString("", "\n", "\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            // rename-fails-if-exists = the commit arbitration: on loss,
+            // re-read the winner's state and retry on top of it
+            committed = f.rename(tmp, target)
+            if (!committed) { f.delete(tmp, false); v = currentVersion }
+          }
+          spark.read.parquet(dataPath)
+      }
+    }
+
+    def readMeta(key: String): Option[String] = {
+      val p = new Path(s"$root/_GRAFT_$key")
+      val f = fs(p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+
+    def writeMeta(key: String, value: String): Unit = {
+      val p = new Path(s"$root/_GRAFT_$key")
+      val out = fs(p).create(p, true)
+      try out.write((value + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   val parquetMarkers: Binding = (spark, root) => new SnapshotStore {
     private def fs(p: Path) =
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -50,6 +50,22 @@ object Streaming {
     * per-user open-tail state, which NoTimeout (correct for bounded
     * backfill, where the final tail is intentionally held) does not.
     */
+  /** Shared gap-split: merge buffered + new timestamps, return (closed
+    * sessions, open tail) under the `gapMs` rule.
+    */
+  private def gapSplit(buffered: List[Timestamp], fresh: List[Timestamp],
+      gapMs: Long): (List[List[Timestamp]], List[Timestamp]) = {
+    val ts = (buffered ++ fresh).sortBy(_.getTime)
+    val sessions = ts.foldLeft(List.empty[List[Timestamp]]) {
+      case (acc, t) => acc match {
+        case cur :: rest if t.getTime - cur.head.getTime <= gapMs =>
+          (t :: cur) :: rest
+        case _ => List(t) :: acc
+      }
+    }.map(_.reverse).reverse
+    if (sessions.isEmpty) (Nil, Nil) else (sessions.init, sessions.last)
+  }
+
   def sessionize(events: Dataset[(Long, Timestamp)],
       gapMs: Long = 30 * 60 * 1000L): Dataset[EventSession] = {
     import events.sparkSession.implicits._
@@ -58,22 +74,59 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[(Long, Timestamp)],
          state: GroupState[List[Timestamp]]) =>
-          val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2).toList)
-            .sortBy(_.getTime)
-          // split on gaps > gapMs; emit all closed sessions, keep the tail
-          val sessions = ts.foldLeft(List.empty[List[Timestamp]]) {
-            case (acc, t) => acc match {
-              case cur :: rest if t.getTime - cur.head.getTime <= gapMs =>
-                (t :: cur) :: rest
-              case _ => List(t) :: acc
-            }
-          }.map(_.reverse).reverse
-          val (closed, open) =
-            if (sessions.isEmpty) (Nil, Nil)
-            else (sessions.init, sessions.last)
+          val (closed, open) = gapSplit(state.getOption.getOrElse(Nil),
+            rows.map(_._2).toList, gapMs)
           if (open.nonEmpty) state.update(open) else state.remove()
           closed.iterator.map(s =>
             EventSession(userId, s.size.toLong, s.head, s.last))
+      }
+  }
+
+  /** [[sessionize]] with BOUNDED open-tail state (round-4 verdict item 6):
+    * EventTimeTimeout + a watermark finalize an idle session once the
+    * watermark passes `last_ts + gap` — the session is EMITTED and its
+    * state REMOVED, so per-user state is bounded by the horizon, not the
+    * stream's lifetime. This is the custom-state-machine production path
+    * (the built-in [[sessionWindows]] stays the declarative one;
+    * [[sessionize]] under NoTimeout stays the bounded-backfill escape
+    * hatch whose final tails are intentionally held). Streaming-shaped:
+    * under batch execution timeouts never fire, so final open tails are
+    * not emitted — use [[sessionize]]/[[sessionWindows]] for backfill.
+    */
+  def sessionizeStream(events: Dataset[(Long, Timestamp)],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): Dataset[EventSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ltz"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Timestamp], EventSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Timestamp)],
+         state: GroupState[List[Timestamp]]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed last_ts + gap: the open session can
+            // never grow again — finalize it and EVICT the state
+            val open = state.get
+            state.remove()
+            Iterator.single(
+              EventSession(userId, open.size.toLong, open.head, open.last))
+          } else {
+            val (closed, open) = gapSplit(state.getOption.getOrElse(Nil),
+              rows.map(_._2).toList, gapMs)
+            if (open.nonEmpty) {
+              state.update(open)
+              // must be strictly beyond the current watermark (Spark
+              // contract); batch execution reports watermark -1 and never
+              // fires timeouts, so the max() is a streaming-only guard
+              state.setTimeoutTimestamp(math.max(
+                open.last.getTime + gapMs, state.getCurrentWatermarkMs + 1))
+            } else state.remove()
+            closed.iterator.map(s =>
+              EventSession(userId, s.size.toLong, s.head, s.last))
+          }
       }
   }
 

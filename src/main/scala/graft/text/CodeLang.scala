@@ -106,12 +106,16 @@ object CodeLang {
 
   /** The shebang interpreter of the first line ("" when none): handles
     * `#!/usr/bin/python3`, `#!/usr/bin/env python`, and flag noise after
-    * the interpreter word.
+    * the interpreter word. Whitespace is the EXPLICIT class `[ \t]` (and
+    * the interpreter word excludes `\r` so CRLF first lines behave like
+    * `\S` did) rather than `\s`/`\S`: java's `\s` includes U+000B where
+    * RE2-ish engines' does not, and the oracle replays this pattern —
+    * explicit classes keep the two engines byte-identical by construction.
     */
   def shebangInterp(content: Column): Column = {
     val first = regexp_extract(coalesce(content, lit("")), "^([^\n]*)", 1)
     val interp = regexp_extract(first,
-      "^#!\\s*(?:/\\S*/)?(?:env\\s+)?(\\S+)", 1)
+      "^#![ \\t]*(?:/[^ \\t\\r]*/)?(?:env[ \\t]+)?([^ \\t\\r]+)", 1)
     lower(regexp_extract(interp, "([^/]*)$", 1))
   }
 

@@ -74,6 +74,14 @@ object Decontaminate {
     * vs huge broadcast + no shuffle. `expectedShingles = 0` counts the
     * benchmark side first (one extra slim pass over the SMALL side) to
     * size the sketch.
+    *
+    * CALLER-MUST-RELEASE: the benchmark-shingle frame is persisted (it is
+    * consumed by the sketch build AND the verify join) and registered via
+    * [[graft.util.Caches.track]]. Inside a `Caches.scoped { ... }` block
+    * (how Runner/Verify/Bench call it) release is automatic; DIRECT library
+    * use must call `graft.util.Caches.release()` after the consuming action
+    * or the cache stays pinned in executor memory for the session's
+    * lifetime.
     */
   def contaminationFlagsBloom(docs: DataFrame, idCol: String,
       textCol: String, benchmark: DataFrame, benchTextCol: String,

@@ -246,4 +246,82 @@ class CheckRunnerSpec extends SparkSpec {
     runStore.frames.values.foreach(_.unpersist())
     store.frames.values.foreach(_.unpersist())
   }
+
+  test("commit log: crash between stages leaves no partials and resumes " +
+    "by recomputing ONLY the uncommitted stage") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_clog").toString
+    val store = new graft.runner.SnapshotStore.CommitLogStore(spark, root)
+    var computes = 0
+    def frame(tag: String) = {
+      computes += 1
+      spark.range(3).select(col("id"), lit(tag).as("tag"))
+    }
+    assert(store.currentVersion === 0 && !store.isDone("s1"))
+    store.stage("s1")(frame("one"))
+    assert(store.currentVersion === 1 && store.isDone("s1"))
+    // CRASH SIMULATION: a stage that dies between its data write and its
+    // manifest commit — exactly the bytes a killed job leaves behind
+    spark.range(5).write.parquet(s"$root/data/s2/v2-deadbeef")
+    assert(!store.isDone("s2"), "uncommitted data must be invisible")
+    assert(store.manifest(store.currentVersion).keySet === Set("s1"))
+    // resume: s1 is NOT recomputed, s2 is computed and committed
+    store.stage("s1")(frame("never"))
+    assert(computes === 1, "committed stage must not recompute")
+    store.stage("s2")(frame("two"))
+    assert(computes === 2 && store.currentVersion === 2)
+    assert(store.isDone("s2"))
+    assert(store.stage("s2")(frame("never")).count() === 3)
+    assert(computes === 2)
+    // meta seal works like the marker binding's
+    store.writeMeta("RUNCONFIG", "cfg=x")
+    assert(store.readMeta("RUNCONFIG") === Some("cfg=x"))
+  }
+
+  test("commit log: time travel — a reader pinned at version N never " +
+    "sees version N+1 state") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_clog_tt").toString
+    val store = new graft.runner.SnapshotStore.CommitLogStore(spark, root)
+    store.stage("lineage")(spark.range(4).select(col("id")))
+    val v1 = store.currentVersion
+    store.stage("audit")(spark.range(9).select(col("id")))
+    assert(store.currentVersion === v1 + 1)
+    // version N resolves only the stages committed by N
+    assert(store.manifest(v1).keySet === Set("lineage"))
+    assert(store.readAt("audit", v1).isEmpty,
+      "a v1 reader must not see the v2 stage")
+    assert(store.readAt("audit", v1 + 1).get.count() === 9)
+    // immutable snapshot dirs: the v1 read is byte-stable after v2 commits
+    assert(store.readAt("lineage", v1).get.count() === 4)
+    assert(store.manifest(v1)("lineage") ===
+      store.manifest(v1 + 1)("lineage"), "commits never rewrite old paths")
+  }
+
+  test("commit log binding drives CheckRunner.publish + Runner.run " +
+    "end-to-end with pure resume") {
+    import graft.corpus.CorpusGen
+    import graft.runner.{Runner, SnapshotStore}
+    val rules = Vector(PkRule("pk1", "child", Seq("k")))
+    val out = CheckRunner.runBatch(spark, "b30", rules, tables)
+    val dir = java.nio.file.Files.createTempDirectory("graft_clog_pub").toString
+    CheckRunner.publish(spark, dir, "b30", out, stores = SnapshotStore.commitLog)
+    val store = new SnapshotStore.CommitLogStore(spark, s"$dir/batch=b30")
+    assert(store.isDone("check_result"))
+    val firstVersion = store.currentVersion
+    CheckRunner.publish(spark, dir, "b30", out, stores = SnapshotStore.commitLog)
+    assert(store.currentVersion === firstVersion, "re-publish is a no-op")
+    // full pipeline run + resume on the binding
+    val work = java.nio.file.Files.createTempDirectory("graft_clog_run").toString
+    val files = CorpusGen.files(spark, 300L)
+    val dim = CorpusGen.commitsDim(spark)
+    val r1 = Runner.run(spark, files, dim, work, "clog-run",
+      stores = SnapshotStore.commitLog)
+    val runStore = new SnapshotStore.CommitLogStore(spark, work)
+    val v = runStore.currentVersion
+    val r2 = Runner.run(spark, files, dim, work, "clog-run",
+      stores = SnapshotStore.commitLog)
+    assert(r2.rows === r1.rows)
+    assert(runStore.currentVersion === v, "resume commits nothing new")
+  }
 }

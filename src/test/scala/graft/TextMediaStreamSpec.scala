@@ -277,6 +277,41 @@ class TextMediaStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream (fMGWS + EventTimeTimeout): idle session " +
+    "finalizes at the watermark horizon and its state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = Streaming.sessionizeStream(mem.toDS(), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tms_fmgws").start()
+    try {
+      mem.addData((1L, ts(0)), (1L, ts(10)))
+      q.processAllAvailable()
+      // open tail held: nothing emitted, watermark hasn't passed the gap
+      assert(spark.table("tms_fmgws").count() === 0)
+      // user 2's much-later event advances the watermark past user 1's
+      // last_ts + gap → the TIMEOUT (not new user-1 data) must finalize
+      // user 1's session and remove its state
+      mem.addData((2L, ts(600)))
+      q.processAllAvailable()
+      // one more empty-ish batch so the timeout path definitely ran
+      mem.addData((2L, ts(601)))
+      q.processAllAvailable()
+      val got = spark.table("tms_fmgws")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSeq
+      assert(got.contains((1L, 2L, ts(0), ts(10))),
+        s"user 1's idle session must finalize via timeout, got $got")
+      // state eviction: the store now holds only user 2's open tail
+      val stateRows = q.lastProgress.stateOperators.get(0).numRowsTotal
+      assert(stateRows <= 1L,
+        s"expected <=1 state row after eviction, saw $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming content-dedup: first arrival wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
