@@ -25,7 +25,14 @@ import graft.runner.Runner
   *       rewrites them to scripts (code cells verbatim, markdown as
   *       comments, kernel language) before scoring;
   *       --lang-detect backfills empty stated langs from the file path /
-  *       shebang before scoring.
+  *       shebang before scoring;
+  *       --url-blocklist / --domain-cap enable the URL/domain hygiene
+  *       gate over the repo column (blocklisted registrable domains drop
+  *       as url_blocked; at most N kept rows per domain, losers drop as
+  *       domain_capped);
+  *       --drift-baseline publishes this run's drift-stats frame (and,
+  *       given a prior run's drift_stats path, emits PSI / language-share
+  *       drift lineage against it).
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -43,7 +50,8 @@ object Main {
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
           "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
-          "[--lang-detect]\n" +
+          "[--lang-detect] [--url-blocklist=<file>] [--domain-cap=N] " +
+          "[--drift-baseline[=<parquet>]]\n" +
           "       graft.Main check <configDir> <dataDir> <outDir>")
       sys.exit(2)
     }
@@ -61,7 +69,8 @@ object Main {
         "usage: graft.Main <nRows> <workDir> [runId] [--near-dup] " +
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
           "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
-          "[--lang-detect]")
+          "[--lang-detect] [--url-blocklist=<file>] [--domain-cap=N] " +
+          "[--drift-baseline[=<parquet>]]")
       sys.exit(2)
     }
     val nearDup =
@@ -120,6 +129,46 @@ object Main {
         System.err.println("--decontaminate needs =<parquetPath>")
         sys.exit(2)
     }
+    // --url-blocklist=<file> (one registrable domain per line, # comments)
+    // and/or --domain-cap=N enable the URL/domain hygiene gate over the
+    // repo column (production corpora identify repos by forge URL)
+    val urlBlocklistPath = flags.collectFirst {
+      case f if f.startsWith("--url-blocklist=") =>
+        val p = f.stripPrefix("--url-blocklist=")
+        if (p.isEmpty || !java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+          System.err.println(s"--url-blocklist needs =<existing file>, got: $f")
+          sys.exit(2)
+        }
+        p
+      case "--url-blocklist" =>
+        System.err.println("--url-blocklist needs =<file>")
+        sys.exit(2)
+    }
+    val domainCap = flags.collectFirst {
+      case f if f.startsWith("--domain-cap=") =>
+        f.stripPrefix("--domain-cap=").toIntOption match {
+          case Some(k) if k > 0 => k
+          case _ =>
+            System.err.println(s"--domain-cap must be a positive int, got: $f")
+            sys.exit(2)
+        }
+      case "--domain-cap" =>
+        System.err.println("--domain-cap needs =<N>")
+        sys.exit(2)
+    }
+    // --drift-baseline[=<parquet>]: bare = publish this run's drift-stats
+    // frame only (the first run of a chain); with a path = additionally
+    // compute PSI/categorical drift vs that prior run's published stats
+    val driftFlag: Option[Option[String]] = flags.collectFirst {
+      case "--drift-baseline" => None
+      case f if f.startsWith("--drift-baseline=") =>
+        val p = f.stripPrefix("--drift-baseline=")
+        if (p.isEmpty) {
+          System.err.println("--drift-baseline= needs a path (or omit the =)")
+          sys.exit(2)
+        }
+        Some(p)
+    }
     val n = positional(0).toLong
     val workDir = positional(1)
     val runId = if (positional.length > 2) positional(2) else s"run-$n"
@@ -137,11 +186,23 @@ object Main {
     val t0 = System.nanoTime()
     val decon = deconPath.map(p =>
       Runner.DeconConfig(spark.read.parquet(p)))
+    val urlGate =
+      if (urlBlocklistPath.isEmpty && domainCap.isEmpty) None
+      else Some(Runner.UrlGateConfig(
+        blocklist = urlBlocklistPath.toSeq.flatMap { p =>
+          val src = scala.io.Source.fromFile(p, "UTF-8")
+          try src.getLines().map(_.trim)
+            .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+          finally src.close()
+        },
+        domainCap = domainCap))
+    val drift = driftFlag.map(bp => Runner.DriftConfig(baselinePath = bp))
     val report = Runner.run(spark,
       CorpusGen.files(spark, n, notebooks = nbConvert),
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
       classifierGate = clfGate, decontaminate = decon, boilerplate = boiler,
-      codeGate = codeGate, nbConvert = nbConvert, langDetect = langDetect)
+      codeGate = codeGate, nbConvert = nbConvert, langDetect = langDetect,
+      urlGate = urlGate, driftBaseline = drift)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -160,6 +221,13 @@ object Main {
     }
     report.lineage.filter(_.stage == "codegate").foreach { l =>
       println(f"[graft]   codegate=${l.ruleId}%-11s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "urlgate").foreach { l =>
+      println(f"[graft]   urlgate=${l.ruleId}%-12s dropped=${l.violations}")
+    }
+    report.lineage.filter(_.stage == "drift").foreach { l =>
+      // psi/delta rows are fixed-point x1e6 (see Runner.DriftConfig)
+      println(f"[graft]   drift=${l.ruleId}%-14s value1e6=${l.violations}")
     }
     report.lineage.filter(_.stage == "boilerplate").foreach { l =>
       println(f"[graft]   boiler=${l.ruleId}%-13s dropped=${l.violations}")

@@ -57,6 +57,43 @@ object Runner {
       maxLines: Int = 1000,
       minTrimmedLen: Int = 4)
 
+  /** Opt-in URL/domain hygiene gate config (round-4 verdict item 7): the
+    * source column canonicalizes to its registrable domain; listed domains
+    * drop ("url_blocked"), and at most `domainCap` kept rows per domain
+    * survive ("domain_capped"). See [[QualityPipeline.gateByUrl]].
+    */
+  final case class UrlGateConfig(
+      urlCol: String = "repo",
+      blocklist: Seq[String] = Nil,
+      domainCap: Option[Int] = None) {
+    /** Content seal: order-independent blocklist hash + the knobs. */
+    def seal: String = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(blocklist.sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+      s"gate(col=$urlCol,blocklist=$h,cap=${domainCap.getOrElse(0)})"
+    }
+  }
+
+  /** Opt-in distribution-drift monitoring config (round-4 verdict item 7).
+    * Every flagged run PUBLISHES its own slim stats frame (`drift_stats`
+    * stage: nChars as `v`, `lang`) so the next run can baseline against
+    * it; with `baselinePath` set, the run additionally computes PSI over
+    * nChars and the max language-share delta vs that baseline and emits
+    * them as drift lineage rows (fixed-point ×1e6 in the `violations`
+    * slot — LineageRow is integral by design) plus a 0/1 `psi_alert` row
+    * against `psiAlert`. Monitoring only: drift never flips verdicts.
+    */
+  final case class DriftConfig(
+      baselinePath: Option[String] = None,
+      bounds: Seq[Double] = DriftConfig.DefaultBounds,
+      psiAlert: Double = 0.2)
+  object DriftConfig {
+    /** nChars bucket boundaries sized to the corpus's 150-1200-char docs. */
+    val DefaultBounds: Seq[Double] = Seq(200.0, 400.0, 600.0, 800.0, 1000.0)
+  }
+
   /** Run (or resume) the pipeline. Stages:
     *   1. "annotated" — scored + rule-annotated frame (the expensive pass)
     *   2. "verdicts"  — narrowed keep/drop output (the published dataset)
@@ -97,6 +134,12 @@ object Runner {
         * stated lang get the path/shebang-derived language (see
         * [[QualityPipeline.backfillLanguages]]) */
       langDetect: Boolean = false,
+      /** opt-in URL/domain hygiene gate BEFORE the dedup stages (with the
+        * code gate): blocklisted domains drop, per-domain cap enforced */
+      urlGate: Option[UrlGateConfig] = None,
+      /** opt-in drift monitoring: publish this run's stats frame; when a
+        * baseline path is set, emit PSI/categorical drift lineage vs it */
+      driftBaseline: Option[DriftConfig] = None,
       /** snapshot-store binding — parquet+markers here; an Iceberg
         * binding is a drop-in swap (see [[SnapshotStore]]) */
       stores: SnapshotStore.Binding = SnapshotStore.parquetMarkers): RunReport = {
@@ -109,7 +152,7 @@ object Runner {
     // store on first run and every resume must match it
     guardRunConfig(store, workDir,
       renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate,
-        codeGate, nbConvert, langDetect))
+        codeGate, nbConvert, langDetect, urlGate, driftBaseline))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -151,9 +194,16 @@ object Runner {
         val ruleVerdicts = QualityPipeline.verdicts(annotated)
         // code gate FIRST (when on): row-pure and map-side, so it shrinks
         // everything downstream — dedup never shingles a row it drops
-        val gated =
+        val gated0 =
           if (codeGate) QualityPipeline.gateByCodeStats(ruleVerdicts)
           else ruleVerdicts
+        // url gate with the code gate, BEFORE dedup: blocked/capped rows
+        // are rows MinHash never shingles
+        val gated = urlGate match {
+          case None => gated0
+          case Some(u) => QualityPipeline.gateByUrl(gated0, u.urlCol,
+            u.blocklist, u.domainCap)
+        }
         // content-dedup after filtering: one survivor per distinct content
         val exact = QualityPipeline.dedupByContent(gated).toDF()
         val deduped = nearDup match {
@@ -227,13 +277,55 @@ object Runner {
       "coalesce(sum(case when array_contains(dropReasons,'boilerplate_only') " +
         "then 1 else 0 end),0) as boiler_drops",
       "coalesce(sum(case when array_contains(dropReasons,'code_stats') " +
-        "then 1 else 0 end),0) as codegate_drops").head()
-    val lineage = ingestLineage ++
+        "then 1 else 0 end),0) as codegate_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'url_blocked') " +
+        "then 1 else 0 end),0) as urlblock_drops",
+      "coalesce(sum(case when array_contains(dropReasons,'domain_capped') " +
+        "then 1 else 0 end),0) as domcap_drops").head()
+    // drift monitoring (round-4 verdict item 7): publish this run's slim
+    // stats frame as a stage; with a baseline, compute PSI + max language
+    // share delta against it — lineage-only, verdicts untouched
+    val driftLineage: Seq[LineageRow] = driftBaseline.toSeq.flatMap { dcfg =>
+      import org.apache.spark.sql.functions.{abs, max}
+      val cur = annotated.select(col("nChars").cast("double").as("v"),
+        col("lang"))
+      stage("drift_stats")(cur)
+      dcfg.baselinePath match {
+        case None =>
+          Seq(LineageRow(runId, "drift", "baseline_published",
+            stats.getLong(0), 0L, 0L))
+        case Some(bp) =>
+          val base = spark.read.parquet(bp)
+          val psi = graft.checks.Drift
+            .psiByBucket(base, cur, col("v"), dcfg.bounds)
+            .agg(coalesce(sum(col("psi_term")), lit(0.0))).head().getDouble(0)
+          val catMax = graft.checks.Drift
+            .categoricalDrift(base, cur, col("lang"))
+            .agg(coalesce(max(abs(col("share_delta"))), lit(0.0)))
+            .head().getDouble(0)
+          // fixed-point x1e6: LineageRow's numeric slots are integral
+          Seq(
+            LineageRow(runId, "drift", "psi_nchars",
+              stats.getLong(0), math.round(psi * 1e6), 0L),
+            LineageRow(runId, "drift", "lang_share_maxdelta",
+              stats.getLong(0), math.round(catMax * 1e6), 0L),
+            LineageRow(runId, "drift", "psi_alert",
+              stats.getLong(0), if (psi >= dcfg.psiAlert) 1L else 0L, 0L))
+      }
+    }
+    val lineage = ingestLineage ++ driftLineage ++
       (QualityPipeline.lineage(annotated, runId, cfg) :+
       LineageRow(runId, "dedup", "content_dup",
         stats.getLong(0), stats.getLong(2), 0L)) ++
       (if (codeGate) Seq(LineageRow(runId, "codegate", "code_stats",
         stats.getLong(0), stats.getLong(7), 0L)) else Nil) ++
+      urlGate.toSeq.flatMap { u =>
+        (if (u.blocklist.nonEmpty)
+          Seq(LineageRow(runId, "urlgate", "url_blocked",
+            stats.getLong(0), stats.getLong(8), 0L)) else Nil) ++
+          u.domainCap.map(_ => LineageRow(runId, "urlgate", "domain_capped",
+            stats.getLong(0), stats.getLong(9), 0L))
+      } ++
       nearDup.map(_ => LineageRow(runId, "dedup", "near_dup",
         stats.getLong(0), stats.getLong(3), 0L)) ++
       boilerplate.map(_ => LineageRow(runId, "boilerplate",
@@ -263,14 +355,16 @@ object Runner {
     * resume into them — found the hard way when round 3 added the toxicity
     * rule and pre-existing work dirs resumed cleanly under the new binary).
     */
-  private[runner] def renderRunConfig(
+  private[graft] def renderRunConfig(
       nearDup: Option[graft.dedup.Dedup.MinHashConfig],
       classifierGate: Option[Double] = None,
       decontaminate: Option[DeconConfig] = None,
       boilerplate: Option[BoilerplateConfig] = None,
       codeGate: Boolean = false,
       nbConvert: Boolean = false,
-      langDetect: Boolean = false): String = {
+      langDetect: Boolean = false,
+      urlGate: Option[UrlGateConfig] = None,
+      driftBaseline: Option[DriftConfig] = None): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
@@ -287,7 +381,15 @@ object Runner {
     // so they are part of what the checkpoints CONTAIN
     val ing = s"ingest=nb:${if (nbConvert) "on" else "off"}," +
       s"lang:${if (langDetect) "on" else "off"}"
-    s"$nd;$cg;$dc;$bp;$cs;$ing;scrub=${graft.filter.Scrub.default.fingerprint}"
+    val url = urlGate.fold("url=off")(u => s"url=${u.seal}")
+    // drift never changes verdict content, but its rows land in the
+    // lineage checkpoint — a resume against a different baseline would
+    // publish mixed monitoring data, so the knobs seal too
+    val dr = driftBaseline.fold("drift=off")(d =>
+      s"drift=psi(bounds=${d.bounds.mkString("/")},alert=${d.psiAlert}," +
+        s"baseline=${d.baselinePath.getOrElse("none")})")
+    s"$nd;$cg;$dc;$bp;$cs;$ing;$url;$dr;" +
+      s"scrub=${graft.filter.Scrub.default.fingerprint}"
   }
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
@@ -296,6 +398,19 @@ object Runner {
     * with. A spec pins this constant to the historical config text.
     */
   private[graft] val LegacyR3ScrubFp = "0bdf2ad8f94858c9"
+
+  /** Fingerprint of the round-4 default chain (round 3 + the two
+    * entropy-gated secret rules, no prescreen fields). Round 5 added
+    * prescreen-ONLY metadata (prescan=/preAny=) to two rules — prescreens
+    * are conservative necessary conditions that cannot change scrubbed
+    * output (SecretScanSpec fuzzes the equivalence), so seals carrying
+    * this fingerprint upgrade to the current default's and keep resuming.
+    * ScrubConfigSpec pins BOTH constants to their historical config texts
+    * AND asserts the current default differs from the r4 chain only in
+    * prescreen fields — if a future change touches a pattern/replacement,
+    * that assertion fails and this upgrade must be removed.
+    */
+  private[graft] val LegacyR4ScrubFp = "3df7d3315d373ebc"
 
   /** Seal the run config into the store on first run; on resume, refuse
     * to proceed when the flags differ from what the checkpoints were built
@@ -341,13 +456,32 @@ object Runner {
       else if (withCodeGate.contains(";scrub="))
         withCodeGate.replace(";scrub=", ";ingest=nb:off,lang:off;scrub=")
       else s"$withCodeGate;ingest=nb:off,lang:off"
+    // absent url/drift = off = byte-identical behavior; they sit BEFORE
+    // scrub in the canonical order
+    val withUrl =
+      if (withIngest.contains(";url=")) withIngest
+      else if (withIngest.contains(";scrub="))
+        withIngest.replace(";scrub=", ";url=off;scrub=")
+      else s"$withIngest;url=off"
+    val withDrift =
+      if (withUrl.contains(";drift=")) withUrl
+      else if (withUrl.contains(";scrub="))
+        withUrl.replace(";scrub=", ";drift=off;scrub=")
+      else s"$withUrl;drift=off"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
-    if (withIngest.contains(";scrub=")) withIngest
-    else s"$withIngest;scrub=$LegacyR3ScrubFp"
+    val withScrub =
+      if (withDrift.contains(";scrub=")) withDrift
+      else s"$withDrift;scrub=$LegacyR3ScrubFp"
+    // round-4 chain → round-5 chain: prescreen-only change, byte-identical
+    // output (see LegacyR4ScrubFp) — checkpoints stay resumable
+    if (withScrub.endsWith(s";scrub=$LegacyR4ScrubFp"))
+      withScrub.stripSuffix(LegacyR4ScrubFp) +
+        graft.filter.Scrub.default.fingerprint
+    else withScrub
   }
 
   private def guardRunConfig(store: SnapshotStore, workDir: String,

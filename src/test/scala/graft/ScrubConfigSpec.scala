@@ -41,6 +41,24 @@ class ScrubConfigSpec extends SparkSpec {
         |""".stripMargin
     assert(Scrub.scrubber(r3Config).fingerprint ===
       graft.runner.Runner.LegacyR3ScrubFp)
+    // the EXACT default chain round 4 shipped (r3 + entropy rules, no
+    // prescreen fields) — Runner.upgradeRunConfig maps seals carrying this
+    // fingerprint to the current default's, which is ONLY sound while the
+    // current default differs from the r4 chain in prescreen fields alone
+    // (prescreens cannot change output). The assertions below enforce
+    // both halves; if either fails, remove the r4 upgrade in Runner.
+    val r4Config = Scrub.defaultConfig.linesIterator.map(
+      _.replace("prescan=digit.digit ", "")
+        .replaceAll("preAny=\\S+ ", "")).mkString("\n")
+    assert(Scrub.scrubber(r4Config).fingerprint ===
+      graft.runner.Runner.LegacyR4ScrubFp)
+    assert(Scrub.rules.map(r =>
+      (r.id, r.family, r.pattern, r.replacement, r.prescreen, r.drop,
+        r.minBits)) ===
+      Scrub.parse(r4Config).map(r =>
+        (r.id, r.family, r.pattern, r.replacement, r.prescreen, r.drop,
+          r.minBits)),
+      "current default must equal the r4 chain modulo prescreen fields")
     // sensitivity: a changed pattern or replacement moves the fingerprint
     val base = Scrub.scrubber("scrub a family=pii replace=<A> pattern=a+")
     assert(base.fingerprint !==

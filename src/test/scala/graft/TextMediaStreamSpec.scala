@@ -306,7 +306,7 @@ class TextMediaStreamSpec extends SparkSpec {
       assert(got.contains((1L, 2L, ts(0), ts(10))),
         s"user 1's idle session must finalize via timeout, got $got")
       // state eviction: the store now holds only user 2's open tail
-      val stateRows = q.lastProgress.stateOperators.get(0).numRowsTotal
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
       assert(stateRows <= 1L,
         s"expected <=1 state row after eviction, saw $stateRows")
     } finally q.stop()
