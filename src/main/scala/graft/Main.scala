@@ -32,7 +32,11 @@ import graft.runner.Runner
   *       domain_capped);
   *       --drift-baseline publishes this run's drift-stats frame (and,
   *       given a prior run's drift_stats path, emits PSI / language-share
-  *       drift lineage against it).
+  *       drift lineage against it);
+  *       --store=commitlog swaps checkpointing to the versioned
+  *       snapshot-commit-log binding (immutable per-version data dirs +
+  *       atomic-rename manifest commits, time-travel reads) — available
+  *       in both modes; the store kind seals into the resume guard.
   *
   *   graft.Main check <configDir> <dataDir> <outDir>
   *     — the reference's batch orchestration (__main__, GQ:3347-3357):
@@ -51,16 +55,19 @@ object Main {
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
           "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
           "[--lang-detect] [--url-blocklist=<file>] [--domain-cap=N] " +
-          "[--drift-baseline[=<parquet>]]\n" +
-          "       graft.Main check <configDir> <dataDir> <outDir>")
+          "[--drift-baseline[=<parquet>]] [--store=parquet|commitlog]\n" +
+          "       graft.Main check <configDir> <dataDir> <outDir> " +
+          "[--store=parquet|commitlog]")
       sys.exit(2)
     }
     if (args(0) == "check") {
-      if (args.length < 4) {
-        System.err.println("usage: graft.Main check <configDir> <dataDir> <outDir>")
+      val (cFlags, cPos) = args.tail.partition(_.startsWith("--"))
+      if (cPos.length < 3) {
+        System.err.println("usage: graft.Main check <configDir> <dataDir> " +
+          "<outDir> [--store=parquet|commitlog]")
         sys.exit(2)
       }
-      runCheckMode(args(1), args(2), args(3))
+      runCheckMode(cPos(0), cPos(1), cPos(2), parseStoreFlag(cFlags))
       return
     }
     val (flags, positional) = args.partition(_.startsWith("--"))
@@ -70,7 +77,7 @@ object Main {
           "[--clf-gate[=t]] [--decontaminate=<parquet>] " +
           "[--boilerplate[=minDocs]] [--code-gate] [--nb-convert] " +
           "[--lang-detect] [--url-blocklist=<file>] [--domain-cap=N] " +
-          "[--drift-baseline[=<parquet>]]")
+          "[--drift-baseline[=<parquet>]] [--store=parquet|commitlog]")
       sys.exit(2)
     }
     val nearDup =
@@ -169,6 +176,7 @@ object Main {
         }
         Some(p)
     }
+    val storeBinding = parseStoreFlag(flags)
     val n = positional(0).toLong
     val workDir = positional(1)
     val runId = if (positional.length > 2) positional(2) else s"run-$n"
@@ -202,7 +210,7 @@ object Main {
       CorpusGen.commitsDim(spark), workDir, runId, nearDup = nearDup,
       classifierGate = clfGate, decontaminate = decon, boilerplate = boiler,
       codeGate = codeGate, nbConvert = nbConvert, langDetect = langDetect,
-      urlGate = urlGate, driftBaseline = drift)
+      urlGate = urlGate, driftBaseline = drift, stores = storeBinding)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[graft] run=$runId rows=${report.rows} kept=${report.kept} " +
       f"(${100.0 * report.kept / math.max(report.rows, 1)}%.1f%%) " +
@@ -238,14 +246,40 @@ object Main {
     report.lineage.filter(_.stage == "classifier").foreach { l =>
       println(f"[graft]   gate=${l.ruleId}%-14s dropped=${l.violations}")
     }
+    if (storeBinding eq graft.runner.SnapshotStore.commitLog) {
+      val s = new graft.runner.SnapshotStore.CommitLogStore(spark, workDir)
+      val v = s.currentVersion
+      println(s"[graft]   store=commitlog version=$v stages=" +
+        s.manifest(v).keySet.toSeq.sorted.mkString(","))
+    }
     spark.stop()
   }
+
+  /** --store=parquet|commitlog: the snapshot-store binding, shared by both
+    * modes. commitlog is the versioned commit-log layout (Iceberg-shaped:
+    * immutable per-version data dirs + atomic-rename manifest commits,
+    * time-travel reads); in pipeline mode the store kind seals into the
+    * resume guard — layouts must not mix in one work dir.
+    */
+  private def parseStoreFlag(
+      flags: Array[String]): graft.runner.SnapshotStore.Binding =
+    flags.collectFirst {
+      case f if f.startsWith("--store") =>
+        f.stripPrefix("--store").stripPrefix("=") match {
+          case "commitlog" => graft.runner.SnapshotStore.commitLog
+          case "parquet" => graft.runner.SnapshotStore.parquetMarkers
+          case other =>
+            System.err.println(
+              s"--store must be parquet or commitlog, got: '$other'")
+            sys.exit(2)
+        }
+    }.getOrElse(graft.runner.SnapshotStore.parquetMarkers)
 
   /** `check` mode: manifest-driven multi-batch audit run over parquet
     * tables (qualified rule names `db.tab` resolve by bare table name).
     */
   private def runCheckMode(configDir: String, dataDir: String,
-      outDir: String): Unit = {
+      outDir: String, stores: graft.runner.SnapshotStore.Binding): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -262,7 +296,7 @@ object Main {
         s"$dataDir/${graft.model.Rule.splitTable(t)._2}.parquet")
     val t0 = System.nanoTime()
     val sums = graft.runner.CheckRunner.orchestrateDir(
-      spark, configDir, tables, outDir)
+      spark, configDir, tables, outDir, stores)
     val sec = (System.nanoTime() - t0) / 1e9
     sums.foreach { s =>
       println(s"[graft] config=${s.config} batch=${s.batchId} " +

@@ -152,7 +152,8 @@ object Runner {
     // store on first run and every resume must match it
     guardRunConfig(store, workDir,
       renderRunConfig(nearDup, classifierGate, decontaminate, boilerplate,
-        codeGate, nbConvert, langDetect, urlGate, driftBaseline))
+        codeGate, nbConvert, langDetect, urlGate, driftBaseline,
+        storeKindOf(stores)))
 
     def stage(name: String)(compute: => DataFrame): DataFrame =
       store.stage(name)(compute)
@@ -364,7 +365,8 @@ object Runner {
       nbConvert: Boolean = false,
       langDetect: Boolean = false,
       urlGate: Option[UrlGateConfig] = None,
-      driftBaseline: Option[DriftConfig] = None): String = {
+      driftBaseline: Option[DriftConfig] = None,
+      storeKind: String = "parquet"): String = {
     val nd = nearDup.fold("nearDup=off") { m =>
       s"nearDup=minhash(numHashes=${m.numHashes},bands=${m.bands}," +
         s"shingle=${m.shingleSize},threshold=${m.threshold}," +
@@ -388,9 +390,22 @@ object Runner {
     val dr = driftBaseline.fold("drift=off")(d =>
       s"drift=psi(bounds=${d.bounds.mkString("/")},alert=${d.psiAlert}," +
         s"baseline=${d.baselinePath.getOrElse("none")})")
-    s"$nd;$cg;$dc;$bp;$cs;$ing;$url;$dr;" +
+    // the binding decides the on-disk LAYOUT: a parquet+marker work dir
+    // resumed under the commit-log binding (or vice versa) would see no
+    // completed stages and silently recompute into a mixed directory —
+    // so the store kind seals like any other checkpoint-shaping knob
+    s"$nd;$cg;$dc;$bp;$cs;$ing;$url;$dr;store=$storeKind;" +
       s"scrub=${graft.filter.Scrub.default.fingerprint}"
   }
+
+  /** Seal name of a store binding: the two shipped bindings by identity,
+    * anything else "custom" (a custom binding must keep its own layout
+    * stable — the seal only guards against mixing the SHIPPED layouts).
+    */
+  private[graft] def storeKindOf(b: SnapshotStore.Binding): String =
+    if (b eq SnapshotStore.commitLog) "commitlog"
+    else if (b eq SnapshotStore.parquetMarkers) "parquet"
+    else "custom"
 
   /** Fingerprint of the default scrub chain as shipped in round 3 (email /
     * aws_key / slack_token / ipv4 / jwt / toxicity / private_key) — the
@@ -468,14 +483,21 @@ object Runner {
       else if (withUrl.contains(";scrub="))
         withUrl.replace(";scrub=", ";drift=off;scrub=")
       else s"$withUrl;drift=off"
+    // absent store = the parquet+marker binding (the only one that existed
+    // when those seals were written); sits BEFORE scrub
+    val withStore =
+      if (withDrift.contains(";store=")) withDrift
+      else if (withDrift.contains(";scrub="))
+        withDrift.replace(";scrub=", ";store=parquet;scrub=")
+      else s"$withDrift;store=parquet"
     // seals without a scrub field were written by the round-3 binary, whose
     // chain is KNOWN — upgrade to its fingerprint. Unlike clfGate (where
     // absent = off = identical behavior), this is NOT a free pass: if the
     // current default chain differs, the guard refuses the resume — which
     // is exactly the point (the old checkpoints hold old-chain content).
     val withScrub =
-      if (withDrift.contains(";scrub=")) withDrift
-      else s"$withDrift;scrub=$LegacyR3ScrubFp"
+      if (withStore.contains(";scrub=")) withStore
+      else s"$withStore;scrub=$LegacyR3ScrubFp"
     // round-4 chain → round-5 chain: prescreen-only change, byte-identical
     // output (see LegacyR4ScrubFp) — checkpoints stay resumable
     if (withScrub.endsWith(s";scrub=$LegacyR4ScrubFp"))
@@ -500,6 +522,19 @@ object Runner {
   def verdicts(spark: SparkSession, workDir: String): Dataset[FileVerdict] = {
     import spark.implicits._
     spark.read.parquet(s"$workDir/verdicts").as[FileVerdict]
+  }
+
+  /** Verdicts read back through a store binding (binding-agnostic: resolves
+    * the published snapshot whatever the on-disk layout). Fails loudly when
+    * the stage was never committed in this work dir — never recomputes.
+    */
+  def verdicts(spark: SparkSession, workDir: String,
+      stores: SnapshotStore.Binding): Dataset[FileVerdict] = {
+    import spark.implicits._
+    stores(spark, workDir).stage("verdicts") {
+      throw new IllegalStateException(
+        s"no committed 'verdicts' stage in $workDir — run the pipeline first")
+    }.as[FileVerdict]
   }
 
   /** Convenience for benchmarks: synthesize n rows and run in-memory,
