@@ -1218,6 +1218,30 @@ object SparkEntry {
       graft.multimodal.Media.audioStats(media).toDF().orderBy("media_id")
     }),
 
+    // ---- REAL video decode (YUV4MPEG2 raw-stream parser) -------------------
+    // the fixture encodes actual .y4m streams (4:2:0) whose per-frame
+    // planes are constant with closed-form sums in the construction
+    // params; the QUERY parses the container back through Y4mCodec and
+    // reports measured dims/frames/ΣY/ΣCb/ΣCr, while the oracle derives
+    // the EXPECTED stats from the dumped params alone. They only agree if
+    // real planes were walked with real 4:2:0 geometry — a header
+    // pass-through cannot fake the luma arithmetic series.
+    "q_media_video" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.multimodal.Media.synthY4ms(s, 500L)
+      val params = s.range(500L).as[Long]
+        .map { id =>
+          val p = graft.multimodal.Media.y4mParams(id)
+          (id, p.w, p.h, p.frames, p.y0, p.dy, p.cb0, p.cr0)
+        }
+        .toDF("media_id", "w", "h", "frames", "y0", "dy", "cb0", "cr0")
+      val aux = s"$OracleAuxDir/y4m_params"
+      auxWrite(aux) {
+        params.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
+      graft.multimodal.Media.videoStats(media).toDF().orderBy("media_id")
+    }),
+
     // ---- URL hygiene (C4/CCNet/RefinedWeb front door) ----------------------
     // the messy-URL fixture (scheme case, userinfo, default vs explicit
     // ports, tracking params, fragments, 2-level public suffixes) is dumped
@@ -2254,6 +2278,19 @@ object SparkEntry {
            (least(frames % (2*half), half)
             - greatest(frames % (2*half) - half, 0)) AS sum_signed
          FROM read_parquet('/tmp/graft_oracle_aux/wav_params/*.parquet')
+         ORDER BY media_id""",
+    // expected sample stats in closed form from the Y4M construction
+    // params: frame f's luma plane is the constant y0 + f*dy (arithmetic
+    // series over frames), chroma planes are constant quarter-size 4:2:0
+    "q_media_video" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         w AS width, h AS height,
+         CAST(frames AS BIGINT) AS n_frames,
+         CAST(w AS BIGINT) * h * (CAST(frames AS BIGINT) * y0
+           + CAST(dy AS BIGINT) * frames * (frames - 1) // 2) AS sum_y,
+         CAST(w // 2 AS BIGINT) * (h // 2) * frames * cb0 AS sum_cb,
+         CAST(w // 2 AS BIGINT) * (h // 2) * frames * cr0 AS sum_cr
+         FROM read_parquet('/tmp/graft_oracle_aux/y4m_params/*.parquet')
          ORDER BY media_id""",
     "q_repo_stats" ->
       """SELECT repo, CAST(count(*) AS BIGINT) AS n_files,

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * [[ImageIoCodec]] reads actual pixels through JDK ImageIO
   * (PNG/JPEG/GIF/BMP, no external dependency). AUDIO decode is real too:
   * [[JavaSoundCodec]] parses RIFF/AIFF/AU containers and reads actual PCM
-  * samples through `javax.sound.sampled` (also in the JDK). Only VIDEO
-  * stays a deterministic stub ([[StubCodec]]) — no video codec ships with
-  * Java — behind the same [[MediaCodec]] seam a real library would plug
-  * into.
+  * samples through `javax.sound.sampled` (also in the JDK). VIDEO decode
+  * is real for UNCOMPRESSED streams: [[Y4mCodec]] parses YUV4MPEG2 (.y4m)
+  * containers — header grammar, FRAME markers, 4:2:0/4:2:2/4:4:4/mono
+  * plane geometry — and reads actual luma/chroma samples, needing no
+  * codec at all. COMPRESSED video (H.264 etc.) genuinely has no JDK
+  * decoder; those payloads fall out as undecodable through the same
+  * [[VideoCodec]] seam a real library would plug into ([[StubCodec]]
+  * remains the byte-stat fallback for opaque-blob accounting).
   */
 final case class MediaRow(
     media_id: Long,
@@ -195,10 +199,110 @@ object JavaSoundCodec extends AudioCodec {
   }
 }
 
-/** Deterministic stand-in codec for VIDEO payloads (no video codec ships
-  * with the JDK; images have [[ImageIoCodec]], audio [[JavaSoundCodec]]):
-  * "decode" derives byte-level pseudo-features so the batching/plumbing
-  * stays exercised for every media kind.
+/** Per-clip sample statistics from a REAL video decode. `n_frames == 0`
+  * marks an undecodable payload (unknown container, truncated frame,
+  * compressed codec) — carried in the schema, never thrown. The sums are
+  * exact integers over every decoded sample of every frame so a
+  * cross-engine oracle can reproduce them from the construction
+  * parameters alone: `sum_y` = Σ luma bytes, `sum_cb`/`sum_cr` = Σ chroma
+  * bytes across all frames.
+  */
+final case class VideoStats(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Long,
+    sum_y: Long,
+    sum_cb: Long,
+    sum_cr: Long)
+
+/** Frame-decode seam for video payloads, mirroring [[ImageCodec]]. */
+trait VideoCodec extends Serializable {
+  /** Once per PARTITION before any row — expensive setup belongs here. */
+  def init(): Unit = ()
+  def decodeVideo(bytes: Array[Byte]): Option[VideoStats]
+}
+
+/** Real video decoder for UNCOMPRESSED streams: YUV4MPEG2 (.y4m) is the
+  * classic raw-video interchange container (mjpegtools/ffmpeg lineage) —
+  * an ASCII parameter header, then `FRAME` markers each followed by raw
+  * Y'CbCr planes. No codec is involved, so ACTUAL sample decode needs no
+  * external dependency; parsing covers the header grammar (`W`/`H`/`C`
+  * tags, unknown tags skipped per spec), per-frame optional parameters,
+  * and the plane geometry of 4:2:0 (all `C420*` variants), 4:2:2, 4:4:4,
+  * and mono. Compressed video (H.264/VP9/…) genuinely has no JDK decoder
+  * and falls out as `None`, as does any truncated or malformed stream.
+  * Bounded memory: one pass over the byte array, O(1) state.
+  */
+object Y4mCodec extends VideoCodec {
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+  /** Dimension cap: a corrupt header must not turn into a giant plane
+    * expectation (w*h drives only loop bounds here, but reject absurdity
+    * loudly-by-None rather than scanning garbage).
+    */
+  private val MaxDim = 32768
+
+  override def decodeVideo(bytes: Array[Byte]): Option[VideoStats] = {
+    val n = bytes.length
+    var i = 0
+    while (i < n && bytes(i) != '\n') i += 1
+    if (i >= n) return None // no header line
+    val header = new String(bytes, 0, i, Ascii)
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var w = -1
+    var h = -1
+    var cs = "420jpeg" // the spec's default colourspace when C is absent
+    header.split(' ').iterator.drop(1).filter(_.nonEmpty).foreach { tok =>
+      tok.charAt(0) match {
+        case 'W' => w = toIntOr(tok.substring(1), -1)
+        case 'H' => h = toIntOr(tok.substring(1), -1)
+        case 'C' => cs = tok.substring(1)
+        case _ => () // F/I/A/X… tags don't shape the planes
+      }
+    }
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
+    // chroma plane geometry by colourspace family
+    val (cw, ch) =
+      if (cs.startsWith("420")) ((w + 1) / 2, (h + 1) / 2)
+      else if (cs.startsWith("422")) ((w + 1) / 2, h)
+      else if (cs.startsWith("444")) (w, h)
+      else if (cs == "mono") (0, 0)
+      else return None
+    val ySize = w * h
+    val cSize = cw * ch
+    var sumY = 0L; var sumCb = 0L; var sumCr = 0L
+    var frames = 0L
+    var p = i + 1
+    while (p < n) {
+      // FRAME marker line (optional parameters up to the newline)
+      var e = p
+      while (e < n && bytes(e) != '\n') e += 1
+      if (e >= n || e - p < 5 || bytes(p) != 'F' || bytes(p + 1) != 'R' ||
+          bytes(p + 2) != 'A' || bytes(p + 3) != 'M' || bytes(p + 4) != 'E')
+        return None
+      p = e + 1
+      if (p.toLong + ySize + 2L * cSize > n) return None // truncated planes
+      val yEnd = p + ySize
+      while (p < yEnd) { sumY += bytes(p) & 0xff; p += 1 }
+      val cbEnd = p + cSize
+      while (p < cbEnd) { sumCb += bytes(p) & 0xff; p += 1 }
+      val crEnd = p + cSize
+      while (p < crEnd) { sumCr += bytes(p) & 0xff; p += 1 }
+      frames += 1
+    }
+    if (frames == 0) None // a header with no frames is not a video
+    else Some(VideoStats(0L, w, h, frames, sumY, sumCb, sumCr))
+  }
+
+  private def toIntOr(s: String, dflt: Int): Int =
+    try s.toInt catch { case _: NumberFormatException => dflt }
+}
+
+/** Deterministic stand-in codec for OPAQUE media payloads (compressed
+  * video etc. — formats with no JDK decoder; images have [[ImageIoCodec]],
+  * audio [[JavaSoundCodec]], raw video [[Y4mCodec]]): "decode" derives
+  * byte-level pseudo-features so the batching/plumbing stays exercised
+  * for every media kind, decodable or not.
   */
 object StubCodec extends MediaCodec {
   override def decode(r: MediaRow): MediaFeatures = {
@@ -366,6 +470,84 @@ object Media {
       new java.io.ByteArrayInputStream(pcm), fmt, p.frames.toLong)
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** Deterministic REAL-Y4M fixture: each row is an actual YUV4MPEG2
+    * stream (4:2:0, the format's default chroma layout) whose every frame
+    * has constant planes — luma `y0 + f*dy` on frame `f`, chroma `cb0` /
+    * `cr0` throughout. Every sample statistic is therefore known in
+    * closed form from (w, h, frames, y0, dy, cb0, cr0), so an oracle can
+    * verify DECODED samples without itself decoding: the sums only come
+    * out right if the parser walked real planes with real 4:2:0 geometry.
+    * `y0 + (frames-1)*dy ≤ 252 < 256` by construction — no wraparound.
+    */
+  def synthY4ms(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map { id =>
+      val p = y4mParams(id, seed)
+      MediaRow(id, "video", encodeY4m(p), p.w, p.h,
+        duration_ms = p.frames * 40) // F25:1 ⇒ 40 ms per frame
+    })
+  }
+
+  /** The closed-form construction parameters of [[synthY4ms]] row `id` —
+    * the independent path an oracle derives expected sample stats from.
+    * Expected: `n_frames = frames`,
+    * `sum_y  = w*h*(frames*y0 + dy*frames*(frames-1)/2)` (arithmetic
+    * series of constant-luma frames),
+    * `sum_cb = (w/2)*(h/2)*frames*cb0` and `sum_cr` likewise (4:2:0
+    * quarter-size chroma planes; w and h are even by construction).
+    */
+  final case class Y4mParams(w: Int, h: Int, frames: Int,
+      y0: Int, dy: Int, cb0: Int, cr0: Int)
+
+  def y4mParams(id: Long, seed: Long = 42L): Y4mParams = {
+    val r = new java.util.SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+    Y4mParams(w = 2 * (2 + r.nextInt(15)), h = 2 * (2 + r.nextInt(10)),
+      frames = 2 + r.nextInt(29), y0 = 16 + r.nextInt(150),
+      dy = r.nextInt(4), cb0 = r.nextInt(256), cr0 = r.nextInt(256))
+  }
+
+  private def encodeY4m(p: Y4mParams): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ySize = p.w * p.h
+    val cSize = (p.w / 2) * (p.h / 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(
+      s"YUV4MPEG2 W${p.w} H${p.h} F25:1 Ip A1:1 C420jpeg\n".getBytes(ascii))
+    val frameHdr = "FRAME\n".getBytes(ascii)
+    val plane = new Array[Byte](math.max(ySize, cSize))
+    var f = 0
+    while (f < p.frames) {
+      bos.write(frameHdr)
+      java.util.Arrays.fill(plane, 0, ySize, (p.y0 + f * p.dy).toByte)
+      bos.write(plane, 0, ySize)
+      java.util.Arrays.fill(plane, 0, cSize, p.cb0.toByte)
+      bos.write(plane, 0, cSize)
+      java.util.Arrays.fill(plane, 0, cSize, p.cr0.toByte)
+      bos.write(plane, 0, cSize)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Batched frame decode over video rows: codec init once per PARTITION,
+    * rows stream through (executor memory bounded by one payload — the
+    * codec is a single O(1)-state pass over the bytes). Non-video kinds
+    * are filtered out up front.
+    */
+  def videoStats(media: Dataset[MediaRow],
+      codec: VideoCodec = Y4mCodec): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      codec.init()
+      it.map { r =>
+        codec.decodeVideo(r.data) match {
+          case Some(s) => s.copy(media_id = r.media_id)
+          case None => VideoStats(r.media_id, 0, 0, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
   }
 
   /** Batched PCM decode over audio rows: codec init once per PARTITION,

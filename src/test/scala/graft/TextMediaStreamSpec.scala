@@ -198,6 +198,56 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(re.map(s => s: AudioStats).toSeq === stats.toSeq)
   }
 
+  test("media: Y4M parser decodes real raw-video planes — stats match the " +
+    "closed-form construction params") {
+    import graft.multimodal.{VideoStats, Y4mCodec}
+    val stats = Media.videoStats(Media.synthY4ms(spark, 100L)).collect()
+      .sortBy(_.media_id)
+    assert(stats.length === 100)
+    stats.foreach { s =>
+      val p = Media.y4mParams(s.media_id)
+      val cPlane = (p.w / 2).toLong * (p.h / 2)
+      assert(s.width === p.w && s.height === p.h &&
+        s.n_frames === p.frames.toLong, s"id=${s.media_id}")
+      assert(s.sum_y === p.w.toLong * p.h *
+        (p.frames.toLong * p.y0 + p.dy.toLong * p.frames * (p.frames - 1) / 2),
+        s"id=${s.media_id}")
+      assert(s.sum_cb === cPlane * p.frames * p.cb0)
+      assert(s.sum_cr === cPlane * p.frames * p.cr0)
+    }
+    // independent single-row path (no Spark, no batching) agrees
+    val one = Media.synthY4ms(spark, 1L).collect().head
+    val direct = Y4mCodec.decodeVideo(one.data).get
+    assert(direct.copy(media_id = 0L) === stats.find(_.media_id == 0L).get)
+    // colourspace geometry: the same samples re-containered as 4:4:4 and
+    // mono parse with full-size / absent chroma planes
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val c444 = "YUV4MPEG2 W4 H2 C444\nFRAME\n".getBytes(ascii) ++
+      Array.fill[Byte](8)(10) ++ Array.fill[Byte](8)(20) ++
+      Array.fill[Byte](8)(30)
+    assert(Y4mCodec.decodeVideo(c444) ===
+      Some(VideoStats(0L, 4, 2, 1L, 80L, 160L, 240L)))
+    val mono = "YUV4MPEG2 W4 H2 Cmono\nFRAME\n".getBytes(ascii) ++
+      Array.fill[Byte](8)(10)
+    assert(Y4mCodec.decodeVideo(mono) ===
+      Some(VideoStats(0L, 4, 2, 1L, 80L, 0L, 0L)))
+    // undecodable payloads are carried failures, not task crashes:
+    // garbage bytes, a compressed-codec stand-in, a frame-truncated
+    // stream, a headers-only stream, and an unknown colourspace
+    val junk = Media.synth(spark, 5L).map(r => r.copy(kind = "video"))
+    val bad = Media.videoStats(junk).collect()
+    assert(bad.length === 5 && bad.forall(_.n_frames === 0L))
+    assert(Y4mCodec.decodeVideo(Array[Byte](1, 2, 3)) === None)
+    assert(Y4mCodec.decodeVideo(one.data.take(one.data.length - 1)) === None)
+    assert(Y4mCodec.decodeVideo("YUV4MPEG2 W4 H2\n".getBytes(ascii)) === None)
+    assert(Y4mCodec.decodeVideo(
+      "YUV4MPEG2 W4 H2 C999\nFRAME\n".getBytes(ascii)) === None)
+    // partition-layout independence
+    val re = Media.videoStats(Media.synthY4ms(spark, 100L).repartition(7))
+      .collect().sortBy(_.media_id)
+    assert(re.map(s => s: VideoStats).toSeq === stats.toSeq)
+  }
+
   test("media: frame-sample plan explodes one row per sampled frame") {
     val plan = Media.frameSamplePlan(Media.synth(spark, 300L), fps = 1.0)
     val videos = Media.synth(spark, 300L).filter(_.kind == "video").collect()
