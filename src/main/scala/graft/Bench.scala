@@ -460,52 +460,68 @@ object Bench {
         } finally s.stop()
       }
     // ---- skew-defense evidence (round-4 verdict item 5) -------------------
-    // a planted 90%-mass mega-repo; per-repo top-k two ways over the SAME
-    // slim (doc_id, repo) frame: the salted two-phase quota (the engine's
-    // path everywhere a stratum can be huge) vs the naive single-window
-    // rank. The outputs are identical rows (the two-phase == direct-window
-    // equivalence is oracle-proven, q_sample_quota); the wall-time gap is
-    // what the salt buys — the naive window funnels 90% of the corpus
-    // through ONE task regardless of cluster width, the definition of a
-    // scale killer.
+    // a planted 90%-mass mega-repo through repo-context packing two ways:
+    // the plain one-hash-shuffle path (the mega-repo's pack emission
+    // serializes onto ONE task — a serial floor no optimizer rule can
+    // lift, since packing needs every row in order) vs the engine's
+    // ranged path (range partition + slim offsets pass spreads the
+    // mega-repo over every core). Outputs are identical rows (PackingSpec
+    // asserts it); the wall gap is what the range defense buys. On this
+    // one box the ranged path is bandwidth-bound at ~2x; on a cluster the
+    // plain path's mega-repo cost is a FIXED serial floor while ranged
+    // keeps scaling out — the 100 TB argument, stated in BASELINE.md.
+    //
+    // The round-4 plan for this shot — salted two-phase quota vs naive
+    // rank window — measured the naive window FASTER (48M rows: 8.9 s vs
+    // 18.5 s): Catalyst's InferWindowGroupLimit (SPARK-37099) caps every
+    // map partition at k rows per stratum BEFORE the exchange, so
+    // rank-limit shapes are optimizer-protected and the hand salt was
+    // retired from Sampling.quotaPerStratum (SamplingSpec pins the
+    // Partial WindowGroupLimit node). The shot now exercises an operator
+    // the optimizer genuinely cannot defend.
     val skewN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKEW_ROWS",
-      "8000000").toLong
-    def skewShot(salted: Boolean): Double = {
-      val s = session(cpus)
-      try {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{col, concat, lit, pmod,
-          row_number, when, xxhash64}
-        def job(rows: Long): Unit = {
-          val df = s.range(0L, rows, 1L, 4 * cpus)
-            .select(col("id").as("doc_id"),
-              when(pmod(xxhash64(col("id")), lit(10L)) < 9L, lit("repo_mega"))
-                .otherwise(concat(lit("repo_"),
-                  pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"))
-          val out =
-            if (salted)
-              graft.sampling.Sampling.quotaPerStratum(df, Seq("repo"), k = 25,
-                tieCols = Seq("doc_id"))
-            else {
-              val h = graft.sampling.Sampling
-                .sampleHash(42L, Seq(col("doc_id")))
-              df.withColumn("__sh", h)
-                .withColumn("__rn", row_number().over(
-                  Window.partitionBy(col("repo"))
-                    .orderBy(col("__sh").asc, col("doc_id").asc)))
-                .filter(col("__rn") <= 25).drop("__rn", "__sh")
-            }
-          out.write.format("noop").mode("overwrite").save()
-        }
-        job(100000L) // JIT warm-up
-        val t0 = System.nanoTime()
-        job(skewN)
-        skewN / ((System.nanoTime() - t0) / 1e9)
-      } finally s.stop()
-    }
-    val (tpSkewSalted, tpSkewNaive) =
+      "12000000").toLong
+    val skewRounds = scala.collection.mutable.Map[String,
+      scala.collection.mutable.ArrayBuffer[Double]](
+      "ranged" -> scala.collection.mutable.ArrayBuffer[Double](),
+      "single_task" -> scala.collection.mutable.ArrayBuffer[Double]())
+    val (tpSkewRanged, tpSkewNaive) =
       if (scaleOnly) (-1.0, -1.0)
-      else (skewShot(salted = true), skewShot(salted = false))
+      else {
+        val s = session(cpus)
+        try {
+          import org.apache.spark.sql.functions.{col, concat, conv, lit,
+            pmod, rpad, when, xxhash64}
+          def job(rows: Long, ranged: Boolean): Unit = {
+            val df = s.range(0L, rows, 1L, 4 * cpus)
+              .select(
+                when(pmod(xxhash64(col("id")), lit(10L)) < 9L,
+                  lit("repo_mega"))
+                  .otherwise(concat(lit("repo_"),
+                    pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"),
+                concat(lit("src/"), col("id").cast("string"), lit(".scala"))
+                  .as("path"),
+                lit("c0").as("commit"),
+                rpad(conv(xxhash64(col("id"), lit(3)).cast("string"),
+                  10, 16), 64, "x").as("content"))
+            val out =
+              if (ranged)
+                graft.text.RepoPack.packByRepoRanged(df, budgetChars = 100000L)
+              else graft.text.RepoPack.packByRepo(df, budgetChars = 100000L)
+            out.write.format("noop").mode("overwrite").save()
+            graft.util.Caches.release()
+          }
+          for (ranged <- Seq(true, false)) job(100000L, ranged) // JIT warm-up
+          // alternating rounds: same contention window for both paths
+          for (_ <- 1 to 3; ranged <- Seq(true, false)) {
+            val t0 = System.nanoTime()
+            job(skewN, ranged)
+            val tp = skewN / ((System.nanoTime() - t0) / 1e9)
+            skewRounds(if (ranged) "ranged" else "single_task") += tp
+          }
+          (skewRounds("ranged").max, skewRounds("single_task").max)
+        } finally s.stop()
+      }
 
     // ---- scale-shape stress: single-shot series at a 10x-bench n ---------
     // catches threshold crossovers a 1-3M-row run cannot (broadcast caps,
@@ -683,11 +699,14 @@ object Bench {
       f""""with_dedup_diag":${mapJson(dedupDiag)},""" +
       f""""files_per_sec_noentropy_n$cpus":$tpNoEntropy%.1f,""" +
       f""""noentropy_rounds":${arr(ablationRounds.toSeq)},""" +
-      f""""rows_per_sec_skew_salted_n$cpus":$tpSkewSalted%.1f,""" +
-      f""""rows_per_sec_skew_single_window_n$cpus":$tpSkewNaive%.1f,""" +
+      f""""rows_per_sec_skew_pack_ranged_n$cpus":$tpSkewRanged%.1f,""" +
+      f""""rows_per_sec_skew_pack_single_task_n$cpus":$tpSkewNaive%.1f,""" +
+      f""""skew_pack_ranged_rounds":${arr(skewRounds("ranged").toSeq)},""" +
+      f""""skew_pack_single_task_rounds":${
+        arr(skewRounds("single_task").toSeq)},""" +
       f""""skew_rows":$skewN,"skew_mega_share":0.9,""" +
-      f""""skew_salted_speedup":${
-        if (tpSkewNaive > 0) tpSkewSalted / tpSkewNaive else -1.0}%.2f,""" +
+      f""""skew_ranged_speedup":${
+        if (tpSkewNaive > 0) tpSkewRanged / tpSkewNaive else -1.0}%.2f,""" +
       f""""pipeline_baseline_n32":$baselineN32%.1f,""" +
       f""""pipeline_delta_vs_baseline":$pipelineDelta%.3f,""" +
       f""""files_per_sec_with_neardup_n$cpus":$tpNearDup%.1f,""" +

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *  - [[hashRateSample]] — "keep p% of rows / of groups": map-side only,
   *    no shuffle, exact in expectation with binomial deviation;
   *  - [[quotaPerStratum]] — "at most k rows per language/source":
-  *    uniform-within-stratum top-k by hash order, two-phase salted so a
-  *    mega-stratum (half the web is English) never lands on one reducer.
+  *    uniform-within-stratum top-k by hash order; a mega-stratum (half
+  *    the web is English) never lands on one reducer because Catalyst's
+  *    `InferWindowGroupLimit` caps every map partition at k rows per
+  *    stratum before the exchange (see the method doc).
   */
 object Sampling {
 
@@ -218,32 +220,29 @@ object Sampling {
     * hash order (ties broken by the tie columns themselves, so the result
     * is total-ordered and deterministic).
     *
-    * Two-phase against stratum skew: phase 1 takes a per-(stratum, salt)
-    * top-k — the salt is derived from the SAME hash, so every salt
-    * bucket's local top-k is a superset of the global top-k's members in
-    * that bucket — then phase 2 reduces the ≤ k·saltBuckets survivors per
-    * stratum to the true top-k. A mega-stratum spreads over `saltBuckets`
-    * reducers in the expensive pass; the final pass sees at most
-    * k·saltBuckets rows per stratum.
+    * Skew defense: the `row_number() <= k` shape is recognized by
+    * Catalyst's `InferWindowGroupLimit` (SPARK-37099, Spark ≥ 3.5), which
+    * inserts a PARTIAL `WindowGroupLimit` before the exchange — every map
+    * partition forwards at most k rows per stratum, so the post-shuffle
+    * stratum sees ≤ k·numMapPartitions rows no matter how skewed the
+    * input (SamplingSpec pins the Partial node in the plan). Earlier
+    * rounds carried a hand-salted two-phase variant here; at n=48M with a
+    * 90%-mass stratum the optimizer-protected single window measured 2.1×
+    * faster (8.9 s vs 18.5 s, one exchange instead of two), so the salt
+    * was retired — see BASELINE.md "skew defense". Operators whose
+    * per-group work is NOT a rank-limit (pack emission, prefix sums)
+    * still need engine-side range/salt defenses
+    * ([[graft.text.RepoPack.packByRepoRanged]], [[tokenBudgetSample]]).
     */
   def quotaPerStratum(df: DataFrame, stratumCols: Seq[String], k: Int,
-      tieCols: Seq[String], seed: Long = 42L,
-      saltBuckets: Int = 16): DataFrame = {
+      tieCols: Seq[String], seed: Long = 42L): DataFrame = {
     require(k > 0, s"quota k=$k must be positive")
-    require(saltBuckets > 0, s"saltBuckets=$saltBuckets must be positive")
     val h = sampleHash(seed, tieCols.map(col))
     val ordering = col("__sh").asc +: tieCols.map(col(_).asc)
-    val salted = df.withColumn("__sh", h)
-      .withColumn("__salt", pmod(col("__sh"), lit(saltBuckets.toLong)))
-    val phase1 = salted
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy((stratumCols.map(col) :+ col("__salt")): _*)
-          .orderBy(ordering: _*)))
-      .filter(col("__rn") <= k).drop("__rn")
-    phase1
+    df.withColumn("__sh", h)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(stratumCols.map(col): _*).orderBy(ordering: _*)))
       .filter(col("__rn") <= k)
-      .drop("__rn", "__sh", "__salt")
+      .drop("__rn", "__sh")
   }
 }

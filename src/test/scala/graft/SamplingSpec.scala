@@ -38,7 +38,7 @@ class SamplingSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < all.size)
   }
 
-  test("quotaPerStratum: exact quota, deterministic, salted == direct window") {
+  test("quotaPerStratum: exact quota, deterministic, optimizer group-limit fires") {
     val q = Sampling.quotaPerStratum(docs, Seq("lang"), k = 50, Seq("id"))
     val counts = q.groupBy("lang").count().collect()
       .map(r => r.getString(r.fieldIndex("lang")) -> r.getLong(r.fieldIndex("count"))).toMap
@@ -47,8 +47,8 @@ class SamplingSpec extends SparkSpec {
     val tiny = Sampling.quotaPerStratum(docs.filter(col("id") <= 10),
       Seq("lang"), k = 50, Seq("id"))
     assert(tiny.count() === 10L)
-    // the salted two-phase selection equals a DIRECT single window — the
-    // skew defense must not change WHICH rows are chosen
+    // the selection is the documented direct hash-order window — the
+    // implementation must not change WHICH rows are chosen
     val h = Sampling.sampleHash(42L, Seq(col("id")))
     val direct = docs.withColumn("__h", h)
       .withColumn("__rn", row_number().over(
@@ -56,13 +56,19 @@ class SamplingSpec extends SparkSpec {
           .orderBy(col("__h").asc, col("id").asc)))
       .filter(col("__rn") <= 50).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
-    val salted = q.select("id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(salted === direct)
+    val chosen = q.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(chosen === direct)
     // and is independent of the input partitioning
     val reparted = Sampling.quotaPerStratum(docs.repartition(17),
       Seq("lang"), k = 50, Seq("id")).select("id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(reparted === direct)
+    // the skew defense is Catalyst's InferWindowGroupLimit (SPARK-37099):
+    // a PARTIAL WindowGroupLimit must sit below the exchange so every map
+    // partition forwards at most k rows per stratum — pin it in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial WindowGroupLimit in:\n$plan")
   }
 
   test("tokenBudgetSample: bucketed prefix == direct window, budget holds") {
