@@ -32,6 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 16g default: the bench's near-dup series caches signature/band frames
-  // at n=3M — 8g fails the broadcast build under that cache pressure
+  // at n=3M — 8g fails the broadcast build under that cache pressure.
+  // -Xms pinned to -Xmx: without it the heap grows from the tiny default
+  // during the FIRST full-n timed run of a fresh JVM, and the expansion +
+  // GC pauses systematically depress that round 4-5x (both round-5 bench
+  // windows showed it: with-dedup session-1 rounds 42k/35k files/s vs
+  // 181-197k once the heap is grown) — pre-sizing removes the artifact
+  // from every first-round measurement
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

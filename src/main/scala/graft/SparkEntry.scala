@@ -698,8 +698,8 @@ object SparkEntry {
         .orderBy("rule", "doc_id", "tok_idx")
     }),
     // deterministic corpus sampling: the decision hash is dumped for every
-    // row, the QUERY applies Spark's selection (rate predicate / salted
-    // two-phase quota window), and DuckDB re-applies the selection RULE to
+    // row, the QUERY applies Spark's selection (rate predicate / quota
+    // window), and DuckDB re-applies the selection RULE to
     // the same dumped hashes — any divergence in the predicate, the modulo
     // sign handling, or the two-phase == direct-window equivalence
     // hash-mismatches
@@ -1133,10 +1133,10 @@ object SparkEntry {
         .orderBy(col("checkId"))
     }),
 
-    // ---- per-repo stats via salted two-phase aggregation ------------------
-    // the annotated frame is dumped to the oracle aux path; Spark's SALTED
-    // two-phase aggregation over it must equal DuckDB's direct GROUP BY —
-    // a cross-engine proof that salting never changes results
+    // ---- per-repo stats (one-exchange partial agg) -------------------------
+    // the annotated frame is dumped to the oracle aux path; Spark's
+    // partial-aggregated groupBy over it must equal DuckDB's direct
+    // GROUP BY — a cross-engine proof of the aggregation itself
     "q_repo_stats" -> ((s, _) => {
       val files = CorpusGen.files(s, 5000L)
       val annotated = QualityPipeline.annotate(
@@ -1292,7 +1292,7 @@ object SparkEntry {
         .select(col("doc_id").cast("bigint").as("doc_id"))
         .orderBy("doc_id")
     }),
-    // per-domain cap (two-phase salted quota under the hood): DuckDB
+    // per-domain cap (optimizer-group-limited quota under the hood): DuckDB
     // re-derives the domain from the raw url AND replays the hash-order
     // rank, checking the whole composition
     "q_domain_cap" -> ((s, dir) => {
