@@ -486,6 +486,9 @@ object SecretEntropy {
     * only on qualifying candidate spans, StringBuilder allocated only when
     * something actually scrubs. Returns (output, count) — the replacement
     * is inserted LITERALLY (same as the regex route's quoteReplacement).
+    * `replacement == null` = count-only mode (the [[countAll]] fast path):
+    * the SAME traversal, no builder ever allocated, output is `text` — one
+    * maintained copy of the scan, not two.
     */
   private def scrubCountSpec(text: String, spec: RunSpec,
       replacement: String, minBits: Double): (String, Int) = {
@@ -512,9 +515,11 @@ object SecretEntropy {
             }
           }
           if (entropyBits(text, start, end) >= minBits) {
-            if (sb == null) sb = new java.lang.StringBuilder(n)
-            sb.append(text, copied, start).append(replacement)
-            copied = end
+            if (replacement != null) {
+              if (sb == null) sb = new java.lang.StringBuilder(n)
+              sb.append(text, copied, start).append(replacement)
+              copied = end
+            }
             cnt += 1
           }
           i = end
@@ -602,39 +607,14 @@ object SecretEntropy {
       minBits: Double): String =
     scrubCount(text, pat, replacement, minBits)._1
 
-  /** Count of matches of `pat` with entropy >= `minBits`. */
+  /** Count of matches of `pat` with entropy >= `minBits`. The fast path is
+    * [[scrubCountSpec]] in count-only mode (null replacement) — the exact
+    * scrub traversal, zero allocation, one maintained scan.
+    */
   def countAll(text: String, pat: String, minBits: Double): Int = {
     val spec = specFor(pat)
-    if (spec != null) {
-      // count-only scan: same traversal as scrubCountSpec, no builder
-      val n = text.length
-      val member = spec.member
-      var cnt = 0
-      var i = 0
-      while (i < n) {
-        val c = text.charAt(i)
-        if (c < 128 && member(c)) {
-          val start = i
-          var j = i + 1
-          while (j < n && { val d = text.charAt(j); d < 128 && member(d) }) j += 1
-          if (j - start >= spec.minLen &&
-            (!spec.leadWb || start == 0 || !isWordBefore(text, start)) &&
-            (!spec.trailWb || j == n || !isWordAt(text, j))) {
-            var end = j
-            if (spec.sufMax > 0) {
-              var k = 0
-              while (k < spec.sufMax && end < n && text.charAt(end) == spec.sufChar) {
-                end += 1; k += 1
-              }
-            }
-            if (entropyBits(text, start, end) >= minBits) cnt += 1
-            i = end
-          } else i = j
-        } else i += 1
-      }
-      return cnt
-    }
-    countAllRegex(text, pat, minBits)
+    if (spec != null) scrubCountSpec(text, spec, null, minBits)._2
+    else countAllRegex(text, pat, minBits)
   }
 
   // ---- pure-regex references (fuzz oracles for the scanner fast path) ----
@@ -826,8 +806,12 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
       child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+  // the sketch runs to tens of MB and Catalyst hashes expressions
+  // repeatedly during analysis/canonicalization — compute the array part
+  // once (the bytes are immutable by contract)
+  @transient private lazy val bloomBytesHash =
+    java.util.Arrays.hashCode(bloomBytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bloomBytesHash
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a long input")

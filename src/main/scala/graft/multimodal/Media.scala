@@ -261,13 +261,21 @@ object Y4mCodec extends VideoCodec {
       }
     }
     if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim) return None
-    // chroma plane geometry by colourspace family
-    val (cw, ch) =
-      if (cs.startsWith("420")) ((w + 1) / 2, (h + 1) / 2)
-      else if (cs.startsWith("422")) ((w + 1) / 2, h)
-      else if (cs.startsWith("444")) (w, h)
-      else if (cs == "mono") (0, 0)
-      else return None
+    // chroma plane geometry — EXACT 8-bit 3-plane variants only. Prefix
+    // matching would mis-size geometry-incompatible tags that share the
+    // family digits: C444alpha carries a FOURTH plane and the ffmpeg
+    // bit-depth extensions (C420p10, C422p12, ...) carry 2-byte samples —
+    // both must be rejected by NAME here, not discovered mid-stream as a
+    // bogus "truncated planes" failure. (The three C420 suffixes differ
+    // only in chroma SITING — sample counts are identical.)
+    val (cw, ch) = cs match {
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+        ((w + 1) / 2, (h + 1) / 2)
+      case "422" => ((w + 1) / 2, h)
+      case "444" => (w, h)
+      case "mono" => (0, 0)
+      case _ => return None
+    }
     val ySize = w * h
     val cSize = cw * ch
     var sumY = 0L; var sumCb = 0L; var sumCr = 0L

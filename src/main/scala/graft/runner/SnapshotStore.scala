@@ -75,9 +75,15 @@ object SnapshotStore {
     *  - TIME TRAVEL: data dirs are immutable and per-version — a reader
     *    pinned at version N resolves paths through manifest N and can
     *    never observe version N+1 rows, half-written or otherwise;
-    *  - rename-fails-if-exists arbitrates concurrent committers (the
-    *    Delta-style optimistic protocol): the loser re-reads state and
-    *    retries at K+1.
+    *  - an atomic publish-fails-if-exists primitive arbitrates concurrent
+    *    committers (the Delta-style optimistic protocol): on `file://` a
+    *    hard LINK of the tmp file to `v<K>.manifest` (POSIX link(2) fails
+    *    with EEXIST — `rename(2)` would silently OVERWRITE, so plain
+    *    rename arbitrates on HDFS but NOT on the local filesystem); on
+    *    every other scheme the FileSystem-contract rename-fails-if-exists.
+    *    A loser re-reads the winner's state and, if the winner committed
+    *    the SAME stage, adopts the winner's snapshot (its own never-visible
+    *    data dir is deleted) — otherwise it retries its commit at K+1.
     */
   val commitLog: Binding = (spark, root) => new CommitLogStore(spark, root)
 
@@ -125,6 +131,27 @@ object SnapshotStore {
     def isDone(name: String): Boolean =
       manifest(currentVersion).contains(name)
 
+    /** Publish `tmp` as `target` atomically, FAILING (returning false) if
+      * `target` already exists — the commit-arbitration primitive. On the
+      * local filesystem this must be a hard LINK: POSIX `rename(2)` (what
+      * `File.renameTo`/RawLocalFileSystem use) silently REPLACES an
+      * existing destination, so a rename-based "arbitration" would let the
+      * second committer clobber the first's manifest. `link(2)` fails with
+      * EEXIST, which is exactly the fail-if-exists commit we need. On
+      * non-local schemes (HDFS et al.) the FileSystem contract's
+      * rename-fails-if-exists holds and is used directly.
+      */
+    private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+        tmp: Path, target: Path): Boolean =
+      if (f.getUri.getScheme == "file") {
+        val src = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(tmp).toString)
+        val dst = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(target).toString)
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, target)
+
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       manifest(currentVersion).get(name) match {
         case Some(path) => spark.read.parquet(path) // committed ⇒ resume
@@ -137,25 +164,35 @@ object SnapshotStore {
           val dataPath = s"$root/data/$name/v${v + 1}-" +
             java.util.UUID.randomUUID().toString.take(8)
           compute.write.mode("overwrite").parquet(dataPath)
-          var committed = false
-          while (!committed) {
-            val state = manifest(v) + (name -> dataPath)
-            val target = manifestPath(v + 1)
-            val f = fs(target)
-            f.mkdirs(commitsDir)
-            val tmp = new Path(commitsDir,
-              s".tmp-${java.util.UUID.randomUUID()}")
-            val out = f.create(tmp, true)
-            try out.write(state.toSeq.sorted
-              .map { case (k, p) => s"$k\t$p" }.mkString("", "\n", "\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            // rename-fails-if-exists = the commit arbitration: on loss,
-            // re-read the winner's state and retry on top of it
-            committed = f.rename(tmp, target)
-            if (!committed) { f.delete(tmp, false); v = currentVersion }
+          var resolved: Option[String] = None
+          while (resolved.isEmpty) {
+            manifest(v).get(name) match {
+              case Some(winner) =>
+                // a concurrent committer published THIS stage first: adopt
+                // its snapshot (publish-once semantics — version must not
+                // bump twice for one stage) and drop our never-visible dir
+                fs(new Path(dataPath)).delete(new Path(dataPath), true)
+                resolved = Some(winner)
+              case None =>
+                val state = manifest(v) + (name -> dataPath)
+                val target = manifestPath(v + 1)
+                val f = fs(target)
+                f.mkdirs(commitsDir)
+                val tmp = new Path(commitsDir,
+                  s".tmp-${java.util.UUID.randomUUID()}")
+                val out = f.create(tmp, true)
+                try out.write(state.toSeq.sorted
+                  .map { case (k, p) => s"$k\t$p" }.mkString("", "\n", "\n")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+                // atomic fail-if-exists publish = the commit arbitration:
+                // on loss, re-read the winner's state and retry on top
+                if (publishExclusive(f, tmp, target)) resolved = Some(dataPath)
+                else v = currentVersion
+                f.delete(tmp, false) // tmp name is dead either way (link keeps content)
+            }
           }
-          spark.read.parquet(dataPath)
+          spark.read.parquet(resolved.get)
       }
     }
 

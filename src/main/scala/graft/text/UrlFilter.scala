@@ -160,9 +160,12 @@ object UrlFilter {
   }
 
   /** At most `k` documents per registrable domain, hash-order uniform —
-    * the RefinedWeb/FineWeb per-site cap. Delegates to the two-phase
-    * salted quota: a hot domain spreads over salt buckets in the wide
-    * pass, so no reducer ever sees a whole mega-site.
+    * the RefinedWeb/FineWeb per-site cap. Delegates to
+    * [[graft.sampling.Sampling.quotaPerStratum]], whose mega-site defense
+    * is Catalyst's partial `WindowGroupLimit` (every map partition caps a
+    * domain at k rows before the shuffle; the hand salt was retired in
+    * round 5 after measuring 2.1× slower). NULL urls form one capped
+    * NULL-domain stratum (the window groups NULL keys together).
     */
   def perDomainCap(df: DataFrame, urlCol: String, k: Int,
       tieCols: Seq[String], seed: Long = 42L): DataFrame = {

@@ -278,6 +278,36 @@ class CheckRunnerSpec extends SparkSpec {
     assert(store.readMeta("RUNCONFIG") === Some("cfg=x"))
   }
 
+  test("commit log: a losing committer ADOPTS the winner's snapshot — the " +
+    "publish primitive fails on an existing manifest instead of overwriting") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_clog_race").toString
+    val a = new graft.runner.SnapshotStore.CommitLogStore(spark, root)
+    val b = new graft.runner.SnapshotStore.CommitLogStore(spark, root)
+    // deterministic replay of the concurrent-committer race: b begins
+    // staging "s", and DURING its compute a commits the same stage — so
+    // b's commit attempt targets a manifest version that now exists.
+    // POSIX rename(2) would silently OVERWRITE a's manifest here (the
+    // local-FS divergence from the HDFS rename contract); the hard-link
+    // publish must fail instead, and b must adopt a's snapshot rather
+    // than re-commit its own at the next version.
+    var aPath: String = null
+    val out = b.stage("s") {
+      a.stage("s")(spark.range(7).select(col("id")))
+      aPath = a.manifest(a.currentVersion)("s")
+      spark.range(3).select(col("id")) // b's own (losing) snapshot
+    }
+    // exactly ONE commit for the stage — the version must not bump twice
+    assert(b.currentVersion === 1)
+    assert(b.manifest(1)("s") === aPath, "the winner's manifest survives")
+    // b returned the WINNER's data (7 rows), not its own 3-row frame
+    assert(out.count() === 7)
+    // the loser's never-visible data dir was cleaned up
+    val dataDirs = new java.io.File(s"$root/data/s").listFiles()
+    assert(dataDirs != null && dataDirs.length === 1,
+      s"expected only the winner's snapshot dir, got ${dataDirs.toSeq}")
+  }
+
   test("commit log: time travel — a reader pinned at version N never " +
     "sees version N+1 state") {
     import org.apache.spark.sql.functions._

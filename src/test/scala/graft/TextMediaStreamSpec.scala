@@ -242,6 +242,22 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(Y4mCodec.decodeVideo("YUV4MPEG2 W4 H2\n".getBytes(ascii)) === None)
     assert(Y4mCodec.decodeVideo(
       "YUV4MPEG2 W4 H2 C999\nFRAME\n".getBytes(ascii)) === None)
+    // geometry-INCOMPATIBLE family variants are rejected by NAME, not
+    // discovered mid-stream: C444alpha carries a 4th plane, C420p10
+    // carries 2-byte samples — prefix-matching the family digits would
+    // mis-size both
+    assert(Y4mCodec.decodeVideo(
+      "YUV4MPEG2 W4 H2 C444alpha\nFRAME\n".getBytes(ascii) ++
+        Array.fill[Byte](32)(10)) === None)
+    assert(Y4mCodec.decodeVideo(
+      "YUV4MPEG2 W4 H2 C420p10\nFRAME\n".getBytes(ascii) ++
+        Array.fill[Byte](24)(10)) === None)
+    // ...while the chroma-SITING C420 variants (same sample counts) parse
+    val mpeg2 = "YUV4MPEG2 W4 H2 C420mpeg2\nFRAME\n".getBytes(ascii) ++
+      Array.fill[Byte](8)(10) ++ Array.fill[Byte](2)(20) ++
+      Array.fill[Byte](2)(30)
+    assert(Y4mCodec.decodeVideo(mpeg2) ===
+      Some(VideoStats(0L, 4, 2, 1L, 80L, 40L, 60L)))
     // partition-layout independence
     val re = Media.videoStats(Media.synthY4ms(spark, 100L).repartition(7))
       .collect().sortBy(_.media_id)
