@@ -69,6 +69,13 @@ private[filter] object Prescreen {
     * ASCII words, so hits stay conservative.
     */
   final case class AnyOfCI(words: Seq[String]) extends Prescreen {
+    // parse() already rejects these; guard direct construction too — a
+    // non-ASCII or empty word could never hit the ASCII dispatch table, so
+    // the prescreen would silently stop being a necessary condition (a
+    // false NEGATIVE, i.e. skipped scrubs — a correctness bug, not a slow
+    // path)
+    require(words.nonEmpty && words.forall(w => w.nonEmpty && w.forall(_ < 128)),
+      s"AnyOfCI words must be non-empty ASCII, got: ${words.mkString("|")}")
     @transient private lazy val byFirst: Array[Array[String]] = {
       val m = new Array[Array[String]](128)
       words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.foreach { w =>
