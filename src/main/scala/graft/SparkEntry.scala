@@ -1198,6 +1198,35 @@ object SparkEntry {
       graft.multimodal.Media.imageStats(media).toDF().orderBy("media_id")
     }),
 
+    // ---- REAL image resize (exact box-average over decoded pixels) --------
+    // the fixture is a block-grid PNG whose every block is constant with an
+    // affine value in the block coordinates; resizing by the block size maps
+    // each block (full or partial-edge) onto ONE output pixel whose box
+    // average IS the block constant. The QUERY decodes, resizes, and
+    // reports the resized dims + exact channel sums; the oracle derives the
+    // EXPECTED resized image from the dumped params alone. They only agree
+    // if real pixels were averaged with real ceil(w/k) block geometry.
+    "q_media_resize" -> ((s, _) => {
+      import s.implicits._
+      val media = graft.multimodal.Media.synthBlockPngs(s, 500L, block = 4)
+      val params = s.range(500L).as[Long]
+        .map { id =>
+          val p = graft.multimodal.Media.blockParams(id, block = 4)
+          (id, p.bxn, p.byn, p.lastw, p.lasth, p.baseR, p.dxR, p.dyR,
+            p.baseG, p.dxG, p.dyG, p.baseB, p.dxB, p.dyB)
+        }
+        .toDF("media_id", "bxn", "byn", "lastw", "lasth", "base_r", "dx_r",
+          "dy_r", "base_g", "dx_g", "dy_g", "base_b", "dx_b", "dy_b")
+      val aux = s"$OracleAuxDir/blockpng_params"
+      auxWrite(aux) {
+        params.coalesce(1).write.mode("overwrite").parquet(aux)
+      }
+      graft.multimodal.Media.resizeImages(media, factor = 4).toDF()
+        .select(col("media_id"), col("src_w"), col("src_h"), col("width"),
+          col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // ---- REAL audio decode (javax.sound.sampled) --------------------------
     // the fixture encodes actual RIFF/WAVE files holding a 16-bit PCM
     // square wave whose sample sums are closed-form in the construction
@@ -2282,6 +2311,26 @@ object SparkEntry {
          CAST(CAST(h AS BIGINT) * (w // 2) * (ba + bb) * 10000
            // (CAST(w AS BIGINT) * h) AS BIGINT) AS mean_b_e4
          FROM read_parquet('/tmp/graft_oracle_aux/png_params/*.parquet')
+         ORDER BY media_id""",
+    // expected RESIZED image in closed form from the block-grid params:
+    // resized dims = the block grid (bxn, byn); each output pixel equals
+    // its block's affine constant, so the channel sum is the double
+    // arithmetic series over the grid
+    "q_media_resize" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id,
+         (bxn - 1) * 4 + lastw AS src_w,
+         (byn - 1) * 4 + lasth AS src_h,
+         bxn AS width, byn AS height,
+         CAST(bxn AS BIGINT) * byn * base_r
+           + CAST(dx_r AS BIGINT) * byn * (bxn * (bxn - 1) // 2)
+           + CAST(dy_r AS BIGINT) * bxn * (byn * (byn - 1) // 2) AS sum_r,
+         CAST(bxn AS BIGINT) * byn * base_g
+           + CAST(dx_g AS BIGINT) * byn * (bxn * (bxn - 1) // 2)
+           + CAST(dy_g AS BIGINT) * bxn * (byn * (byn - 1) // 2) AS sum_g,
+         CAST(bxn AS BIGINT) * byn * base_b
+           + CAST(dx_b AS BIGINT) * byn * (bxn * (bxn - 1) // 2)
+           + CAST(dy_b AS BIGINT) * bxn * (byn * (byn - 1) // 2) AS sum_b
+         FROM read_parquet('/tmp/graft_oracle_aux/blockpng_params/*.parquet')
          ORDER BY media_id""",
     // expected sample stats in closed form from the WAV construction
     // params: every sample has magnitude amp (sum_abs = frames*ch*amp);

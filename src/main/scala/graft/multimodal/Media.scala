@@ -622,6 +622,169 @@ object Media {
       .as[MediaRow]
   }
 
+  /** A resized image: the re-encoded PNG plus exact integer channel sums
+    * over the RESIZED pixels (the cross-engine verification surface —
+    * `width == 0` marks an undecodable source payload, carried in the
+    * schema like every other media failure).
+    */
+  final case class ResizedImage(
+      media_id: Long,
+      src_w: Int,
+      src_h: Int,
+      width: Int,
+      height: Int,
+      data: Array[Byte],
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL image resize: exact box-average downscale by integer `factor` —
+    * output pixel (X,Y) is the truncating integer mean, per channel, of
+    * the source block [X·k, min((X+1)·k, w)) × [Y·k, min((Y+1)·k, h))
+    * (partial edge blocks average over their true pixel count), so
+    * `out_w = ceil(w/k)`, `out_h = ceil(h/k)`. The result is re-encoded as
+    * an actual PNG and the resized pixels' exact channel sums ride along
+    * for closed-form verification ([[synthBlockPngs]] fixtures make every
+    * resized pixel equal its source block's constant value, so an oracle
+    * can re-derive the sums from construction params alone —
+    * q_media_resize).
+    *
+    * Scale shape matches the other decode stages: one `mapPartitions`
+    * pass, codec-style per-partition init (the ImageIO cache toggle),
+    * executor memory bounded by one decoded image + its (smaller) resized
+    * twin, no shuffle. Size partitions by BYTES upstream
+    * ([[repartitionByBytes]]) — image dimensions are skewed.
+    */
+  def resizeImages(media: Dataset[MediaRow], factor: Int): Dataset[ResizedImage] = {
+    require(factor > 0, s"resize factor=$factor must be positive")
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          ResizedImage(r.media_id, 0, 0, 0, 0, Array.emptyByteArray, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val ow = (w + factor - 1) / factor
+          val oh = (h + factor - 1) / factor
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var oy = 0
+          while (oy < oh) {
+            val y0 = oy * factor
+            val y1 = math.min(y0 + factor, h)
+            var ox = 0
+            while (ox < ow) {
+              val x0 = ox * factor
+              val x1 = math.min(x0 + factor, w)
+              var br = 0L; var bg = 0L; var bb = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y) // sRGB ARGB, raster-agnostic
+                  br += (rgb >> 16) & 0xff
+                  bg += (rgb >> 8) & 0xff
+                  bb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val cnt = (x1 - x0).toLong * (y1 - y0)
+              val vr = (br / cnt).toInt
+              val vg = (bg / cnt).toInt
+              val vb = (bb / cnt).toInt
+              out.setRGB(ox, oy, (vr << 16) | (vg << 8) | vb)
+              sr += vr; sg += vg; sb += vb
+              ox += 1
+            }
+            oy += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(r.media_id, w, h, ow, oh, bos.toByteArray, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** Deterministic block-grid PNG fixture for [[resizeImages]]: the image
+    * is a BX×BY grid of constant-color blocks of size `block` (the LAST
+    * row/column block may be partial — `lastw`/`lasth` ∈ [1, block]), and
+    * block (X,Y)'s channel value is the affine `base_c + X·dx_c + Y·dy_c`
+    * (≤ 255 by construction). Resizing by `factor == block` therefore maps
+    * every block — full or partial — onto exactly one output pixel whose
+    * box average IS the block's constant, so the resized image and its
+    * channel sums are known in closed form from the params alone:
+    * `sum_c = BX·BY·base_c + dx_c·BY·BX(BX−1)/2 + dy_c·BX·BY(BY−1)/2`.
+    * Only a real decode → real block-geometry average → truncating
+    * division reproduces them.
+    */
+  def synthBlockPngs(spark: SparkSession, n: Long, block: Int = 4,
+      seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val p = blockParams(id, block, seed)
+        val bytes = encodeBlockPng(p, block)
+        MediaRow(id, "image", bytes,
+          (p.bxn - 1) * block + p.lastw, (p.byn - 1) * block + p.lasth, 0)
+      }
+    }
+  }
+
+  /** The closed-form construction parameters of [[synthBlockPngs]] row
+    * `id` — the independent path an oracle derives expected RESIZED stats
+    * from.
+    */
+  final case class BlockParams(bxn: Int, byn: Int, lastw: Int, lasth: Int,
+      baseR: Int, dxR: Int, dyR: Int,
+      baseG: Int, dxG: Int, dyG: Int,
+      baseB: Int, dxB: Int, dyB: Int)
+
+  def blockParams(id: Long, block: Int = 4, seed: Long = 42L): BlockParams = {
+    val r = new java.util.SplittableRandom(seed ^ (id * 0x9e3779b97f4a7c15L))
+    val bxn = 2 + r.nextInt(5) // 2..6 block columns
+    val byn = 2 + r.nextInt(5)
+    // channel value stays <= 255: base <= 185, slopes <= 7 over <= 5 steps
+    def chan(): (Int, Int, Int) =
+      (r.nextInt(186), r.nextInt(8), r.nextInt(8))
+    val (br, dxr, dyr) = chan(); val (bg, dxg, dyg) = chan()
+    val (bb, dxb, dyb) = chan()
+    BlockParams(bxn, byn, 1 + r.nextInt(block), 1 + r.nextInt(block),
+      br, dxr, dyr, bg, dxg, dyg, bb, dxb, dyb)
+  }
+
+  private def encodeBlockPng(p: BlockParams, block: Int): Array[Byte] = {
+    val w = (p.bxn - 1) * block + p.lastw
+    val h = (p.byn - 1) * block + p.lasth
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val by = y / block
+      var x = 0
+      while (x < w) {
+        val bx = x / block
+        img.setRGB(x, y,
+          ((p.baseR + bx * p.dxR + by * p.dyR) << 16) |
+          ((p.baseG + bx * p.dxG + by * p.dyG) << 8) |
+          (p.baseB + bx * p.dxB + by * p.dyB))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame-sample plan for videos: one row per sampled frame index —
     * explode BEFORE decode so frame work distributes across tasks.
     */

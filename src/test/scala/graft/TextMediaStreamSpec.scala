@@ -264,6 +264,70 @@ class TextMediaStreamSpec extends SparkSpec {
     assert(re.map(s => s: VideoStats).toSeq === stats.toSeq)
   }
 
+  test("media: box-average resize — re-decoded output pixels equal the " +
+    "closed-form block grid; truncation and edge geometry exact") {
+    val block = 4
+    val out = Media.resizeImages(Media.synthBlockPngs(spark, 100L, block),
+      factor = block).collect().sortBy(_.media_id)
+    assert(out.length === 100)
+    out.foreach { s =>
+      val p = Media.blockParams(s.media_id, block)
+      assert(s.src_w === (p.bxn - 1) * block + p.lastw &&
+        s.src_h === (p.byn - 1) * block + p.lasth, s"id=${s.media_id}")
+      assert(s.width === p.bxn && s.height === p.byn, s"id=${s.media_id}")
+      def series(base: Int, dx: Int, dy: Int): Long =
+        p.bxn.toLong * p.byn * base +
+          dx.toLong * p.byn * (p.bxn * (p.bxn - 1) / 2) +
+          dy.toLong * p.bxn * (p.byn * (p.byn - 1) / 2)
+      assert(s.sum_r === series(p.baseR, p.dxR, p.dyR), s"id=${s.media_id}")
+      assert(s.sum_g === series(p.baseG, p.dxG, p.dyG), s"id=${s.media_id}")
+      assert(s.sum_b === series(p.baseB, p.dxB, p.dyB), s"id=${s.media_id}")
+      // the emitted artifact is a REAL PNG of the resized image: re-decode
+      // it and check every pixel equals its block's affine constant
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(s.data))
+      assert(img.getWidth === p.bxn && img.getHeight === p.byn)
+      for (by <- 0 until p.byn; bx <- 0 until p.bxn) {
+        val rgb = img.getRGB(bx, by)
+        assert(((rgb >> 16) & 0xff) === p.baseR + bx * p.dxR + by * p.dyR)
+        assert(((rgb >> 8) & 0xff) === p.baseG + bx * p.dxG + by * p.dyG)
+        assert((rgb & 0xff) === p.baseB + bx * p.dxB + by * p.dyB)
+      }
+    }
+    // non-constant blocks: truncating integer mean, partial edge block
+    // averaged over its true count — 3x1 pixels (10, 11, 13), factor 2:
+    // out = (floor(21/2), 13/1) = (10, 13)
+    val tiny = new java.awt.image.BufferedImage(3, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    tiny.setRGB(0, 0, (10 << 16) | (10 << 8) | 10)
+    tiny.setRGB(1, 0, (11 << 16) | (11 << 8) | 11)
+    tiny.setRGB(2, 0, (13 << 16) | (13 << 8) | 13)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", bos)
+    import spark.implicits._
+    val tinyDs = spark.createDataset(Seq(
+      graft.multimodal.MediaRow(7L, "image", bos.toByteArray, 3, 1, 0)))
+    val t = Media.resizeImages(tinyDs, factor = 2).collect().head
+    assert(t.width === 2 && t.height === 1)
+    assert(t.sum_r === 23L && t.sum_g === 23L && t.sum_b === 23L)
+    val timg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.data))
+    assert((timg.getRGB(0, 0) & 0xff) === 10 && (timg.getRGB(1, 0) & 0xff) === 13)
+    // undecodable payload is a carried failure, not a task crash
+    val junk = Media.synth(spark, 5L).map(r => r.copy(kind = "image"))
+    val bad = Media.resizeImages(junk, factor = block).collect()
+    assert(bad.length === 5 && bad.forall(_.width === 0))
+    // partition-layout independence (minus the PNG bytes: encoder output
+    // is deterministic too, but the verdict surface is the stats)
+    val re = Media.resizeImages(
+      Media.synthBlockPngs(spark, 100L, block).repartition(7), block)
+      .collect().sortBy(_.media_id)
+    assert(re.map(s => (s.media_id, s.width, s.height, s.sum_r, s.sum_g,
+      s.sum_b)).toSeq ===
+      out.map(s => (s.media_id, s.width, s.height, s.sum_r, s.sum_g,
+        s.sum_b)).toSeq)
+  }
+
   test("media: frame-sample plan explodes one row per sampled frame") {
     val plan = Media.frameSamplePlan(Media.synth(spark, 300L), fps = 1.0)
     val videos = Media.synth(spark, 300L).filter(_.kind == "video").collect()
