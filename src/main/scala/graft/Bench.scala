@@ -161,13 +161,24 @@ object Bench {
     val queryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RUNS", "3").toInt
 
     // ---- per-query timings: median of N noop-sink runs -------------------
-    // SPARK_GRAFT_BENCH_SCALE_ONLY=1 skips this section (scaling iteration)
+    // SPARK_GRAFT_BENCH_SCALE_ONLY=1 skips this section (scaling iteration);
+    // SPARK_GRAFT_BENCH_QUERIES=name,name iterates on a subset (same
+    // shared-session context as the full suite — Verify's single-run
+    // filter is NOT a faithful timing reproduction)
     val scaleOnly = sys.env.get("SPARK_GRAFT_BENCH_SCALE_ONLY").contains("1")
+    val queryFilter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a query filter is an ITERATION knob: skip the scaling/dedup/skew/
+    // stress sections entirely (they report -1), mirroring SCALE_ONLY's
+    // inverse
+    val queriesOnly = queryFilter.isDefined
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = if (scaleOnly) Seq.empty[(String, Double)] else {
       val spark = session(cpus)
       spark.range(1000000L).selectExpr("sum(id)").collect() // JIT/exec warm-up
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => queryFilter.forall(_.contains(q._1)))
+        .map { case (name, fn) =>
         // UNTIMED setup run: materializes the query's aux dumps (and JIT);
         // the auxSkipExisting property then turns those writes into no-ops
         // for the timed runs, which measure the operator-only plan
@@ -263,8 +274,8 @@ object Bench {
       levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
     val scaleT0 = System.nanoTime()
     var round = 0
-    while (round < minRounds ||
-      (round < maxRounds && (System.nanoTime() - scaleT0) / 1e9 < budgetSec)) {
+    while (!queriesOnly && (round < minRounds ||
+      (round < maxRounds && (System.nanoTime() - scaleT0) / 1e9 < budgetSec))) {
       levels.zipWithIndex.foreach { case (c, i) =>
         byLevel(c) += sessionBest(c, dedup = false, runs = i + 1)
       }
@@ -277,7 +288,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_SCALE_BUDGET; skipped series report -1.
     val ctlByLevel = scala.collection.mutable.LinkedHashMap(
       levels.map(_ -> scala.collection.mutable.ArrayBuffer[Double]()): _*)
-    if (!scaleOnly) (1 to 2).foreach { _ =>
+    if (!scaleOnly && !queriesOnly) (1 to 2).foreach { _ =>
       levels.foreach(c => ctlByLevel(c) += controlBest(c, runs = 2))
     }
     val tp = levels.map(c => c -> capacity(byLevel(c).toSeq)).toMap
@@ -291,7 +302,7 @@ object Bench {
     val dedupRounds = scala.collection.mutable.ArrayBuffer[Double]()
     var dedupDiag = Map.empty[String, String]
     val tpFull =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else {
         (1 to 2).foreach { si =>
           val s = session(cpus)
@@ -320,7 +331,7 @@ object Bench {
       graft.filter.Scrub.rules.filterNot(_.minBits.isDefined))
     val ablationRounds = scala.collection.mutable.ArrayBuffer[Double]()
     val tpNoEntropy =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else {
         val s = session(cpus)
         try {
@@ -345,7 +356,7 @@ object Bench {
       n.toString).toLong
     graft.util.Diag.clear()
     val tpNearDup =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else sessionBest(cpus, dedup = true, runs = 1,
         nearDup = nearDupCfg, shortWarmup = true, nRows = nearDupN)
     // which physical paths the measured run exercised (broadcast vs
@@ -380,7 +391,7 @@ object Bench {
     val paraRounds = scala.collection.mutable.ArrayBuffer[Double]()
     var paraDiag = Map.empty[String, String]
     val tpPara =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else {
         val s = session(cpus)
         try {
@@ -413,7 +424,7 @@ object Bench {
     val passageRounds = scala.collection.mutable.ArrayBuffer[Double]()
     var passageDiag = Map.empty[String, String]
     val tpPassage =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else {
         val s = session(cpus)
         try {
@@ -448,7 +459,7 @@ object Bench {
     }
     val packRounds = scala.collection.mutable.ArrayBuffer[Double]()
     val tpPack =
-      if (scaleOnly) -1.0
+      if (scaleOnly || queriesOnly) -1.0
       else {
         val s = session(cpus)
         try {
@@ -488,7 +499,7 @@ object Bench {
       "ranged" -> scala.collection.mutable.ArrayBuffer[Double](),
       "single_task" -> scala.collection.mutable.ArrayBuffer[Double]())
     val (tpSkewRanged, tpSkewNaive) =
-      if (scaleOnly) (-1.0, -1.0)
+      if (scaleOnly || queriesOnly) (-1.0, -1.0)
       else {
         val s = session(cpus)
         try {
@@ -649,7 +660,9 @@ object Bench {
           f"$pipelineDelta%.2fx the BASELINE.md floor ($baselineN32%.1f); " +
           "do not record without documenting the cause")
 
-    val effRaw = (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
+    val effRaw =
+      if (tp(midCpus) <= 0 || tp(lowCpus) <= 0) -1.0
+      else (tp(midCpus) / tp(lowCpus)) / (midCpus.toDouble / lowCpus)
     // a measured eff > 1.0 is a noise artifact by definition (you cannot
     // beat linear scaling on identical work) — the headline is clamped,
     // the raw value stays in the JSON

@@ -856,6 +856,356 @@ case class UrlRegistrableDomain(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Vector kernels for the similarity family — the codegen replacement for
+  * the `zip_with`/`aggregate` higher-order-function Column chains: Spark's
+  * HOF expressions are `CodegenFallback` (interpreted, one intermediate
+  * array ALLOCATED per call), so a 16-centroid argmin paid 48 interpreted
+  * array folds plus 16 recomputations of ⟨v,v⟩ per row. These kernels run
+  * one allocation-free pass per dot product inside whole-stage codegen.
+  *
+  * Arithmetic is BIT-IDENTICAL to the HOF chain by construction — same
+  * sequential left-fold order for every sum, same `sqrt(Σa²)·sqrt(Σb²)`
+  * denominator shape, same `denom==0 → −1` / `NaN → −1` cosine guards,
+  * argmin via `java.lang.Double.compare` (Spark's own double ordering:
+  * NaN greatest, −0.0 < 0.0) with strict `<` replicating the
+  * `array_min(struct(d,i))` lowest-index tie-break — VecKernelSpec fuzzes
+  * bit equality against the retained HOF reference. Deliberate divergence,
+  * impossible in the embedding fixtures/corpora (non-null elements,
+  * uniform dims): a null ELEMENT or dim-mismatched vector yields NULL here
+  * where the HOF struct-min accidentally mapped all-null distances to
+  * cluster 0.
+  */
+object VecKernel {
+  @inline private def elem(a: ArrayData, i: Int, float: Boolean): Double =
+    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Σᵢ aᵢ·vᵢ; null on null element or length mismatch (HOF zip_with
+    * parity: a padded or null position nulls the whole fold).
+    */
+  def dotLit(a: ArrayData, float: Boolean, v: Array[Double]): java.lang.Double = {
+    val n = a.numElements()
+    if (n != v.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      s += elem(a, i, float) * v(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Σᵢ aᵢ² (the norm-squared fold); null on null element. */
+  def selfDot(a: ArrayData, float: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = elem(a, i, float)
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Guarded cosine against a literal vector whose norm is precomputed on
+    * the driver (same `sqrt(Σv²)` fold). Guard order replicates the Column
+    * chain: zero denominator → −1 BEFORE the dot evaluates; NaN anywhere →
+    * −1 (nanvl); null element → null.
+    */
+  def cosineLit(a: ArrayData, float: Boolean, v: Array[Double],
+      vNorm: Double): java.lang.Double = {
+    val aa = selfDot(a, float)
+    if (aa == null) return null
+    val denom = math.sqrt(aa.doubleValue()) * vNorm
+    if (denom == 0.0) return java.lang.Double.valueOf(-1.0)
+    val d = dotLit(a, float, v)
+    if (d == null) return null
+    val c = d.doubleValue() / denom
+    java.lang.Double.valueOf(if (java.lang.Double.isNaN(c)) -1.0 else c)
+  }
+
+  /** Guarded cosine between two array columns (each side's element type
+    * independent — embeddings are float, derived frames may be double).
+    */
+  def cosineCols(a: ArrayData, aFloat: Boolean, b: ArrayData,
+      bFloat: Boolean): java.lang.Double = {
+    val aa = selfDot(a, aFloat)
+    if (aa == null) return null
+    val bb = selfDot(b, bFloat)
+    if (bb == null) return null
+    val denom = math.sqrt(aa.doubleValue()) * math.sqrt(bb.doubleValue())
+    if (denom == 0.0) return java.lang.Double.valueOf(-1.0)
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      // element nulls already rejected by the selfDot passes
+      s += elem(a, i, aFloat) * elem(b, i, bFloat)
+      i += 1
+    }
+    val c = s / denom
+    java.lang.Double.valueOf(if (java.lang.Double.isNaN(c)) -1.0 else c)
+  }
+
+  /** Argmin over k centroids of ‖v−c‖² expanded as ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩
+    * (the ⟨c,c⟩ terms precomputed on the driver with the same fold). ⟨v,v⟩
+    * computes ONCE — the HOF chain recomputed it per centroid.
+    */
+  def nearestIdx(a: ArrayData, float: Boolean, cents: Array[Array[Double]],
+      centSelf: Array[Double]): java.lang.Integer = {
+    val vv = selfDot(a, float)
+    if (vv == null) return null
+    var best = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val d = dotLit(a, float, cents(c))
+      if (d == null) return null
+      val dist = vv.doubleValue() - 2.0 * d.doubleValue() + centSelf(c)
+      if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
+        best = c
+        bestD = dist
+      }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  /** Guarded cosine of v to its NEAREST centroid (same argmin as
+    * [[nearestIdx]]; centroid norms precomputed with the same fold).
+    */
+  def nearestCos(a: ArrayData, float: Boolean, cents: Array[Array[Double]],
+      centSelf: Array[Double], centNorm: Array[Double]): java.lang.Double = {
+    val vv = selfDot(a, float)
+    if (vv == null) return null
+    var best = -1
+    var bestD = 0.0
+    var bestDot = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val d = dotLit(a, float, cents(c))
+      if (d == null) return null
+      val dist = vv.doubleValue() - 2.0 * d.doubleValue() + centSelf(c)
+      if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
+        best = c
+        bestD = dist
+        bestDot = d.doubleValue()
+      }
+      c += 1
+    }
+    val denom = math.sqrt(vv.doubleValue()) * centNorm(best)
+    if (denom == 0.0) return java.lang.Double.valueOf(-1.0)
+    val cos = bestDot / denom
+    java.lang.Double.valueOf(if (java.lang.Double.isNaN(cos)) -1.0 else cos)
+  }
+
+  /** `sqrt(Σv²)` with the fold order every norm in this family uses. */
+  def litNorm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** Shared shape of the vector expressions: a float/double array child. */
+sealed trait VecArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input")
+  }
+  protected def childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** ⟨child, vec⟩ against a literal vector — codegen'd, allocation-free. */
+case class VecDotLit(child: Expression, vec: Array[Double])
+    extends VecArrayExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+  // Array fields are reference-equal by default, which would break
+  // semanticEquals/canonicalization (the BloomMightContainLong lesson)
+  override def equals(other: Any): Boolean = other match {
+    case o: VecDotLit =>
+      child == o.child && java.util.Arrays.equals(vec, o.vec)
+    case _ => false
+  }
+  @transient private lazy val vecHash = java.util.Arrays.hashCode(vec)
+  override def hashCode(): Int = 31 * child.hashCode() + vecHash
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernel.dotLit(input.asInstanceOf[ArrayData], childIsFloat, vec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecLit", vec, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecDot")
+      s"""java.lang.Double $r =
+         |  graft.functions.VecKernel.dotLit($c, $childIsFloat, $ref);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotLit =
+    copy(child = newChild)
+}
+
+/** Guarded cosine(child, vec) against a literal vector. */
+case class VecCosineLit(child: Expression, vec: Array[Double])
+    extends VecArrayExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_cosine"
+  override def equals(other: Any): Boolean = other match {
+    case o: VecCosineLit =>
+      child == o.child && java.util.Arrays.equals(vec, o.vec)
+    case _ => false
+  }
+  @transient private lazy val vecHash = java.util.Arrays.hashCode(vec)
+  override def hashCode(): Int = 31 * child.hashCode() + vecHash
+
+  @transient private lazy val vNorm = VecKernel.litNorm(vec)
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernel.cosineLit(input.asInstanceOf[ArrayData], childIsFloat, vec, vNorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecLit", vec, "double[]")
+    val normRef = ctx.addReferenceObj("vecNorm",
+      java.lang.Double.valueOf(vNorm), "java.lang.Double")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecCos")
+      s"""java.lang.Double $r = graft.functions.VecKernel.cosineLit(
+         |  $c, $childIsFloat, $ref, $normRef.doubleValue());
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecCosineLit =
+    copy(child = newChild)
+}
+
+/** Guarded cosine between two array columns. */
+case class VecCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_cosine2"
+  private def sideFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float|double> inputs")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.cosineCols(a.asInstanceOf[ArrayData], sideFloat(left),
+      b.asInstanceOf[ArrayData], sideFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecCos2")
+      s"""java.lang.Double $r = graft.functions.VecKernel.cosineCols(
+         |  $a, ${sideFloat(left)}, $b, ${sideFloat(right)});
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecCosine = copy(left = newLeft, right = newRight)
+}
+
+/** Shared centroid plumbing of the two nearest-centroid expressions. */
+sealed trait VecCentroidExpression extends VecArrayExpression {
+  def centroids: Array[Array[Double]]
+  @transient protected lazy val centSelf: Array[Double] =
+    centroids.map(c => { var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+  @transient protected lazy val centNorm: Array[Double] =
+    centSelf.map(math.sqrt)
+  @transient private lazy val centHash =
+    java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])
+  protected def centroidsEqual(o: VecCentroidExpression): Boolean =
+    java.util.Arrays.deepEquals(centroids.asInstanceOf[Array[AnyRef]],
+      o.centroids.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + centHash
+}
+
+/** Nearest-centroid index: argmin over k codegen'd distance kernels. */
+case class VecNearestCentroid(child: Expression,
+    centroids: Array[Array[Double]]) extends VecCentroidExpression {
+  require(centroids.nonEmpty, "nearest-centroid needs at least one centroid")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_vec_nearest"
+  override def equals(other: Any): Boolean = other match {
+    case o: VecNearestCentroid => child == o.child && centroidsEqual(o)
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernel.nearestIdx(input.asInstanceOf[ArrayData], childIsFloat,
+      centroids, centSelf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val sRef = ctx.addReferenceObj("centSelf", centSelf, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecNearest")
+      s"""java.lang.Integer $r = graft.functions.VecKernel.nearestIdx(
+         |  $c, $childIsFloat, $cRef, $sRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecNearestCentroid = copy(child = newChild)
+}
+
+/** Guarded cosine of a vector to its nearest centroid (one fused argmin —
+  * the HOF chain evaluated a full guarded cosine for EVERY centroid).
+  */
+case class VecNearestCentroidCosine(child: Expression,
+    centroids: Array[Array[Double]]) extends VecCentroidExpression {
+  require(centroids.nonEmpty, "nearest-centroid needs at least one centroid")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_nearest_cos"
+  override def equals(other: Any): Boolean = other match {
+    case o: VecNearestCentroidCosine => child == o.child && centroidsEqual(o)
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecKernel.nearestCos(input.asInstanceOf[ArrayData], childIsFloat,
+      centroids, centSelf, centNorm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val sRef = ctx.addReferenceObj("centSelf", centSelf, "double[]")
+    val nRef = ctx.addReferenceObj("centNorm", centNorm, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("vecNearestCos")
+      s"""java.lang.Double $r = graft.functions.VecKernel.nearestCos(
+         |  $c, $childIsFloat, $cRef, $sRef, $nRef);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecNearestCentroidCosine = copy(child = newChild)
+}
+
 object expressions {
 
   /** Column-level entry points (usable without SQL registration). */
@@ -877,6 +1227,21 @@ object expressions {
 
   def entropy_count(c: Column, pattern: String, minBits: Double): Column =
     Bridge.column(EntropyGatedCount(Bridge.expression(c), pattern, minBits))
+
+  def vec_dot_lit(c: Column, vec: Array[Double]): Column =
+    Bridge.column(VecDotLit(Bridge.expression(c), vec))
+
+  def vec_cosine_lit(c: Column, vec: Array[Double]): Column =
+    Bridge.column(VecCosineLit(Bridge.expression(c), vec))
+
+  def vec_cosine(a: Column, b: Column): Column =
+    Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  def vec_nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(VecNearestCentroid(Bridge.expression(c), centroids))
+
+  def vec_centroid_cosine(c: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(VecNearestCentroidCosine(Bridge.expression(c), centroids))
 
   def double_sort_bucket(c: Column, bits: Int = 8): Column =
     Bridge.column(DoubleSortBucket(Bridge.expression(c), bits))

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ aᵢ·bᵢ over two array<double> columns — sequential left fold, so the
-    * result is bit-deterministic (same order every run/engine).
+    * result is bit-deterministic (same order every run/engine). Retained
+    * as the REFERENCE implementation: Spark's higher-order functions are
+    * CodegenFallback (interpreted, an intermediate array allocated per
+    * call), so the hot paths below use the codegen
+    * [[graft.functions.VecKernel]] family instead — VecKernelSpec fuzzes
+    * bit equality of the two.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -29,10 +34,17 @@ object Similarity {
     * -1 (worst rank). Unguarded, 0/0 THROWS under Spark 4's default ANSI
     * mode (DIVIDE_BY_ZERO) — and with ANSI off it would yield NaN, which
     * Spark orders ABOVE every number, ranking an all-zero embedding as the
-    * best match of every query. nanvl additionally catches NaN vector
-    * elements propagating through the dot product.
+    * best match of every query. The NaN guard additionally catches NaN
+    * vector elements propagating through the dot product. Backed by the
+    * allocation-free codegen kernel (bit-identical to [[cosineHof]]).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.vec_cosine(a, b)
+
+  /** The original higher-order-function cosine — the interpreted reference
+    * twin the kernel is fuzzed against (VecKernelSpec).
+    */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     val denom = norm(ad) * norm(bd)
     nanvl(when(denom === 0.0d, lit(-1.0d)).otherwise(dot(ad, bd) / denom),
@@ -44,12 +56,11 @@ object Similarity {
     * top-k reduction (TakeOrdered — each partition keeps k, driver merges).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Array[Double], k: Int): DataFrame = {
-    val q = typedlit(query.toSeq)
-    df.select(col(idCol), cosine(col(vecCol), q).as("score"))
+      query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.expressions.vec_cosine_lit(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-  }
 
   /** Deterministic random hyperplanes (seeded) for an LSH signature. */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -61,12 +72,11 @@ object Similarity {
     * Pure Column expression — attachable at write time so the table can be
     * physically bucketed by it.
     */
-  def signatureCol(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val v = asDouble(vecCol)
+  def signatureCol(vecCol: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.expressions.vec_dot_lit(vecCol, p) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** ANN top-k: prune to candidates whose signature is within
     * `hammingRadius` of the query's, then exact-rerank. Recall/cost knob =
@@ -84,7 +94,8 @@ object Similarity {
     val withSig = df.withColumn("__sig", signatureCol(col(vecCol), planes))
     withSig
       .filter(bit_count(col("__sig").bitwiseXOR(lit(qSig))) <= hammingRadius)
-      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .select(col(idCol),
+        graft.functions.expressions.vec_cosine_lit(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -127,18 +138,26 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid assignment column (argmin over k codegen'd dot
-    * products — no UDF).
+  /** Nearest-centroid assignment column (one fused codegen argmin — ⟨v,v⟩
+    * computes once, no per-centroid array allocation; no UDF).
     */
   def withCluster(df: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val v = asDouble(col(vecCol))
+      centroids: Array[Array[Double]]): DataFrame =
+    df.withColumn("__cluster",
+      graft.functions.expressions.vec_nearest_centroid(col(vecCol), centroids))
+
+  /** The original struct/array_min assignment — the interpreted reference
+    * twin the kernel is fuzzed against (VecKernelSpec).
+    */
+  private[graft] def nearestCentroidHof(vecCol: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val v = asDouble(vecCol)
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val cc = typedlit(c.toSeq)
       struct((dot(v, v) - lit(2.0) * dot(v, cc) + dot(cc, cc)).as("d"),
         lit(i).as("i"))
     }
-    df.withColumn("__cluster", array_min(array(dists: _*)).getField("i"))
+    array_min(array(dists: _*)).getField("i")
   }
 
   /** IVF top-k: rank centroids by distance to the query, scan only the
@@ -150,7 +169,8 @@ object Similarity {
     val probe = probeClusters(query, centroids, nprobe)
     withCluster(df, vecCol, centroids)
       .filter(col("__cluster").isin(probe.toIndexedSeq: _*))
-      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .select(col(idCol),
+        graft.functions.expressions.vec_cosine_lit(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -191,7 +211,8 @@ object Similarity {
     val probe = probeClusters(query, centroids, nprobe)
     spark.read.parquet(path)
       .filter(col("__cluster").isin(probe.toIndexedSeq: _*))
-      .select(col(idCol), cosine(col(vecCol), typedlit(query.toSeq)).as("score"))
+      .select(col(idCol),
+        graft.functions.expressions.vec_cosine_lit(col(vecCol), query).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -265,16 +286,23 @@ object Similarity {
   }
 
   /** Cosine of a vector to its NEAREST centroid (argmin by euclidean
-    * distance, consistent with [[withCluster]]'s assignment) — computed as
-    * one codegen projection: element i of the distance-sorted struct array
-    * carries the cosine alongside.
+    * distance, consistent with [[withCluster]]'s assignment) — one fused
+    * codegen kernel; the HOF chain evaluated a full guarded cosine for
+    * every centroid just to discard all but the argmin's.
     */
-  def centroidCosine(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+  def centroidCosine(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.expressions.vec_centroid_cosine(vecCol, centroids)
+
+  /** The original struct/array_min centroid cosine — the interpreted
+    * reference twin the kernel is fuzzed against (VecKernelSpec).
+    */
+  private[graft] def centroidCosineHof(vecCol: Column,
+      centroids: Array[Array[Double]]): Column = {
     val v = asDouble(vecCol)
     val entries = centroids.zipWithIndex.map { case (c, i) =>
       val cc = typedlit(c.toSeq)
       struct((dot(v, v) - lit(2.0) * dot(v, cc) + dot(cc, cc)).as("d"),
-        lit(i).as("i"), cosine(vecCol, cc).as("cos"))
+        lit(i).as("i"), cosineHof(vecCol, cc).as("cos"))
     }
     array_min(array(entries: _*)).getField("cos")
   }
