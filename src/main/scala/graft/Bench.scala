@@ -748,7 +748,10 @@ object Bench {
     println(out)
     // the driver captures stdout's tail, which truncated a third of
     // BENCH_r03's queries map — the COMPLETE line also lands in a file
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    // a filtered iteration run must not clobber the full-suite record the
+    // driver/BASELINE reads — it lands in its own file unless redirected
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (queriesOnly) "BENCH.queries.out.json" else "BENCH.out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     catch {
       case e: java.io.IOException =>
