@@ -131,6 +131,26 @@ class VecKernelSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen span:\n${plan.take(2000)}")
   }
 
+  test("double-element arrays and length mismatches: kernel ≡ HOF") {
+    // the embeddings are float, but derived frames (asDouble casts,
+    // centroid dumps) carry array<double> — and a dim-mismatched vector
+    // must yield NULL on both paths (zip_with pads with null)
+    val dd = (0L until 100L).map { i =>
+      val n = if (i % 13 == 0) dim - 1 else dim // planted mismatches
+      (i, Array.fill(n)(rnd.nextDouble() * 2 - 1).toSeq)
+    }.toDF("id", "v")
+    val rows = dd.select(col("id"),
+      graft.functions.expressions.vec_cosine_lit(col("v"), query).as("k"),
+      Similarity.cosineHof(col("v"), typedlit(query.toSeq)).as("h")).collect()
+    assert(rows.length === 100)
+    rows.foreach { r =>
+      val k = if (r.isNullAt(1)) null else bits(r.get(1))
+      val h = if (r.isNullAt(2)) null else bits(r.get(2))
+      assert(k === h, s"id=${r.getLong(0)}")
+    }
+    assert(rows.count(_.isNullAt(1)) === 8) // every planted mismatch is null
+  }
+
   test("interpreted eval ≡ codegen eval (a filter forces the interpreted " +
     "path through Predicate fallback scenarios via collect on a non-codegen " +
     "context)") {
