@@ -1642,20 +1642,33 @@ object SparkEntry {
     tbl(s, dir, "documents").select(id, body.as("text"))
   }
 
-  /** Notebook fixture for q_notebook: deterministic nbformat-4 JSON per
-    * document — a markdown header cell, a code cell carrying the document
-    * text, and a third cell whose type rotates code/markdown/raw by
-    * doc_id (every conversion branch on every third row), plus an
-    * empty-source code cell every 5th row and an empty cells array every
-    * 11th. Built with `to_json` so escaping is the JSON library's job.
+  /** Notebook fixture for q_notebook: deterministic JSON per document
+    * covering every parse shape the engine claims.
+    *
+    * Base (nbformat 4, array-form sources): a markdown header cell, a
+    * code cell carrying the document text, and a third cell whose type
+    * rotates code/markdown/raw by doc_id (every conversion branch on
+    * every third row), plus an empty-source code cell every 5th row and
+    * an empty cells array every 11th. Built with `to_json` so escaping is
+    * the JSON library's job.
+    *
+    * Every 13th row is an nbformat-3 notebook instead (worksheets
+    * nesting, code cell under `input`, a `heading` cell, a STRING-form
+    * markdown source, `metadata.language` instead of kernelspec; every
+    * 2nd of those has TWO worksheets to exercise the flatten). Every 9th
+    * row (that isn't v3) is an nbformat-4 notebook with MIXED source
+    * forms — one string-form markdown cell (with a trailing-\n edge) next
+    * to one array-form code cell — assembled by concatenating per-cell
+    * `to_json` pieces, since one Spark array can't hold both shapes.
     */
   private def notebookFixture(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
+    val ids = id.cast("string")
     val head = substring(col("text"), 1, 60)
     val cell1 = struct(lit("markdown").as("cell_type"),
       array(lit("# Notebook title\n"), lit("intro prose")).as("source"))
     val cell2 = struct(lit("code").as("cell_type"),
-      array(lit("x = 1\n"), concat(lit("s = '"), id.cast("string"),
+      array(lit("x = 1\n"), concat(lit("s = '"), ids,
         lit("'"))).as("source"))
     val cell3Type = when(pmod(id, lit(3)) === 0, lit("code"))
       .when(pmod(id, lit(3)) === 1, lit("markdown"))
@@ -1675,10 +1688,36 @@ object SparkEntry {
       struct(struct(
         when(pmod(id, lit(2)) === 0, lit("Python")).otherwise(lit("scala"))
           .as("language")).as("kernelspec")))
-    tbl(s, dir, "documents").select(id,
-      to_json(struct(cellsArr.as("cells"), meta.as("metadata"),
-        lit(4).as("nbformat")))
-        .as("nb_json"))
+    val v4arr = to_json(struct(cellsArr.as("cells"), meta.as("metadata"),
+      lit(4).as("nbformat")))
+    // nbformat 4, mixed source forms: string-form markdown (trailing \n)
+    // + array-form code in the SAME cells array
+    val mdStr = to_json(struct(lit("markdown").as("cell_type"),
+      concat(lit("# Str header\nprose "), ids, lit("\n")).as("source")))
+    val codeArr = to_json(struct(lit("code").as("cell_type"),
+      array(lit("a = 2\n"), concat(lit("b = "), ids)).as("source")))
+    val v4mixed = concat(lit("""{"cells":["""), mdStr, lit(","), codeArr,
+      lit("""],"metadata":{"kernelspec":{"language":"Python"}},""" +
+        """"nbformat":4}"""))
+    // nbformat 3: worksheets nesting, code under `input`, heading cell,
+    // string-form markdown, metadata.language (no kernelspec)
+    val c31 = to_json(struct(lit("code").as("cell_type"),
+      array(lit("i = 1\n"), concat(lit("w = "), ids)).as("input")))
+    val c32 = to_json(struct(lit("heading").as("cell_type"),
+      lit(2).as("level"), array(lit("Section title")).as("source")))
+    val c33 = to_json(struct(lit("markdown").as("cell_type"),
+      concat(lit("prose "), ids, lit("\ntail")).as("source")))
+    val c34 = to_json(struct(lit("code").as("cell_type"),
+      array(concat(lit("z = '"), head, lit("'"))).as("input")))
+    val ws2 = when(pmod(id, lit(2)) === 0,
+      concat(lit(""",{"cells":["""), c34, lit("]}"))).otherwise(lit(""))
+    val v3 = concat(lit("""{"worksheets":[{"cells":["""),
+      c31, lit(","), c32, lit(","), c33, lit("]}"), ws2,
+      lit("""],"metadata":{"language":"python"},"nbformat":3}"""))
+    val nbJson = when(pmod(id, lit(13)) === 0, v3)
+      .when(pmod(id, lit(9)) === 0, v4mixed)
+      .otherwise(v4arr)
+    tbl(s, dir, "documents").select(id, nbJson.as("nb_json"))
   }
 
   /** Path/shebang fixture for q_code_lang: 12 rotating shapes exercising
@@ -3243,43 +3282,92 @@ object SparkEntry {
                   || '<fim_middle>' || mid
            END AS fim_text
          FROM p ORDER BY doc_id""",
-    "q_notebook" ->
-      """WITH nb AS (
+    // replays BOTH notebook generations from the raw JSON: nbformat 4
+    // (cells[], string- OR array-form source) and nbformat 3
+    // (worksheets[].cells[] flattened, code under `input`, heading ≈
+    // markdown). String sources are splitlines-normalized exactly like
+    // the engine (split keeping each \n, trailing empty dropped) — the
+    // fragment is inlined because SQL lambdas have no LET.
+    "q_notebook" -> {
+      // Python splitlines(True) restricted to \n, over the VARCHAR expr `s`
+      def sl(s: String): String =
+        s"""list_filter(
+             list_transform(range(1, len(string_split($s, chr(10))) + 1),
+               q -> string_split($s, chr(10))[q] ||
+                    CASE WHEN q < len(string_split($s, chr(10)))
+                         THEN chr(10) ELSE '' END),
+             y -> y <> '')"""
+      s"""WITH nb AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id, nb_json,
-             json_transform(json_extract(nb_json, '$.cells'),
-               '[{"cell_type":"VARCHAR","source":["VARCHAR"]}]') AS cells
+             CASE WHEN json_type(nb_json, '$$.cells') = 'ARRAY'
+                  THEN json_transform(json_extract(nb_json, '$$.cells'),
+                         '["JSON"]')
+                  WHEN json_type(nb_json, '$$.worksheets') = 'ARRAY'
+                  THEN flatten(list_transform(
+                         json_transform(
+                           json_extract(nb_json, '$$.worksheets'),
+                           '["JSON"]'),
+                         w -> coalesce(
+                           json_transform(json_extract(w, '$$.cells'),
+                             '["JSON"]'),
+                           CAST([] AS JSON[]))))
+             END AS cells
            FROM read_parquet('/tmp/graft_oracle_aux/notebooks/*.parquet')),
+         p0 AS (
+           SELECT doc_id, nb_json, cells,
+             list_transform(cells, c -> struct_pack(
+               ct := json_extract_string(c, '$$.cell_type'),
+               src := CASE WHEN json_type(c, '$$.input') IS NOT NULL
+                           THEN json_extract(c, '$$.input')
+                           ELSE json_extract(c, '$$.source') END)) AS pc
+           FROM nb),
+         p1 AS (
+           SELECT doc_id, nb_json, cells,
+             list_transform(pc, e -> struct_pack(
+               ct := e.ct,
+               lines := CASE
+                 WHEN json_type(e.src) = 'ARRAY'
+                   THEN json_transform(e.src, '["VARCHAR"]')
+                 WHEN json_type(e.src) = 'VARCHAR'
+                   THEN ${sl("json_extract_string(e.src, '$')")}
+                 ELSE CAST([] AS VARCHAR[]) END)) AS lc
+           FROM p0),
          p AS (
-           SELECT doc_id, cells, nb_json,
+           SELECT doc_id, nb_json, cells,
+             list_transform(lc, e -> e.ct) AS cts,
              list_filter(
-               list_transform(cells, c ->
-                 CASE WHEN c.cell_type = 'code'
-                        THEN coalesce(list_aggregate(
-                          coalesce(c.source, CAST([] AS VARCHAR[])),
+               list_transform(lc, e ->
+                 CASE WHEN e.ct = 'code'
+                        THEN coalesce(list_aggregate(e.lines,
                           'string_agg', ''), '')
-                      WHEN c.cell_type = 'markdown'
+                      WHEN e.ct = 'markdown' OR e.ct = 'heading'
                         THEN coalesce(list_aggregate(
-                          list_transform(
-                            coalesce(c.source, CAST([] AS VARCHAR[])),
-                            l -> '# ' || l),
+                          list_transform(e.lines, l -> '# ' || l),
                           'string_agg', ''), '')
                  END),
                x -> x IS NOT NULL) AS pieces
-           FROM nb)
+           FROM p1)
          SELECT doc_id,
-           CAST(len(list_filter(cells, c -> c.cell_type = 'code'))
+           CAST(len(list_filter(cts, t -> t = 'code'))
              AS BIGINT) AS n_code,
-           CAST(len(list_filter(cells, c -> c.cell_type = 'markdown'))
+           CAST(len(list_filter(cts,
+               t -> t = 'markdown' OR t = 'heading'))
              AS BIGINT) AS n_markdown,
-           CAST(len(cells)
-             - len(list_filter(cells, c -> c.cell_type = 'code'))
-             - len(list_filter(cells, c -> c.cell_type = 'markdown'))
+           CAST(len(cts)
+             - len(list_filter(cts, t -> t = 'code'))
+             - len(list_filter(cts,
+                 t -> t = 'markdown' OR t = 'heading'))
              AS BIGINT) AS n_other,
-           coalesce(list_aggregate(pieces, 'string_agg',
-             chr(10) || chr(10)), '') AS script,
-           lower(json_extract_string(nb_json,
-             '$.metadata.kernelspec.language')) AS kernel_lang
-         FROM p ORDER BY doc_id""",
+           CASE WHEN cells IS NULL THEN NULL
+                ELSE coalesce(list_aggregate(pieces, 'string_agg',
+                  chr(10) || chr(10)), '') END AS script,
+           lower(coalesce(
+             json_extract_string(nb_json,
+               '$$.metadata.kernelspec.language'),
+             json_extract_string(nb_json, '$$.metadata.language')))
+             AS kernel_lang
+         FROM p ORDER BY doc_id"""
+    },
     // DuckDB replays the identical feature regexes and the three mapping
     // tables (VALUES lists interpolated from the same Scala constants —
     // the q_url_* precedent) plus the basename→extension→shebang→unknown
