@@ -692,7 +692,10 @@ object Bench {
     // the saturated pair exists only when the top level is distinct
     val satJson =
       if (cpus > midCpus) {
-        val effSat = (tp(cpus) / tp(midCpus)) / (cpus.toDouble / midCpus)
+        // skipped levels report -1; -1/-1 must not read as a real 0.25
+        val effSat =
+          if (tp(cpus) <= 0 || tp(midCpus) <= 0) -1.0
+          else (tp(cpus) / tp(midCpus)) / (cpus.toDouble / midCpus)
         val ctlSat =
           if (ctl(cpus) <= 0 || ctl(midCpus) <= 0) -1.0
           else (ctl(cpus) / ctl(midCpus)) / (cpus.toDouble / midCpus)

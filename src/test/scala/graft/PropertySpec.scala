@@ -167,6 +167,113 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ---- notebook conversion fuzz -----------------------------------------
+  // Random v3/v4 notebooks — string-, array-, and missing-form sources,
+  // hostile characters (quotes, backslashes, newlines, CJK) — serialized
+  // by a local JSON writer and checked against a LOCAL reference
+  // implementation (its own char-walk splitlines, not the engine's
+  // lookbehind regex), batched through the engine in one DataFrame pass.
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Python splitlines(True) restricted to \n, by direct char walk. */
+  private def splitKeep(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    s.foreach { c =>
+      sb.append(c); if (c == '\n') { out += sb.toString; sb.clear() }
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.toSeq
+  }
+
+  test("notebook fuzz: random v3/v4 string/array notebooks ≡ reference") {
+    import graft.text.Notebook
+    import org.apache.spark.sql.functions.col
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const('\n'), 1 -> Gen.const('"'),
+      1 -> Gen.const('\\'), 1 -> Gen.const(' '), 1 -> Gen.const('中'),
+      1 -> Gen.const('#'))
+    val strGen = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, charGen)).map(_.mkString)
+    // (cell_type, lines-if-array, raw-if-string, form 0=array 1=str 2=none)
+    val cellGen = for {
+      t <- Gen.frequency(4 -> "code", 3 -> "markdown", 1 -> "heading",
+        1 -> "raw", 1 -> "mystery")
+      nl <- Gen.choose(0, 3)
+      lines <- Gen.listOfN(nl, strGen)
+      raw <- strGen
+      form <- Gen.oneOf(0, 1, 2)
+    } yield (t, lines, raw, form)
+    val nbGen = for {
+      v3 <- Gen.oneOf(true, false)
+      n <- Gen.choose(0, 5)
+      cells <- Gen.listOfN(n, cellGen)
+      cut <- Gen.choose(0, n) // v3: split cells across two worksheets
+    } yield (v3, cells, cut)
+
+    def cellJson(v3: Boolean,
+        c: (String, List[String], String, Int)): String = {
+      val (t, lines, raw, form) = c
+      val key = if (v3 && t == "code") "input" else "source"
+      val src = form match {
+        case 0 => Some(lines.map(jstr).mkString("[", ",", "]"))
+        case 1 => Some(jstr(raw))
+        case _ => None
+      }
+      (Seq(s""""cell_type":${jstr(t)}""") ++
+        src.map(v => s""""$key":$v""")).mkString("{", ",", "}")
+    }
+    def nbJson(v3: Boolean, cells: List[(String, List[String], String, Int)],
+        cut: Int): String = {
+      val cj = cells.map(cellJson(v3, _))
+      if (!v3) s"""{"cells":[${cj.mkString(",")}],"nbformat":4}"""
+      else {
+        val (a, b) = cj.splitAt(cut)
+        s"""{"worksheets":[{"cells":[${a.mkString(",")}]},""" +
+          s"""{"cells":[${b.mkString(",")}]}],"nbformat":3}"""
+      }
+    }
+    def expected(cells: List[(String, List[String], String, Int)]): String =
+      cells.flatMap { case (t, lines, raw, form) =>
+        val ls = form match {
+          case 0 => lines
+          case 1 => splitKeep(raw)
+          case _ => Nil
+        }
+        t match {
+          case "code" => Some(ls.mkString(""))
+          case "markdown" | "heading" => Some(ls.map("# " + _).mkString(""))
+          case _ => None
+        }
+      }.mkString("\n\n")
+
+    forAll(Gen.listOfN(8, nbGen), n = 8) { nbs =>
+      val rows = nbs.zipWithIndex.map { case ((v3, cells, cut), i) =>
+        (i, nbJson(v3, cells, cut), expected(cells),
+          cells.count(_._1 == "code").toLong,
+          cells.count(c => c._1 == "markdown" || c._1 == "heading").toLong)
+      }
+      val got = rows.toDF("i", "j", "exp", "ec", "em")
+        .select(col("i"), col("exp"), col("ec"), col("em"),
+          Notebook.toScript(col("j")).as("script"),
+          Notebook.cellStats(col("j")).as("st"))
+        .collect().sortBy(_.getInt(0))
+      got.foreach { r =>
+        assert(r.getString(4) === r.getString(1), s"script, row ${r.getInt(0)}")
+        assert(r.getStruct(5).getLong(0) === r.getLong(2), "n_code")
+        assert(r.getStruct(5).getLong(1) === r.getLong(3), "n_markdown")
+      }
+    }
+  }
+
   test("verdict determinism: same corpus, any partitioning, same keep set") {
     import graft.corpus.CorpusGen
     import graft.filter.QualityPipeline
