@@ -139,6 +139,30 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** The planted 90%-mass mega-repo fixture shared by the skew shot and
+    * the Scratch profiling modes (`skew`, `rangedprof`) — ONE definition,
+    * so a tweak to the mega share / content width can never make the
+    * scratch numbers silently incomparable to the recorded bench series.
+    * Columns: (repo, path, commit, content) — repo_mega holds ~90% of the
+    * rows, the rest spread over 200 small repos; content is a 64-char
+    * deterministic filler.
+    */
+  private[graft] def skewRepoFixture(s: SparkSession, rows: Long,
+      partitions: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, conv, lit, pmod,
+      rpad, when, xxhash64}
+    s.range(0L, rows, 1L, partitions)
+      .select(
+        when(pmod(xxhash64(col("id")), lit(10L)) < 9L, lit("repo_mega"))
+          .otherwise(concat(lit("repo_"),
+            pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"),
+        concat(lit("src/"), col("id").cast("string"), lit(".scala"))
+          .as("path"),
+        lit("c0").as("commit"),
+        rpad(conv(xxhash64(col("id"), lit(3)).cast("string"),
+          10, 16), 64, "x").as("content"))
+  }
+
   def main(args: Array[String]): Unit = {
     // keep bench re-runs of the dump-based oracle queries away from the
     // Verify dump the driver's DuckDB compare reads (see SparkEntry)
@@ -151,8 +175,10 @@ object Bench {
     def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close() // the stream holds directory handles
       }
     rmTree(java.nio.file.Paths.get("/tmp/graft_bench_aux"))
     System.setProperty("graft.oracle.auxSkipExisting", "1")
@@ -168,6 +194,14 @@ object Bench {
     val scaleOnly = sys.env.get("SPARK_GRAFT_BENCH_SCALE_ONLY").contains("1")
     val queryFilter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd name: a silent empty filter would "measure"
+    // nothing and write a plausible-looking all--1 JSON
+    queryFilter.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     // a query filter is an ITERATION knob: skip the scaling/dedup/skew/
     // stress sections entirely (they report -1), mirroring SCALE_ONLY's
     // inverse
@@ -503,20 +537,8 @@ object Bench {
       else {
         val s = session(cpus)
         try {
-          import org.apache.spark.sql.functions.{col, concat, conv, lit,
-            pmod, rpad, when, xxhash64}
           def job(rows: Long, ranged: Boolean): Unit = {
-            val df = s.range(0L, rows, 1L, 4 * cpus)
-              .select(
-                when(pmod(xxhash64(col("id")), lit(10L)) < 9L,
-                  lit("repo_mega"))
-                  .otherwise(concat(lit("repo_"),
-                    pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"),
-                concat(lit("src/"), col("id").cast("string"), lit(".scala"))
-                  .as("path"),
-                lit("c0").as("commit"),
-                rpad(conv(xxhash64(col("id"), lit(3)).cast("string"),
-                  10, 16), 64, "x").as("content"))
+            val df = skewRepoFixture(s, rows, 4 * cpus)
             val out =
               if (ranged)
                 graft.text.RepoPack.packByRepoRanged(df, budgetChars = 100000L)

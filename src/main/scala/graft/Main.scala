@@ -199,7 +199,10 @@ object Main {
       else Some(Runner.UrlGateConfig(
         blocklist = urlBlocklistPath.toSeq.flatMap { p =>
           val src = scala.io.Source.fromFile(p, "UTF-8")
-          try src.getLines().map(_.trim)
+          // lowercase: the gate compares against the canonicalized
+          // registrable domain, which is always lowercase — a mixed-case
+          // file entry would otherwise silently never match
+          try src.getLines().map(_.trim.toLowerCase(java.util.Locale.ROOT))
             .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
           finally src.close()
         },

@@ -1500,17 +1500,23 @@ object SparkEntry {
     * dir once at startup, runs each query once untimed (dumps happen), sets
     * `graft.oracle.auxSkipExisting=1`, and times the operator-only re-runs.
     * Verify NEVER sets the property — correctness runs always re-dump.
-    * Existence = a `_SUCCESS` marker under `path` (depth ≤ 2, covering
-    * multi-table layouts like the incremental index).
+    * Existence = a `_GRAFT_AUX_DONE` marker written only after `body`
+    * completed in full: a setup pass that dies mid-dump (Bench swallows
+    * NonFatal there) leaves no marker, so the timed runs re-dump instead
+    * of probing a half-written multi-table layout. (A per-table `_SUCCESS`
+    * probe would treat ONE committed table as proof of the whole dump.)
     */
   private def auxWrite(path: String)(body: => Unit): Unit = {
-    val skip = "1" == System.getProperty("graft.oracle.auxSkipExisting") && {
-      val d = new java.io.File(path)
-      new java.io.File(d, "_SUCCESS").exists() ||
-        Option(d.listFiles()).exists(_.exists(f =>
-          f.isDirectory && new java.io.File(f, "_SUCCESS").exists()))
+    val done = new java.io.File(path, "_GRAFT_AUX_DONE")
+    val skip =
+      "1" == System.getProperty("graft.oracle.auxSkipExisting") &&
+        done.exists()
+    if (!skip) {
+      body
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+      ()
     }
-    if (!skip) body
   }
 
   /** Memo for IVF codebooks, keyed by (query, sf dir): an ANN codebook is

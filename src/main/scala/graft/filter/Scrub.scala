@@ -227,20 +227,23 @@ final class Scrubber(val rules: Seq[ScrubRule]) extends Serializable {
 
   // ---- plain-JVM twin (used by the fused pipeline pass and test oracles) -
 
+  // entropy (minBits) rules route through SecretEntropy.scrubCount (literal
+  // replacement, scanner fast path when the pattern is a recognized run
+  // shape, its own compiled-regex cache otherwise) — the SAME kernel the
+  // Column route calls, so the twin guarantee is one code path and the
+  // java.util.regex Pattern is never consulted here: None, not dead work.
+  // Plain rules keep java $-group semantics (same as regexp_replace).
   private val compiled =
     rules.filterNot(_.drop).map { r =>
-      // entropy rules route through SecretEntropy.scrubCount (literal
-      // replacement, scanner fast path when the pattern is a recognized
-      // run shape) — the SAME kernel the Column route calls, so the twin
-      // guarantee is one code path; plain rules keep java $-group
-      // semantics (same as regexp_replace)
-      (r.id, java.util.regex.Pattern.compile(r.pattern), r.replacement,
-        Prescreen.of(r), r.minBits, r.pattern)
+      val p = if (r.minBits.isDefined) None
+      else Some(java.util.regex.Pattern.compile(r.pattern))
+      (r.id, p, r.replacement, Prescreen.of(r), r.minBits, r.pattern)
     }
   private val compiledDrop =
     rules.filter(_.drop).map { r =>
-      (r.id, java.util.regex.Pattern.compile(r.pattern), Prescreen.of(r),
-        r.minBits, r.pattern)
+      val p = if (r.minBits.isDefined) None
+      else Some(java.util.regex.Pattern.compile(r.pattern))
+      (r.id, p, Prescreen.of(r), r.minBits, r.pattern)
     }
 
   def scrubPlain(text: String): (String, Map[String, Int]) = {
@@ -273,8 +276,9 @@ final class Scrubber(val rules: Seq[ScrubRule]) extends Serializable {
           if (pre.hit(out)) {
             // single matcher pass: count and replace together; the
             // prescreen is a necessary condition of the pattern, so a
-            // miss means zero matches by construction
-            val m = p.matcher(out)
+            // miss means zero matches by construction. p is Some by
+            // construction when minBits is empty (see `compiled`).
+            val m = p.get.matcher(out)
             var n = 0
             var sb: java.lang.StringBuilder = null
             while (m.find()) {
@@ -298,7 +302,7 @@ final class Scrubber(val rules: Seq[ScrubRule]) extends Serializable {
           pre.hit(text) &&
             graft.functions.SecretEntropy.countAll(text, patStr, b) > 0
         case None =>
-          pre.hit(text) && p.matcher(text).find()
+          pre.hit(text) && p.get.matcher(text).find()
       }
     }
 }

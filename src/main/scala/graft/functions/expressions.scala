@@ -873,7 +873,10 @@ case class UrlRegistrableDomain(child: Expression) extends UnaryExpression {
   * impossible in the embedding fixtures/corpora (non-null elements,
   * uniform dims): a null ELEMENT or dim-mismatched vector yields NULL here
   * where the HOF struct-min accidentally mapped all-null distances to
-  * cluster 0.
+  * cluster 0. (Exception, shared with the HOF chain by guard order: a
+  * ZERO-NORM vector hits the `denom==0 → −1` guard BEFORE the dot is
+  * consulted, so zero-norm + mismatched dims is −1, not NULL — the lazy
+  * `when` evaluation the kernels replicate; VecKernelSpec pins it.)
   */
 object VecKernel {
   @inline private def elem(a: ArrayData, i: Int, float: Boolean): Double =

@@ -25,7 +25,19 @@ object Scratch {
     mode match {
       case "semdedup" =>
         // the bench frame: untimed setup run, then 3 timed runs with aux
-        // dumps skipped — measures the post-memo operator cost
+        // dumps skipped — measures the post-memo operator cost. Like
+        // Bench, use a PRIVATE aux dir and clear it first: skipping (or
+        // clobbering) against the default Verify dump would poison a
+        // concurrent compare_oracle run.
+        val aux = java.nio.file.Paths.get("/tmp/graft_scratch_aux")
+        if (java.nio.file.Files.exists(aux)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(aux)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+        System.setProperty("graft.oracle.aux", aux.toString)
         System.setProperty("graft.oracle.auxSkipExisting", "1")
         val dir = "/root/testdata/sf0.1"
         for (q <- Seq("q_semdedup", "q_ann_ivf")) {
@@ -42,16 +54,8 @@ object Scratch {
       case "rangedprof" =>
         // where do packByRepoRanged's 102 s at 12M go?
         val rows = if (args.length > 2) args(2).toLong else 12000000L
-        val df = spark.range(0L, rows, 1L, 4 * cpus)
-          .select(
-            when(pmod(xxhash64(col("id")), lit(10L)) < 9L, lit("repo_mega"))
-              .otherwise(concat(lit("repo_"),
-                pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"),
-            concat(lit("src/"), col("id").cast("string"), lit(".scala"))
-              .as("path"),
-            lit("c0").as("commit"),
-            rpad(conv(xxhash64(col("id"), lit(3)).cast("string"),
-              10, 16), 64, "x").as("content"))
+        // the SAME fixture Bench's skew shot measures (one definition)
+        val df = graft.Bench.skewRepoFixture(spark, rows, 4 * cpus)
         import spark.implicits._
         val parts = spark.sessionState.conf.numShufflePartitions
         val ranged = graft.util.Caches.track(
@@ -102,16 +106,8 @@ object Scratch {
         // the ranged path spreads it. Same output rows (PackingSpec).
         val skewN = if (args.length > 2) args(2).toLong else 12000000L
         def job(rows: Long, ranged: Boolean): Unit = {
-          val df = spark.range(0L, rows, 1L, 4 * cpus)
-            .select(
-              when(pmod(xxhash64(col("id")), lit(10L)) < 9L, lit("repo_mega"))
-                .otherwise(concat(lit("repo_"),
-                  pmod(xxhash64(col("id"), lit(7)), lit(200L)))).as("repo"),
-              concat(lit("src/"), col("id").cast("string"), lit(".scala"))
-                .as("path"),
-              lit("c0").as("commit"),
-              rpad(conv(xxhash64(col("id"), lit(3)).cast("string"),
-                10, 16), 64, "x").as("content"))
+          // the SAME fixture Bench's skew shot measures (one definition)
+          val df = graft.Bench.skewRepoFixture(spark, rows, 4 * cpus)
           val out =
             if (ranged)
               graft.text.RepoPack.packByRepoRanged(df, budgetChars = 100000L)
