@@ -409,12 +409,21 @@ object Dedup {
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     fetchPairSides(cand, sa, sb)
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / cfg.numHashes)
+        graft.functions.expressions.sig_agree(
+          col("sig_a"), col("sig_b"), cfg.numHashes))
       .filter(col("est_jaccard") >= cfg.threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
+
+  /** The interpreted higher-order-function signature-agreement twin the
+    * codegen [[graft.functions.SigAgreement]] kernel replaced on the
+    * candidate-verify hot path (one call per candidate pair; HOFs are
+    * `CodegenFallback` and allocate a zip array per call). Retained as the
+    * fuzz reference — DedupSpec pins bit equality of the two.
+    */
+  private[graft] def sigAgreeHof(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
   /** Greedy survivor set from near-dup pairs: drop any id that pairs with a
     * smaller id. (Full transitive clustering = iterative min-propagation;

@@ -172,9 +172,8 @@ object Incremental {
       .select(col("id").as("id_b"), col("sig").as("sig_b"))
     val nearHits = Dedup.fetchPairSides(cand, sa, sb)
       .withColumn("__agree",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / cfg.numHashes)
+        graft.functions.expressions.sig_agree(
+          col("sig_a"), col("sig_b"), cfg.numHashes))
       .filter(col("__agree") >= cfg.threshold)
       .groupBy(col("id_a")).agg(min(col("id_b")).as("__match"))
       .select(col("id_a").as("id"), col("__match"))

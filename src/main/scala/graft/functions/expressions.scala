@@ -1012,6 +1012,31 @@ object VecKernel {
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     math.sqrt(s)
   }
+
+  /** Fraction of agreeing MinHash signature positions: the count of
+    * indices where both long arrays are non-null AND equal, over the
+    * constant signature width `n`. Replicates the HOF chain
+    * `aggregate(zip_with(a, b, (x,y) => when(x===y,1).otherwise(0)), 0, +)
+    * .cast(double) / n` exactly: zip_with pads the shorter array with
+    * nulls and `when` maps a null comparison to 0, so padded or
+    * null-element positions contribute nothing — i.e. only
+    * i < min(len_a, len_b) can count, and the divisor stays the FIXED
+    * width n even when an array is short (a short array simply cannot
+    * reach agreement 1.0). Integer equality, so bit-parity with the HOF
+    * twin is by construction; the one double op (toDouble + divide) is
+    * the same IEEE op the Column chain's Divide performs.
+    */
+  def sigAgree(a: ArrayData, b: ArrayData, n: Int): Double = {
+    val m = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < m) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c.toDouble / n
+  }
 }
 
 /** Shared shape of the vector expressions: a float/double array child. */
@@ -1128,6 +1153,40 @@ case class VecCosine(left: Expression, right: Expression)
       newRight: Expression): VecCosine = copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature agreement between two array<long> columns, as a
+  * codegen expression — the candidate-VERIFY hot path of near-dup and
+  * incremental dedup runs one of these per candidate pair, and the HOF
+  * chain it replaces ([[graft.dedup.Dedup.sigAgreeHof]]) is interpreted
+  * `CodegenFallback` allocating an intermediate array per call. Semantics
+  * documented on [[VecKernel.sigAgree]]; DedupSpec fuzzes bit equality of
+  * the two including length mismatches and null elements.
+  */
+case class SigAgreement(left: Expression, right: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sig_agree"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernel.sigAgree($a, $b, $numHashes);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared centroid plumbing of the two nearest-centroid expressions. */
 sealed trait VecCentroidExpression extends VecArrayExpression {
   def centroids: Array[Array[Double]]
@@ -1239,6 +1298,10 @@ object expressions {
 
   def vec_cosine(a: Column, b: Column): Column =
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  def sig_agree(a: Column, b: Column, numHashes: Int): Column =
+    Bridge.column(SigAgreement(Bridge.expression(a), Bridge.expression(b),
+      numHashes))
 
   def vec_nearest_centroid(c: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(VecNearestCentroid(Bridge.expression(c), centroids))

@@ -435,6 +435,42 @@ class DedupSpec extends SparkSpec {
     graft.util.Caches.release()
   }
 
+  test("sig_agree kernel ≡ HOF agreement (bit-equal; planted length " +
+    "mismatches, null elements, and exact-dup signatures)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new java.util.SplittableRandom(20260820L)
+    val k = 16
+    // pair fixtures: full agreement (clone), partial agreement, disjoint,
+    // short arrays (zip_with pads — divisor stays k), and null elements
+    var prev: Seq[java.lang.Long] = Seq.fill(k)(java.lang.Long.valueOf(0L))
+    val rows = (0L until 400L).map { i =>
+      val a: Seq[java.lang.Long] =
+        if (i % 11 == 0) prev
+        else Seq.fill(k)(java.lang.Long.valueOf(rnd.nextLong(8))) // collisions likely
+      val b: Seq[java.lang.Long] =
+        if (i % 7 == 0) a // exact dup → agreement 1.0
+        else if (i % 13 == 0) a.take(k - 3) // planted length mismatch
+        else if (i % 17 == 0) a.updated(3, null: java.lang.Long) // null elem
+        else Seq.fill(k)(java.lang.Long.valueOf(rnd.nextLong(8)))
+      prev = a
+      (i, a, b)
+    }.toDF("id", "sig_a", "sig_b").repartition(5)
+    val got = rows.select(col("id"),
+      graft.functions.expressions.sig_agree(col("sig_a"), col("sig_b"), k).as("kn"),
+      Dedup.sigAgreeHof(col("sig_a"), col("sig_b"), k).as("hf")).collect()
+    assert(got.length === 400)
+    got.foreach { r =>
+      val kn = java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+      val hf = java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+      assert(kn === hf, s"id=${r.getLong(0)}")
+    }
+    // the exact-dup rows really exercise the 1.0 ceiling
+    assert(got.filter(_.getLong(0) % 7 == 0).forall(_.getDouble(1) == 1.0))
+    // a short array can never reach 1.0 (divisor is the fixed width)
+    assert(got.filter(r => r.getLong(0) % 13 == 0 && r.getLong(0) % 7 != 0)
+      .forall(_.getDouble(1) < 1.0))
+  }
+
   test("fork pairs: vendored-everywhere file is capped out of the join") {
     // one boilerplate file in every repo; without the cap every repo pair
     // becomes a candidate — with maxPostings below the repo count the
