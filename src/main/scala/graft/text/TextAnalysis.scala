@@ -9,8 +9,11 @@ import graft.dedup.Dedup.fnv1a64
   * fingerprints (Schleimer/Wilkerson/Aiken 2003 — the standard
   * content-defined fingerprinting scheme).
   *
-  * Everything except winnowing is pure Column expressions (codegen'd);
-  * winnowing is a per-row pure function run in mapPartitions.
+  * Everything except winnowing is pure Column expressions (regexp/length
+  * family codegen'd; the array-HOF folds in the repetition/stopword
+  * metrics run as interpreted `CodegenFallback` subtrees — see
+  * [[repetitionMetrics]] for why that is acceptable there); winnowing is
+  * a per-row pure function run in mapPartitions.
   */
 object TextAnalysis {
 
@@ -69,9 +72,14 @@ object TextAnalysis {
     * the public quality-filter recipe): duplicate-line statistics plus
     * boilerplate line shapes (bullet lists, ellipsis endings). Pure
     * higher-order Column expressions over the split-lines array — one
-    * projection, whole-stage codegen, no UDF. Emitted as EXACT counts
-    * (BIGINT); consumers derive the fractions — and the DuckDB oracle
-    * compares integers, never floats (memory: oracle-float-parity).
+    * projection, no UDF. (The array HOFs — transform/filter/aggregate —
+    * evaluate via interpreted `CodegenFallback` inside the projection,
+    * the same Spark limitation that motivated the VecKernel family;
+    * acceptable HERE because the fold is line-array-sized and the metric
+    * sits on oracle/report paths, not the flagship per-row pipeline.)
+    * Emitted as EXACT counts (BIGINT); consumers derive the fractions —
+    * and the DuckDB oracle compares integers, never floats (memory:
+    * oracle-float-parity).
     *
     * A line = a `\n` segment, trimmed, non-empty. "dup extra" counts
     * instances beyond each distinct line's first occurrence — the
