@@ -64,4 +64,16 @@ class CodeLangSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
+
+  test("shebang whitespace is the explicit [ \\t] class: U+000B is not " +
+    "whitespace, matching the RE2 oracle replay byte-for-byte") {
+    // java \\s includes U+000B (vertical tab), RE2's does not. The old
+    // \\s-based pattern would read "#!\u000Bpython" as interpreter
+    // "python" in Spark but "unknown" in the DuckDB replay. With the
+    // explicit classes BOTH engines put the VT inside the interpreter
+    // word, miss the lookup map, and agree on "unknown".
+    assert(detect("bin/v", "#!\u000Bpython\nprint(1)") === "unknown")
+    // plain space and tab after #! still behave as whitespace
+    assert(detect("bin/w", "#!\t/usr/bin/env\tpython\n") === "python")
+  }
 }

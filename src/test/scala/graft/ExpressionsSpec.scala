@@ -222,4 +222,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, 0L, 0L, 0L)))
     assert(got(6L) === ((2L, 1L, 12L, 0L, 0L)))
   }
+
+  test("BloomMightContainLong: equality/hashCode/semanticEquals are " +
+    "content-based, not array-reference-based") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.util.sketch.BloomFilter
+    def sketchBytes(items: Long*): Array[Byte] = {
+      val bf = BloomFilter.create(100, 0.01)
+      items.foreach(bf.putLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // two DISTINCT arrays with identical content: reference equality would
+    // call these different and silently defeat semanticEquals /
+    // subexpression elimination / plan canonicalization (the probe would
+    // be duplicated per occurrence)
+    val b1 = sketchBytes(1L, 2L, 3L)
+    val b2 = sketchBytes(1L, 2L, 3L)
+    assert(!(b1 eq b2) && java.util.Arrays.equals(b1, b2))
+    val e1 = graft.functions.BloomMightContainLong(Literal(7L), b1)
+    val e2 = graft.functions.BloomMightContainLong(Literal(7L), b2)
+    assert(e1 === e2)
+    assert(e1.hashCode === e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    // different sketch content must NOT compare equal, and a different
+    // child must not either
+    val e3 = graft.functions.BloomMightContainLong(Literal(7L), sketchBytes(99L))
+    assert(e1 !== e3)
+    assert(!e1.semanticEquals(e3))
+    val e4 = graft.functions.BloomMightContainLong(Literal(8L), b1)
+    assert(e1 !== e4)
+  }
 }
