@@ -276,6 +276,44 @@ object Dedup {
     banded.join(hot, keys, "left_anti")
   }
 
+  /** Unordered within-group co-occurrence pairs via ONE grouping pass —
+    * the replacement for the banded SELF-JOIN shape (guide §2.3/§2.4:
+    * fewer shuffles, fewer bytes). The old plan shuffled the posting frame
+    * TWICE (both self-join sides) and sorted both for the merge join; this
+    * shuffles it once into bounded per-key groups and emits the i<j pairs
+    * map-side. Groups of 1 vanish in the size filter — the dominant case
+    * for rare shingles/buckets, which the self-join paid a full sort-merge
+    * pass to discover — and `maxGroup` replays [[dropHotBuckets]]'s
+    * hot-bucket rule exactly (an over-cap group emits no pairs). The
+    * hot-key count pass still runs FIRST (inside [[dropHotBuckets]]) when
+    * `maxGroup > 0`, so no collect_list buffer can exceed `maxGroup`
+    * payload structs — bounded task state at any corpus duplication level.
+    * With `maxGroup = 0` the cap pass is skipped and group state is
+    * unbounded, exactly as the uncapped self-join was quadratic — callers
+    * that pass 0 must bound group sizes themselves (the PPJoin prefix
+    * index relies on threshold-driven sparsity, and its results must not
+    * be capped).
+    *
+    * `payload` must be a struct whose FIRST field is an id unique within
+    * its group: struct ordering is lexicographic, so `least`/`greatest`
+    * orient each pair by that id — identical to the self-join's
+    * `id_a < id_b` filter. Returns (a, b) payload-struct columns.
+    */
+  private[graft] def pairsWithinGroups(posts: DataFrame, keys: Seq[String],
+      payload: Column, maxGroup: Int): DataFrame = {
+    val tagged = posts.select(keys.map(col) :+ payload.as("__s"): _*)
+    val capped = dropHotBuckets(tagged, maxGroup, keys)
+    capped.groupBy(keys.map(col): _*)
+      .agg(collect_list(col("__s")).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(col("__ss"), posexplode(col("__ss")).as(Seq("__i", "__a")))
+      .select(col("__a"),
+        explode(slice(col("__ss"), col("__i") + lit(2),
+          size(col("__ss")) - col("__i") - lit(1))).as("__b"))
+      .select(least(col("__a"), col("__b")).as("a"),
+        greatest(col("__a"), col("__b")).as("b"))
+  }
+
   /** The numHashes affine coefficient pairs for a config — derived once,
     * not per document (they depend only on seed/numHashes).
     */
@@ -382,22 +420,20 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
-    // cache the pruned band frame: it feeds BOTH sides of the self-join
-    // (and the hot-bucket aggregation already read the raw explode), so an
-    // uncached plan recomputes the 16×-explode + band hashing four times
-    val b = graft.util.Caches.track(
-      dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket))
-    val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    // merge hint: both sides of a band self-join are data-sized; left to
-    // static estimates (range-derived corpora report a few MB at the leaf)
-    // the planner broadcasts one side and the build collect kills the
-    // driver at scale. Sort-merge spills at any size; AQE still handles
-    // skewed buckets.
+    // cache the band frame: the hot-bucket count pass and the grouping
+    // pass both consume it — uncached, the 16×-explode + band hashing
+    // would run twice over the signature cache
+    val b = graft.util.Caches.track(lshBuckets(sigs, idCol, cfg))
+    // ONE grouping pass replaces the merge-hinted band self-join (two
+    // shuffles + two sorts of the band frame — see pairsWithinGroups);
+    // the hot-bucket cap is applied inside, identically to the old
+    // dropHotBuckets-then-join plan
     val cand = graft.util.Caches.track(
-      left.hint("merge").join(right, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct())
+      pairsWithinGroups(b, Seq("band", "bucket"), struct(col(idCol)),
+        cfg.maxBucket)
+        .select(col("a").getField(idCol).as("id_a"),
+          col("b").getField(idCol).as("id_b"))
+        .distinct())
     // materialize + count to pick the signature-fetch strategy EXPLICITLY.
     // Left to static estimates the planner can broadcast the wrong side:
     // synthesized corpora descend from spark.range, whose leaf stats say
@@ -518,7 +554,12 @@ object Dedup {
       while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edgeList.as[(Long, Long)].toLocalIterator().forEachRemaining { case (a, b) =>
+    // ONE collect job, not toLocalIterator: the iterator runs a separate
+    // Spark job PER PARTITION (tens of sequential driver round-trips on a
+    // 32-partition frame — the bulk of q_semdedup/q_neardup_losers' fixed
+    // cost), while both callers only take this path when the caller-counted
+    // edge total is ≤ collectPairs (≤ 2M pairs = 32 MB of ids — bounded)
+    edgeList.as[(Long, Long)].collect().foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // min-id root ⇒ survivor = component min, same as label propagation
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
@@ -810,11 +851,13 @@ object Dedup {
     // true set sizes (the overlap denominator) come from the UNCAPPED frame
     val sizes = graft.util.Caches.track(
       cached.groupBy(col("repo")).agg(count(lit(1)).as("n_files")))
-    val capped = dropHotBuckets(cached, maxPostings, keys = Seq("h"))
-    val l = capped.select(col("h"), col("repo").as("repo_a"))
-    val r = capped.select(col("h"), col("repo").as("repo_b"))
-    val shared = l.hint("merge").join(r, Seq("h"))
-      .filter(col("repo_a") < col("repo_b"))
+    // ONE grouping pass replaces the content-hash self-join (see
+    // pairsWithinGroups); the postings cap is applied inside, identically
+    // to the old dropHotBuckets-then-join plan
+    val shared = pairsWithinGroups(cached, Seq("h"), struct(col("repo")),
+        maxPostings)
+      .select(col("a").getField("repo").as("repo_a"),
+        col("b").getField("repo").as("repo_b"))
       .groupBy(col("repo_a"), col("repo_b"))
       .agg(count(lit(1)).as("shared"))
     shared.hint("merge")
@@ -860,11 +903,14 @@ object Dedup {
   def clonePairsFromPosts(posts0: DataFrame, minShared: Long = 5,
       maxPostings: Int = 1000): DataFrame = {
     val posts = graft.util.Caches.track(posts0.select(col("id"), col("fp")))
-    val capped = dropHotBuckets(posts, maxPostings, keys = Seq("fp"))
-    val l = capped.select(col("fp"), col("id").as("id_a"))
-    val r = capped.select(col("fp"), col("id").as("id_b"))
-    l.hint("merge").join(r, Seq("fp"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE grouping pass replaces the postings self-join (see
+    // pairsWithinGroups); the singleton-fingerprint majority — which the
+    // sort-merge join paid two sorts to discover contributes nothing —
+    // vanishes in the group-size filter, and the postings cap is applied
+    // inside, identically to the old dropHotBuckets-then-join plan
+    pairsWithinGroups(posts, Seq("fp"), struct(col("id")), maxPostings)
+      .select(col("a").getField("id").as("id_a"),
+        col("b").getField("id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
@@ -962,16 +1008,16 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val banded = dropHotBuckets(banded0, maxBucket)
-    val l = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    // merge hint: see minHashPairs — self-join sides must never broadcast
-    l.hint("merge").join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // ONE grouping pass replaces the banded self-join (see
+    // pairsWithinGroups); the signature rides in the payload struct behind
+    // the id, so orientation (struct order = id order — ids are unique per
+    // bucket) and the verify both stay exactly the old plan's
+    pairsWithinGroups(banded0, Seq("band", "bucket"),
+      struct(col(idCol), col("simhash")), maxBucket)
+      .select(col("a").getField(idCol).as("id_a"),
+        col("b").getField(idCol).as("id_b"),
+        bit_count(col("a").getField("simhash")
+          .bitwiseXOR(col("b").getField("simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -1002,12 +1048,14 @@ object Dedup {
         .filter(col("freq") <= maxPostings && col("freq") > 1)
         .select("g"),
       Seq("g"))
-    val l = capped.select(col("g"), col(idCol).as("id_a"))
-    val r = capped.select(col("g"), col(idCol).as("id_b"))
-    // merge hints throughout: postings/self-join sides are data-sized and
-    // must never be statically broadcast (see minHashPairs)
-    val common = l.hint("merge").join(r, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE grouping pass replaces the shingle self-join (see
+    // pairsWithinGroups); maxGroup=0 — the freq prefilter above already
+    // bounds every surviving group to (1, maxPostings], so the cap pass
+    // would be a redundant second count aggregation
+    val common = pairsWithinGroups(capped, Seq("g"), struct(col(idCol)),
+        maxGroup = 0)
+      .select(col("a").getField(idCol).as("id_a"),
+        col("b").getField(idCol).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     common.hint("merge")
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
@@ -1046,15 +1094,21 @@ object Dedup {
       .transform(graft.util.Caches.track)
     val index = docs.select(col(idCol), explode(col("prefix")).as("g"),
       size(col("sh")).as("sz"))
-    val l = index.select(col("g"), col(idCol).as("id_a"), col("sz").as("sz_a"))
-    val r = index.select(col("g"), col(idCol).as("id_b"), col("sz").as("sz_b"))
-    // length filter: jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune candidates
-    // on two ints before touching the full shingle arrays
+    // ONE grouping pass replaces the prefix-index self-join (see
+    // pairsWithinGroups). maxGroup=0: results must not be capped — prefix
+    // group sizes are bounded by the threshold-driven sparsity the PPJoin
+    // prefix rule provides, exactly the bound the uncapped self-join relied
+    // on. The length filter (jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune on
+    // two ints before touching the full shingle arrays) is symmetric, so it
+    // applies unchanged to the oriented pair.
     val cand = graft.util.Caches.track(
-      l.hint("merge").join(r, Seq("g")).filter(col("id_a") < col("id_b") &&
-        col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
-      .select("id_a", "id_b").distinct())
+      pairsWithinGroups(index, Seq("g"), struct(col(idCol), col("sz")),
+        maxGroup = 0)
+        .filter(col("a").getField("sz") >= col("b").getField("sz") * threshold &&
+          col("b").getField("sz") >= col("a").getField("sz") * threshold)
+        .select(col("a").getField(idCol).as("id_a"),
+          col("b").getField(idCol).as("id_b"))
+        .distinct())
     val da = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     // the shingle-array sides must never be the broadcast build

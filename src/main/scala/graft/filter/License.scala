@@ -44,11 +44,44 @@ object License {
 
   val Unknown = "unknown"
 
-  /** First matching license id over the file head (first-match-wins in
-    * [[patterns]] order); "unknown" when nothing matches. Pure Column
-    * CASE chain of rlike probes over a bounded prefix — codegen, no UDF.
+  /** NECESSARY case-insensitive literal implied by each pattern, in
+    * [[patterns]] order — the [[Scrub]] prescreen discipline applied to
+    * the detection chain (round-5 verdict item 1): every regex here has a
+    * fixed literal prefix (the part before any `,?`/`\.?` optionality), so
+    * a cheap CI substring scan skipping the regex pass can never change
+    * output, only cost. The kernel always CONFIRMS a literal hit with the
+    * real regex, so `(?i)` fold semantics are untouched; LicenseSpec
+    * fuzzes byte-equality against the rlike-chain twin.
     */
-  def detectCol(content: Column, headChars: Int = 4000): Column = {
+  val prescreens: Seq[String] = Seq(
+    "Licensed under the Apache License",
+    "Permission is hereby granted, free of charge",
+    "Redistribution and use in source and binary forms",
+    "GNU Affero General Public License",
+    "GNU Lesser General Public License",
+    "GNU General Public License",
+    "Mozilla Public License",
+    "This is free and unencumbered software")
+
+  /** First matching license id over the file head (first-match-wins in
+    * [[patterns]] order); "unknown" when nothing matches. ONE codegen
+    * expression: the head is sliced once and each regex probe is gated by
+    * its [[prescreens]] literal — the rlike CASE chain re-ran all 8
+    * compiled regexes over the full head for every row
+    * ([[detectColRlike]], retained as the spec twin).
+    */
+  def detectCol(content: Column, headChars: Int = 4000): Column =
+    // coalesce: NULL content detects "unknown", exactly as the rlike chain
+    // (a `when` over a null predicate falls through to the final literal)
+    coalesce(graft.functions.expressions.first_match(content, headChars,
+      patterns.zip(prescreens).map { case ((id, _, p), pre) => (id, pre, p) },
+      Unknown), lit(Unknown))
+
+  /** The original 8-probe rlike CASE chain — the reference twin
+    * [[detectCol]]'s prescreened kernel is fuzzed against (LicenseSpec).
+    */
+  private[graft] def detectColRlike(content: Column,
+      headChars: Int = 4000): Column = {
     val head = substring(content, 1, headChars)
     patterns.foldRight(lit(Unknown): Column) { case ((id, _, p), rest) =>
       when(head.rlike(p), lit(id)).otherwise(rest)

@@ -1268,6 +1268,93 @@ case class VecNearestCentroidCosine(child: Expression,
       newChild: Expression): VecNearestCentroidCosine = copy(child = newChild)
 }
 
+/** Kernel for [[PrescreenFirstMatch]]: first-match-wins id over a bounded
+  * head, each java-regex probe gated by a NECESSARY case-insensitive ASCII
+  * literal (the [[graft.filter.Scrub]] prescreen discipline). The fold
+  * argument is Prescreen.AnyOfCI's: `regionMatches(ignoreCase)`'s Unicode
+  * fold is a superset of java `(?i)`'s ASCII fold on ASCII literals, so a
+  * literal miss PROVES the regex cannot match and the probe is skipped —
+  * a head carries at most one license phrase, so ~(n-1) of n regex passes
+  * disappear. A prescreen HIT is always confirmed by the regex (never
+  * trusted alone: the superset fold could otherwise invent matches java
+  * `(?i)` rejects, e.g. the Kelvin sign), so match semantics are exactly
+  * the `substring(·,1,headChars).rlike(p)` CASE chain's.
+  */
+final class PrescreenChain(val headChars: Int,
+    cases: Seq[(String, String, String)], default: String)
+    extends Serializable {
+  // (id, literal, java-regex) triples; compiled lazily per JVM
+  @transient private lazy val ids: Array[UTF8String] =
+    cases.map(c => UTF8String.fromString(c._1)).toArray
+  @transient private lazy val lits: Array[String] = cases.map(_._2).toArray
+  @transient private lazy val pats: Array[java.util.regex.Pattern] =
+    cases.map(c => java.util.regex.Pattern.compile(c._3)).toArray
+  @transient private lazy val defaultU: UTF8String =
+    UTF8String.fromString(default)
+
+  def detect(u: UTF8String): UTF8String = {
+    // same bounded-prefix semantics as substring(content, 1, headChars)
+    val head = u.substringSQL(1, headChars).toString
+    var i = 0
+    while (i < lits.length) {
+      if (PrescreenChain.containsCI(head, lits(i)) &&
+        pats(i).matcher(head).find()) return ids(i)
+      i += 1
+    }
+    defaultU
+  }
+}
+
+object PrescreenChain {
+  /** Case-insensitive substring scan (regionMatches fold — conservative
+    * superset of ASCII (?i), see class doc). Fails fast on the first char.
+    */
+  def containsCI(s: String, w: String): Boolean = {
+    val n = s.length - w.length
+    var i = 0
+    while (i <= n) {
+      if (s.regionMatches(true, i, w, 0, w.length)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** First-match-wins detection over a bounded head as ONE codegen'd
+  * expression: string → string id. Replaces an n-probe `when(head.rlike(p),
+  * id)` CASE chain — the last unprescreened multi-regex scan over document
+  * heads (round-5 verdict item 1): the chain re-ran every compiled regex
+  * over the full head for every row; here the head is sliced once and each
+  * regex runs only when its implied literal is present. A fuzzed spec pins
+  * byte-equality against the retained rlike-chain twin
+  * ([[graft.filter.License.detectColRlike]]).
+  */
+case class PrescreenFirstMatch(child: Expression, headChars: Int,
+    cases: Seq[(String, String, String)], default: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_first_match"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+
+  @transient private lazy val chain =
+    new PrescreenChain(headChars, cases, default)
+
+  override def nullSafeEval(input: Any): Any =
+    chain.detect(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prescreenChain", chain,
+      classOf[PrescreenChain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.detect($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PrescreenFirstMatch =
+    copy(child = newChild)
+}
+
 object expressions {
 
   /** Column-level entry points (usable without SQL registration). */
@@ -1320,6 +1407,11 @@ object expressions {
 
   def fix_mojibake(c: Column): Column =
     Bridge.column(FixMojibake(Bridge.expression(c)))
+
+  def first_match(c: Column, headChars: Int,
+      cases: Seq[(String, String, String)], default: String): Column =
+    Bridge.column(PrescreenFirstMatch(Bridge.expression(c), headChars,
+      cases, default))
 
   def url_domain(c: Column): Column =
     Bridge.column(UrlRegistrableDomain(Bridge.expression(c)))

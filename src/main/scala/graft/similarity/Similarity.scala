@@ -112,7 +112,8 @@ object Similarity {
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): Array[Array[Double]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // (the old `size(vecCol).head()` dimension probe was a dead driver
+    // job — nothing below consumed it; removed in r6)
     var centroids: Array[Array[Double]] = df
       .orderBy(col(idCol)).limit(k)
       .select(asDouble(col(vecCol)))
@@ -252,15 +253,16 @@ object Similarity {
         .withColumn("cent_cos", centroidCosine(col(vecCol), centroids))
         .select(col(idCol), col("__cluster").as("cluster"), col("cent_cos"),
           col(vecCol)))
-    val capped = graft.dedup.Dedup.dropHotBuckets(
-      assigned.select(col(idCol), col("cluster")), maxCluster, Seq("cluster"))
-    val l = capped.select(col("cluster"), col(idCol).as("id_a"))
-    val r = capped.select(col("cluster"), col(idCol).as("id_b"))
-    // merge hint on the data-sized self-join sides (see Dedup.minHashPairs)
+    // ONE grouping pass replaces the cluster-local self-join (see
+    // Dedup.pairsWithinGroups); the hot-cluster cap is applied inside,
+    // identically to the old dropHotBuckets-then-join plan
     val cand = graft.util.Caches.track(
-      l.hint("merge").join(r, Seq("cluster"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct())
+      graft.dedup.Dedup.pairsWithinGroups(
+        assigned.select(col(idCol), col("cluster")), Seq("cluster"),
+        struct(col(idCol)), maxCluster)
+        .select(col("a").getField(idCol).as("id_a"),
+          col("b").getField(idCol).as("id_b"))
+        .distinct())
     val sa = assigned.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val sb = assigned.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val pairs = graft.util.Caches.track(
@@ -333,19 +335,20 @@ object Similarity {
       df.select(col(idCol), col(vecCol))
         .withColumn("__sig", signatureCol(col(vecCol), planes)))
     val nBands = bits / bandBits
-    val banded = graft.dedup.Dedup.dropHotBuckets(
-      sigs.select(col(idCol),
-        explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
-          shiftrightunsigned(col("__sig"), i * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
-        .select(col(idCol), col("bb.band"), col("bb.bucket")),
-      maxBucket)
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val banded = sigs.select(col(idCol),
+      explode(array((0 until nBands).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("__sig"), i * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    // ONE grouping pass replaces the band self-join (see
+    // Dedup.pairsWithinGroups); the hot-bucket cap is applied inside,
+    // identically to the old dropHotBuckets-then-join plan
     val cand = graft.util.Caches.track(
-      l.hint("merge").join(r, Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct())
+      graft.dedup.Dedup.pairsWithinGroups(banded, Seq("band", "bucket"),
+        struct(col(idCol)), maxBucket)
+        .select(col("a").getField(idCol).as("id_a"),
+          col("b").getField(idCol).as("id_b"))
+        .distinct())
     val sa = sigs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       col("__sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),

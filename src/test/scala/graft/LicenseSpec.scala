@@ -53,6 +53,44 @@ class LicenseSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
+  test("prescreened kernel ≡ rlike chain, fuzzed (incl. case perturbations, " +
+    "truncation boundary, superset-fold adversaries)") {
+    assert(License.prescreens.length === License.patterns.length)
+    // each prescreen literal must itself detect its pattern's id when laid
+    // into a doc verbatim (i.e. the literal really is implied text of the
+    // phrase, not an unrelated gate) — EXCEPT where an earlier pattern's
+    // phrase contains it (gpl's literal is a substring of agpl/lgpl's)
+    val phrases = License.prescreens
+    val rnd = new scala.util.Random(4242)
+    def perturbCase(s: String): String =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    val docs = (0 until 400).map { i =>
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      // 0-2 phrases, possibly case-perturbed, possibly truncated mid-phrase
+      (0 until rnd.nextInt(3)).foreach { _ =>
+        val p = phrases(rnd.nextInt(phrases.length))
+        val q = if (rnd.nextBoolean()) perturbCase(p) else p
+        parts += (if (rnd.nextInt(5) == 0) q.take(rnd.nextInt(q.length)) else q)
+      }
+      // padding that can push a phrase past the 4000-char head
+      if (rnd.nextInt(4) == 0)
+        parts.insert(0, "x" * (3900 + rnd.nextInt(300)))
+      // adversarial fold character: long s (U+017F) folds to 's' under
+      // regionMatches' Unicode fold but NOT under java (?i)'s ASCII fold
+      // -- the prescreen may hit, the regex confirm must still reject
+      if (rnd.nextInt(3) == 0)
+        parts += "Licen\u017Fed under the Apache Licen\u017Fe, Version 2.0 " +
+          "and Redi\u017Ftribution and u\u017Fe in \u017Fource and binary forms"
+      (i.toLong, parts.mkString(" \n "))
+    } :+ ((400L, null.asInstanceOf[String]))
+    val df = docs.toDF("id", "text")
+    val diff = df.select($"id",
+        License.detectCol($"text").as("kernel"),
+        License.detectColRlike($"text").as("chain"))
+      .filter(!($"kernel" <=> $"chain")).collect()
+    assert(diff.isEmpty, diff.take(5).mkString(", "))
+  }
+
   // ---- repo-level propagation ----------------------------------------------
 
   val mitHdr = "Permission is hereby granted, free of charge, to anyone"

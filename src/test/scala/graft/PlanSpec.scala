@@ -99,15 +99,21 @@ class PlanSpec extends SparkSpec {
       s"benchmark shingles not broadcast:\n$s")
   }
 
-  test("band self-joins honor the merge hint (never a static broadcast)") {
+  test("band candidates come from ONE grouping pass, never a self-join " +
+    "or cartesian; hot-set anti-join broadcasts only the hot keys") {
     import org.apache.spark.sql.functions.col
     // a range-derived frame reports tiny leaf stats — exactly the shape
-    // that once made the planner broadcast a data-sized self-join side
+    // that once made the planner broadcast a data-sized self-join side of
+    // the old band self-join; the r6 grouping-pass plan must not contain
+    // any join over the band frame at all (the only joins left are the
+    // hot-bucket LeftAnti — broadcast of the SMALL hot set — and the
+    // strategy-pinned candidate fetch)
     val docs = spark.range(500).selectExpr("id",
       "repeat(concat('word', cast(id % 7 as string), ' '), 30) as text")
     val s = plan(graft.dedup.Dedup.minHashPairs(docs, "id", "text"))
-    assert(s.contains("SortMergeJoin"),
-      s"band self-join lost its merge hint:\n$s")
+    assert(s.contains("collect_list"),
+      s"band grouping pass missing (self-join resurrected?):\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in band plan:\n$s")
   }
 
   test("chunkByLines is map-side: no Exchange anywhere in the plan") {
