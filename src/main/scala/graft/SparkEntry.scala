@@ -778,16 +778,14 @@ object SparkEntry {
         .select(xxhash64(col("repo"), col("path"), col("commit"),
           col("content")).as("id"), col("content").as("text"))
       val aux = s"$OracleAuxDir/passage_docs"
-      // NO coalesce(1): the oracle reads a glob, and the query itself
-      // re-reads this dump — a single-file dump is one parquet row group,
-      // which serializes passageDedup's k-window sha pass (the query's
-      // dominant cost) onto ONE scan task (guide §2.5 unsplittable-input
-      // skew); a multi-file dump restores scan parallelism on both engines
+      // coalesce(1) kept: an r6 multi-file-dump + fan-out experiment made
+      // the timed read SLOWER (1.18→1.5-1.7 s — per-file open/footer cost
+      // and an extra exchange outweigh the restored scan parallelism at
+      // 2,500 docs); measured, then reverted
       auxWrite(aux) {
-        base.write.mode("overwrite").parquet(aux)
+        base.coalesce(1).write.mode("overwrite").parquet(aux)
       }
-      graft.dedup.Dedup.passageDedup(fanOut(s.read.parquet(aux), col("id")),
-        "id", "text", k = 8)
+      graft.dedup.Dedup.passageDedup(s.read.parquet(aux), "id", "text", k = 8)
         .select(col("id"), col("text"), col("n_lines"), col("n_dropped"))
         .orderBy("id")
     }),
@@ -1897,30 +1895,15 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(3)) === 0,
           lit("\nHome | About | Contact")).otherwise(lit(""))).as("text"))
 
-  /** Rebalance a small single-split input across the session's cores
-    * before a per-row-expensive stage (MinHash/SimHash signatures, k-window
-    * sha passes): the test parquet is ONE row group per table, so every
-    * scan is one task and everything map-side after it serializes onto one
-    * core — guide §2.5's unsplittable-input skew. A deterministic hash
-    * repartition on the id restores parallelism (round-robin would pay the
-    * sort-before-repartition pass and is retry-unstable on no key).
-    * Scale-adaptive: the width is the session's default parallelism, never
-    * a constant; at real scale inputs arrive multi-split and callers skip
-    * this (the operators themselves never fan out — a 100 TB scan must not
-    * grow a content shuffle).
-    */
-  private def fanOut(df: DataFrame, by: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
-
   /** documents ∪ (documents with shifted ids) — every doc gains exactly one
-    * exact near-dup, giving dedup queries a known answer set. Fanned out
-    * (see [[fanOut]]): the downstream signature passes are the dedup
-    * queries' dominant map-side cost and the raw union is two scan tasks.
+    * exact near-dup, giving dedup queries a known answer set. Measured
+    * WITHOUT a fan-out repartition: at this fixture size the extra
+    * exchange costs more than the restored scan parallelism buys
+    * (r6 iteration: simhash 0.59→1.2 s WITH a fan-out).
     */
   private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
-    fanOut(d.unionByName(
-      d.select((col("id") + 1000000).as("id"), col("text"))), col("id"))
+    d.unionByName(d.select((col("id") + 1000000).as("id"), col("text")))
   }
 
   def oracleSql: Map[String, String] = {

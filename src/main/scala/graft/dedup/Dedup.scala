@@ -312,6 +312,11 @@ object Dedup {
           size(col("__ss")) - col("__i") - lit(1))).as("__b"))
       .select(least(col("__a"), col("__b")).as("a"),
         greatest(col("__a"), col("__b")).as("b"))
+      // strict orientation, like the self-join's id_a < id_b: an id that
+      // appears twice in one group (duplicate input ids) must not emit a
+      // self-pair. Callers pass single-id payloads (or payloads equal iff
+      // the id is equal), so struct equality IS id equality here.
+      .filter(col("a") =!= col("b"))
   }
 
   /** The numHashes affine coefficient pairs for a config — derived once,
@@ -1008,16 +1013,23 @@ object Dedup {
             .as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
-    // ONE grouping pass replaces the banded self-join (see
-    // pairsWithinGroups); the signature rides in the payload struct behind
-    // the id, so orientation (struct order = id order — ids are unique per
-    // bucket) and the verify both stay exactly the old plan's
-    pairsWithinGroups(banded0, Seq("band", "bucket"),
-      struct(col(idCol), col("simhash")), maxBucket)
-      .select(col("a").getField(idCol).as("id_a"),
-        col("b").getField(idCol).as("id_b"),
-        bit_count(col("a").getField("simhash")
-          .bitwiseXOR(col("b").getField("simhash"))).as("hamming"))
+    // kept as a MERGE-HINTED SELF-JOIN, not pairsWithinGroups: measured in
+    // r6, the grouping pass was SLOWER here (0.59→0.77 s at sf0.1) — with
+    // only maxDist+1 bands the posting volume is small, singleton buckets
+    // are rare (wide buckets collide often), and collect_list's
+    // ObjectHashAggregate falls back to sort-based past 128 keys, so the
+    // grouping pass pays the same sort the merge join does without the
+    // volume reduction that makes it win for 16-band MinHash
+    val banded = dropHotBuckets(banded0, maxBucket)
+    val l = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    // merge hint: see minHashPairs — self-join sides must never broadcast
+    l.hint("merge").join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -1094,21 +1106,20 @@ object Dedup {
       .transform(graft.util.Caches.track)
     val index = docs.select(col(idCol), explode(col("prefix")).as("g"),
       size(col("sh")).as("sz"))
-    // ONE grouping pass replaces the prefix-index self-join (see
-    // pairsWithinGroups). maxGroup=0: results must not be capped — prefix
-    // group sizes are bounded by the threshold-driven sparsity the PPJoin
-    // prefix rule provides, exactly the bound the uncapped self-join relied
-    // on. The length filter (jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune on
-    // two ints before touching the full shingle arrays) is symmetric, so it
-    // applies unchanged to the oriented pair.
+    val l = index.select(col("g"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val r = index.select(col("g"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    // length filter: jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prune candidates
+    // on two ints before touching the full shingle arrays. Kept as a
+    // MERGE-HINTED SELF-JOIN, not pairsWithinGroups: measured in r6 the
+    // grouping pass was SLOWER here (0.97→1.15 s at sf0.1) — the prefix
+    // index is already threshold-thinned, and collect_list's
+    // ObjectHashAggregate falls back to sort-based past 128 keys, so the
+    // grouping pass pays the merge join's sort without a volume win
     val cand = graft.util.Caches.track(
-      pairsWithinGroups(index, Seq("g"), struct(col(idCol), col("sz")),
-        maxGroup = 0)
-        .filter(col("a").getField("sz") >= col("b").getField("sz") * threshold &&
-          col("b").getField("sz") >= col("a").getField("sz") * threshold)
-        .select(col("a").getField(idCol).as("id_a"),
-          col("b").getField(idCol).as("id_b"))
-        .distinct())
+      l.hint("merge").join(r, Seq("g")).filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").distinct())
     val da = docs.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     // the shingle-array sides must never be the broadcast build

@@ -79,7 +79,16 @@ object Incremental {
     val sigs = graft.util.Caches.track(
       Dedup.minHashSignatures(base, "id", textCol, cfg))
     sigs.write.mode(mode).parquet(s"$dir/sigs")
+    // bands land in compactIndex's canonical layout from the FIRST write
+    // (guide §6: partitioning + sort order on write determine reader
+    // skipping): range-partitioned on (band, bucket) and bucket-sorted
+    // within files, so parquet row-group min/max stats prune bucket probes
+    // and each band directory holds a few contiguous-range files instead
+    // of one shard per upstream task. Probe results are layout-independent
+    // (IncrementalSpec pins probe equality across a compact).
     Dedup.lshBuckets(sigs, "id", cfg)
+      .repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket", "id")
       .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
     graft.util.Caches.release()
   }
