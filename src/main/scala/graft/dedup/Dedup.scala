@@ -425,20 +425,27 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val sigs = graft.util.Caches.track(minHashSignatures(df, idCol, textCol, cfg))
-    // cache the band frame: the hot-bucket count pass and the grouping
-    // pass both consume it — uncached, the 16×-explode + band hashing
-    // would run twice over the signature cache
-    val b = graft.util.Caches.track(lshBuckets(sigs, idCol, cfg))
-    // ONE grouping pass replaces the merge-hinted band self-join (two
-    // shuffles + two sorts of the band frame — see pairsWithinGroups);
-    // the hot-bucket cap is applied inside, identically to the old
-    // dropHotBuckets-then-join plan
+    // cache the pruned band frame: it feeds BOTH sides of the self-join
+    // (and the hot-bucket aggregation already read the raw explode), so an
+    // uncached plan recomputes the 16×-explode + band hashing four times
+    val b = graft.util.Caches.track(
+      dropHotBuckets(lshBuckets(sigs, idCol, cfg), cfg.maxBucket))
+    val left = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val right = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    // merge hint: both sides of a band self-join are data-sized; left to
+    // static estimates (range-derived corpora report a few MB at the leaf)
+    // the planner broadcasts one side and the build collect kills the
+    // driver at scale. Sort-merge spills at any size; AQE still handles
+    // skewed buckets. Kept as a SELF-JOIN, not pairsWithinGroups: measured
+    // at the flagship near-dup scale (3M docs, 41M band rows) the grouping
+    // pass was ~20% slower end-to-end (112 s vs 93.6 s interleaved) — at
+    // 16 bands the posting volume per doc is large and collect_list's
+    // sort-based-fallback aggregation beats the merge join's sorts only on
+    // small inputs, which this flagship path is not.
     val cand = graft.util.Caches.track(
-      pairsWithinGroups(b, Seq("band", "bucket"), struct(col(idCol)),
-        cfg.maxBucket)
-        .select(col("a").getField(idCol).as("id_a"),
-          col("b").getField(idCol).as("id_b"))
-        .distinct())
+      left.hint("merge").join(right, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
     // materialize + count to pick the signature-fetch strategy EXPLICITLY.
     // Left to static estimates the planner can broadcast the wrong side:
     // synthesized corpora descend from spark.range, whose leaf stats say

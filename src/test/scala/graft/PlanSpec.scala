@@ -99,21 +99,31 @@ class PlanSpec extends SparkSpec {
       s"benchmark shingles not broadcast:\n$s")
   }
 
-  test("band candidates come from ONE grouping pass, never a self-join " +
-    "or cartesian; hot-set anti-join broadcasts only the hot keys") {
+  test("band self-joins honor the merge hint (never a static broadcast)") {
     import org.apache.spark.sql.functions.col
     // a range-derived frame reports tiny leaf stats — exactly the shape
-    // that once made the planner broadcast a data-sized self-join side of
-    // the old band self-join; the r6 grouping-pass plan must not contain
-    // any join over the band frame at all (the only joins left are the
-    // hot-bucket LeftAnti — broadcast of the SMALL hot set — and the
-    // strategy-pinned candidate fetch)
+    // that once made the planner broadcast a data-sized self-join side
     val docs = spark.range(500).selectExpr("id",
       "repeat(concat('word', cast(id % 7 as string), ' '), 30) as text")
     val s = plan(graft.dedup.Dedup.minHashPairs(docs, "id", "text"))
+    assert(s.contains("SortMergeJoin"),
+      s"band self-join lost its merge hint:\n$s")
+  }
+
+  test("clone-pair candidates come from ONE grouping pass (no postings " +
+    "self-join), never a cartesian") {
+    import org.apache.spark.sql.functions.col
+    // the r6 clone/fork shape: postings are singleton-dominated, so the
+    // grouping pass (collect_list bounded by maxPostings) replaces the
+    // merge self-join — pin that it stays a grouping pass and that no
+    // static broadcast/cartesian sneaks in over the data-sized frame
+    val posts = spark.range(2000).selectExpr("id % 400 as id",
+      "cast(id % 700 as long) as fp")
+    val s = plan(graft.dedup.Dedup.clonePairsFromPosts(posts, minShared = 2))
     assert(s.contains("collect_list"),
-      s"band grouping pass missing (self-join resurrected?):\n$s")
-    assert(!s.contains("CartesianProduct"), s"cartesian in band plan:\n$s")
+      s"clone grouping pass missing (self-join resurrected?):\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian in clone plan:\n$s")
+    graft.util.Caches.release()
   }
 
   test("chunkByLines is map-side: no Exchange anywhere in the plan") {
