@@ -290,9 +290,12 @@ object Dedup {
     * payload structs — bounded task state at any corpus duplication level.
     * With `maxGroup = 0` the cap pass is skipped and group state is
     * unbounded, exactly as the uncapped self-join was quadratic — callers
-    * that pass 0 must bound group sizes themselves (the PPJoin prefix
-    * index relies on threshold-driven sparsity, and its results must not
-    * be capped).
+    * that pass 0 must bound group sizes themselves ([[ngramJaccardPairs]]
+    * does, via its freq prefilter). NOT used by [[minHashPairs]] /
+    * [[simHashPairs]] / [[ngramJaccardPairsPrefix]]: measured at their
+    * input shapes the self-join is as fast or faster (see the comments at
+    * each site) — this pass wins where postings are singleton-dominated
+    * (clone/fork fingerprints, cluster-local SemDeDup, embedding bands).
     *
     * `payload` must be a struct whose FIRST field is an id unique within
     * its group: struct ordering is lexicographic, so `least`/`greatest`

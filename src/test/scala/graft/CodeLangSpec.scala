@@ -65,8 +65,11 @@ class CodeLangSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
 
+  // ADVICE r5: this pins the SPARK side of the VT-parity fix; RE2-side
+  // parity itself is enforced by the external oracle gate (q_code_lang),
+  // which replays the same pattern in DuckDB
   test("shebang whitespace is the explicit [ \\t] class: U+000B is not " +
-    "whitespace, matching the RE2 oracle replay byte-for-byte") {
+    "whitespace (Spark side of the RE2-parity fix)") {
     // java \\s includes U+000B (vertical tab), RE2's does not. The old
     // \\s-based pattern would read "#!\u000Bpython" as interpreter
     // "python" in Spark but "unknown" in the DuckDB replay. With the
