@@ -136,7 +136,21 @@ object SparkEntry {
         tbl(s, dir, "lineitem")).countsDf),
 
     // ---- headline relational queries (scan/agg/join/window) --------------
-    "q1_agg" -> ((s, dir) =>
+    "q1_agg" -> ((s, dir) => {
+      // Money aggregates sum LONG cents/e4 instead of decimals (r6): the
+      // old sum(decimal(12,2)) result type is decimal(22,2) — past the
+      // 18-digit compact-long bound, so every partial-sum update walked a
+      // java BigDecimal, and this scan is single-task (one row group).
+      // PROVABLY the same integers: per row, dec(x) has exactly 2
+      // decimals, so (dec(x) * 100).cast(long) is the exact integer
+      // 100·dec(x) — the 100 multiplier is cast decimal(3,0) to keep the
+      // product at precision 16 (compact-long); distributivity of exact
+      // decimal arithmetic gives Σ trunc(dec_i·100) = (Σ dec_i)·100, and
+      // likewise cents(p)·cents(1-d) = 10⁴·(dec_p·dec_d) per row. The
+      // per-row decimal CASTS (the oracle-parity-critical step) are
+      // untouched. Verified hash-identical at sf0.001/0.01/0.1.
+      def cents(c: org.apache.spark.sql.Column) =
+        (dec(c) * lit(100).cast("decimal(3,0)")).cast("bigint")
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -144,19 +158,21 @@ object SparkEntry {
           // DuckDB rounds — identical only when the value is already integral
           round(sum(col("l_quantity"))).cast("bigint").as("sum_qty"),
           count(lit(1)).as("n_rows"),
-          (sum(dec(col("l_extendedprice"))) * 100).cast("bigint")
-            .as("price_cents"),
-          (sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
-            * 10000).cast("bigint").as("revenue_e4"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+          sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(cents(col("l_extendedprice")) *
+            cents(lit(1) - col("l_discount"))).as("revenue_e4"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     "q_join_agg" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val c = broadcast(tbl(s, dir, "customer"))
       o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          (sum(dec(col("o_totalprice"))) * 100).cast("bigint")
-            .as("total_cents"))
+          // long-cents sum — same provably-exact transform as q1_agg (the
+          // per-row decimal cast is untouched; Σ trunc(dec·100) = (Σ dec)·100)
+          sum((dec(col("o_totalprice")) * lit(100).cast("decimal(3,0)"))
+            .cast("bigint")).as("total_cents"))
         .orderBy(col("c_mktsegment"))
     }),
     "q_window_topn" -> ((s, dir) => {
