@@ -411,8 +411,11 @@ object Dedup {
     * materialization.
     */
   private[graft] def fetchPairSides(cand: DataFrame, sa: DataFrame,
-      sb: DataFrame): DataFrame = {
-    val nCand = cand.count()
+      sb: DataFrame,
+      /** precomputed cand count (callers that also need it for a
+        * downstream decision count once and share); -1 = count here */
+      nCandKnown: Long = -1L): DataFrame = {
+    val nCand = if (nCandKnown >= 0) nCandKnown else cand.count()
     val small = nCand <= BroadcastCandPairs
     graft.util.Diag.put("neardup.cand_pairs", nCand)
     graft.util.Diag.put("neardup.fetch_path",
@@ -534,7 +537,7 @@ object Dedup {
     if (nPairs == 0) return df
     val losers: DataFrame =
       if (nPairs <= collectPairs) {
-        val (parent, find) = driverUnionFind(edgeList)
+        val (parent, find) = driverUnionFind(edgeList.as[(Long, Long)].collect())
         // snapshot keys before the sweep: find() compresses paths (mutates
         // the map), which would CME a live forEach. Every non-root node has
         // a parent entry (it got one the moment it lost a union), so the
@@ -552,15 +555,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Driver-side union-find with path compression over an ids-only edge
-    * list (id_a, id_b). Returns the parent map and a `find` closure (which
-    * MUTATES the map — snapshot keys before sweeping). Union is by MIN
-    * ROOT, so every component's root is its min id — the same labeling the
+  /** Driver-side union-find with path compression over a COLLECTED
+    * ids-only edge array. Callers collect with ONE job (not
+    * toLocalIterator's job-per-partition — the bulk of
+    * q_semdedup/q_neardup_losers' r5 fixed cost) and only on the path
+    * where the edge total is ≤ collectPairs (≤ 2M pairs = 32 MB of ids —
+    * bounded). Returns the parent map and a `find` closure (which MUTATES
+    * the map — snapshot keys before sweeping). Union is by MIN ROOT, so
+    * every component's root is its min id — the same labeling the
     * distributed path converges to.
     */
-  private def driverUnionFind(edgeList: DataFrame): (java.util.HashMap[Long, Long], Long => Long) = {
-    val spark = edgeList.sparkSession
-    import spark.implicits._
+  private def driverUnionFind(edges: Array[(Long, Long)])
+      : (java.util.HashMap[Long, Long], Long => Long) = {
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -569,12 +575,7 @@ object Dedup {
       while (parent.getOrDefault(c, c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    // ONE collect job, not toLocalIterator: the iterator runs a separate
-    // Spark job PER PARTITION (tens of sequential driver round-trips on a
-    // 32-partition frame — the bulk of q_semdedup/q_neardup_losers' fixed
-    // cost), while both callers only take this path when the caller-counted
-    // edge total is ≤ collectPairs (≤ 2M pairs = 32 MB of ids — bounded)
-    edgeList.as[(Long, Long)].collect().foreach { case (a, b) =>
+    edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // min-id root ⇒ survivor = component min, same as label propagation
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
@@ -639,11 +640,22 @@ object Dedup {
     * `coalesce(lbl, id)` after an outer join.
     */
   def componentLabels(pairs: DataFrame, maxIters: Int = 25,
-      collectPairs: Long = DefaultCollectPairs): DataFrame = {
+      collectPairs: Long = DefaultCollectPairs,
+      /** caller-PROVEN upper bound on the pair count (e.g. the candidate
+        * count an upstream fetch already paid for — a filtered frame can
+        * only shrink). When it fits `collectPairs`, the convergence-probe
+        * count job is skipped: the driver path is about to collect the
+        * edges anyway, so ONE job materializes them and the true count
+        * comes from the array (r5 verdict item 4). -1 = unknown, count.
+        */
+      pairsAtMost: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edgeList = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    val nPairs = edgeList.count()
+    val bounded = pairsAtMost >= 0 && pairsAtMost <= collectPairs
+    val edges: Array[(Long, Long)] =
+      if (bounded) edgeList.as[(Long, Long)].collect() else null
+    val nPairs = if (bounded) edges.length.toLong else edgeList.count()
     graft.util.Diag.put("components.pairs", nPairs)
     graft.util.Diag.put("components.path",
       if (nPairs == 0) "none"
@@ -651,7 +663,8 @@ object Dedup {
       else "label_propagation")
     if (nPairs == 0) return spark.emptyDataset[(Long, Long)].toDF("id", "lbl")
     if (nPairs <= collectPairs) {
-      val (parent, find) = driverUnionFind(edgeList)
+      val (parent, find) = driverUnionFind(
+        if (edges != null) edges else edgeList.as[(Long, Long)].collect())
       val ids = new Array[Long](parent.size)
       val kit = parent.keySet().iterator(); var ki = 0
       while (kit.hasNext) { ids(ki) = kit.next(); ki += 1 }

@@ -265,11 +265,18 @@ object Similarity {
         .distinct())
     val sa = assigned.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val sb = assigned.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // cand counted ONCE, shared by the fetch-strategy gate AND the closure
+    // path gate: |pairs| ≤ |cand| (a filter only shrinks), so when the
+    // bound fits the union-find cutoff componentLabels skips its
+    // convergence-probe count and goes straight to the one collect it was
+    // about to run anyway — two driver jobs fewer per semDedup call
+    // (r5 verdict item 4)
+    val nCand = cand.count()
     val pairs = graft.util.Caches.track(
-      graft.dedup.Dedup.fetchPairSides(cand, sa, sb)
+      graft.dedup.Dedup.fetchPairSides(cand, sa, sb, nCandKnown = nCand)
         .filter(cosine(col("v_a"), col("v_b")) >= eps)
         .select("id_a", "id_b"))
-    val labels = graft.dedup.Dedup.componentLabels(pairs)
+    val labels = graft.dedup.Dedup.componentLabels(pairs, pairsAtMost = nCand)
     val labeled = assigned.drop(vecCol)
       .join(labels.withColumnRenamed("id", "__lid"),
         col(idCol) === col("__lid"), "left")
