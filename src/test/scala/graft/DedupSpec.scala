@@ -400,6 +400,36 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_._3).sum > 0L)
   }
 
+  test("passage window-sha kernel ≡ Column HOF twin, fuzzed") {
+    // adversarial shapes: trailing newlines (split -1 empties), all-blank
+    // windows (every java \s char incl. VT/FF), unicode multi-byte lines,
+    // docs shorter than k, empty docs, single-char lines
+    val rnd = new scala.util.Random(77)
+    val wsChars = " \t\u000B\f\r"
+    def line(): String = rnd.nextInt(6) match {
+      case 0 => ""
+      case 1 => wsChars.substring(rnd.nextInt(wsChars.length)) * (1 + rnd.nextInt(3))
+      case 2 => "日本語テキスト" + rnd.nextInt(3)
+      case 3 => "x"
+      case _ => s"val v${rnd.nextInt(5)} = ${rnd.nextInt(9)}"
+    }
+    val docs = (0L until 300L).map { i =>
+      val n = rnd.nextInt(12)
+      val t = (0 until n).map(_ => line()).mkString("\n") +
+        ("\n" * rnd.nextInt(3))
+      (i, t)
+    }.toDF("id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val typed = docs.select($"id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions(Dedup.windowShaRows(_, k))
+        .collect().toSet
+      val column = Dedup.windowShaRowsColumnTwin(docs, "id", "text", k)
+        .as[(Long, Int, String)].collect().toSet
+      assert(typed === column, s"k=$k mismatch")
+    }
+  }
+
   // ---- fork detection ------------------------------------------------------
 
   test("fork pairs: planted fork found, low-overlap pairs excluded") {
