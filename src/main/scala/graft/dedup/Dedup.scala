@@ -713,12 +713,16 @@ object Dedup {
     // cached: feeds BOTH the winner aggregation and the loser join stream —
     // uncached, the split+sha pass over content would run twice. The cache
     // holds (id,pos,sha) tuples (~80 B/paragraph), never the text.
+    // BINARY sha (unhex), not the 64-char hex string (guide §2.3 narrower
+    // types): __h only ever feeds equality (winner groupBy + loser join),
+    // and 32 raw bytes halve what the winner exchange, its sort keys and
+    // the cache carry per paragraph
     val keys = graft.util.Caches.track(df
       .select(col(idCol).cast("long").as("__id"),
         posexplode(parts).as(Seq("__pos", "__p")))
       .filter(length(trim(col("__p"))) >= minLen)
       .select(col("__id"), col("__pos"),
-        sha2(col("__p").cast("binary"), 256).as("__h")))
+        unhex(sha2(col("__p").cast("binary"), 256)).as("__h")))
     // winners: min (id,pos) per repeated hash — singleton hashes can have
     // no losers and are dropped before the join
     val firsts = keys.groupBy(col("__h"))
@@ -853,7 +857,7 @@ object Dedup {
 
   /** Typed k-line-window sha pass for [[passageDedup]]: per doc, split on
     * '\n' (limit -1 — trailing empties kept, same as the Column split),
-    * emit (id, start, sha256-hex) for every k-window containing at least
+    * emit (id, start, binary sha256) for every k-window containing at least
     * one non-whitespace char (java \s set). Equality with the Column form:
     * the window string is lines(i..i+k-1) joined by '\n'; UTF-8 of a
     * concatenation is the concatenation of UTF-8 pieces ('\n' = 0x0A), so
@@ -864,19 +868,8 @@ object Dedup {
     * line, not once per covering window.
     */
   private[graft] def windowShaRows(it: Iterator[(Long, String)], k: Int)
-      : Iterator[(Long, Int, String)] = {
+      : Iterator[(Long, Int, Array[Byte])] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val hexDigits = "0123456789abcdef".toCharArray
-    def toHex(b: Array[Byte]): String = {
-      val out = new Array[Char](b.length * 2)
-      var i = 0
-      while (i < b.length) {
-        out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
-        out(2 * i + 1) = hexDigits(b(i) & 0xf)
-        i += 1
-      }
-      new String(out)
-    }
     def nonBlank(s: String): Boolean = {
       var i = 0
       while (i < s.length) {
@@ -904,7 +897,7 @@ object Dedup {
         var cnt = 0
         var w = 0
         while (w < k) { if (nb(w)) cnt += 1; w += 1 }
-        val out = Vector.newBuilder[(Long, Int, String)]
+        val out = Vector.newBuilder[(Long, Int, Array[Byte])]
         var i = 0
         val last = n - k
         while (i <= last) {
@@ -917,7 +910,7 @@ object Dedup {
             md.update(bytes(i))
             var m = i + 1
             while (m < i + k) { md.update('\n'.toByte); md.update(bytes(m)); m += 1 }
-            out += ((id, i, toHex(md.digest())))
+            out += ((id, i, md.digest()))
           }
           i += 1
         }
@@ -942,7 +935,7 @@ object Dedup {
       s => s.getField("w").rlike("\\S"))
     df.select(col(idCol).cast("long").as("__id"), explode(windows).as("__s"))
       .select(col("__id"), col("__s").getField("pos").as("__pos"),
-        sha2(col("__s").getField("w").cast("binary"), 256).as("__h"))
+        unhex(sha2(col("__s").getField("w").cast("binary"), 256)).as("__h"))
   }
 
   // ---- fork detection (repo-overlap pairs) --------------------------------

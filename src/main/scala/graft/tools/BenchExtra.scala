@@ -85,9 +85,29 @@ object BenchExtra {
           println(f"extra.passagededup rows=$rows sec=$sec%.1f " +
             f"tp=${rows / sec}%.1f " +
             graft.util.Diag.snapshot().toSeq.sorted.mkString(" "))
+        case "paradedup" =>
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          def shot(r: Long): Double = {
+            val files = graft.corpus.CorpusGen
+              .files(spark, r, partitions = 4 * cpus).toDF()
+              .select(xxhash64(col("repo"), col("path"), col("commit"))
+                .as("id"), col("content").as("text"))
+            graft.util.Diag.clear()
+            val t0 = System.nanoTime()
+            graft.dedup.Dedup.paragraphDedup(files, "id", "text", sep = "\n")
+              .write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            graft.util.Caches.release()
+            sec
+          }
+          shot(50000L) // JIT warm-up
+          val sec = shot(rows)
+          println(f"extra.paradedup rows=$rows sec=$sec%.1f " +
+            f"tp=${rows / sec}%.1f " +
+            graft.util.Diag.snapshot().toSeq.sorted.mkString(" "))
         case other =>
           System.err.println(
-            s"unknown mode '$other' (neardup|minhash|passagededup)")
+            s"unknown mode '$other' (neardup|minhash|passagededup|paradedup)")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -423,9 +423,10 @@ class DedupSpec extends SparkSpec {
       val typed = docs.select($"id".cast("long"), $"text")
         .as[(Long, String)]
         .mapPartitions(Dedup.windowShaRows(_, k))
-        .collect().toSet
+        .collect().map { case (id, pos, h) => (id, pos, h.toSeq) }.toSet
       val column = Dedup.windowShaRowsColumnTwin(docs, "id", "text", k)
-        .as[(Long, Int, String)].collect().toSet
+        .as[(Long, Int, Array[Byte])].collect()
+        .map { case (id, pos, h) => (id, pos, h.toSeq) }.toSet
       assert(typed === column, s"k=$k mismatch")
     }
   }
