@@ -196,6 +196,12 @@ class DedupSpec extends SparkSpec {
       val viaLP = Dedup.componentLabels(pairs, collectPairs = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaUF === viaLP)
+      // the count-skipping bounded path (caller-proven pairsAtMost) must
+      // be byte-identical to the counted path — incl. a LOOSE bound
+      val viaBound = Dedup.componentLabels(pairs,
+          pairsAtMost = pairSet.length.toLong + 17L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaBound === viaUF)
       assert(viaUF.keySet === participants.toSet, "every participant labeled")
       // a component's label is a member of the component and its minimum:
       // every id's label must itself be labeled by itself
