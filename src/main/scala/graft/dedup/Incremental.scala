@@ -165,16 +165,29 @@ object Incremental {
       .select(col("id"), col("__text"))
     val sigs = graft.util.Caches.track(
       Dedup.minHashSignatures(rem, "id", "__text", cfg))
-    val newBands = Dedup.dropHotBuckets(
+    val newBands0 = Dedup.dropHotBuckets(
       Dedup.lshBuckets(sigs, "id", cfg), cfg.maxBucket)
       .select(col("band"), col("bucket"), col("id").as("id_a"))
+    // the BATCH's banded side broadcasts while bounded (nBatch × bands
+    // rows of three ints — the same already-counted gate the exact probe
+    // uses, tightened by the band multiplier): the band probe then runs
+    // map-side over the index scan with no shuffle or sort of either
+    // side. The INDEX side never broadcasts — it is corpus-sized. Beyond
+    // the gate both sides fall back to the merge join (spills at any
+    // size; static stats must never pick the build — see
+    // Dedup.fetchPairSides).
+    val bandSmall = nBatch * cfg.bands <= Dedup.BroadcastCandPairs
+    graft.util.Diag.put("incdedup.band_path",
+      if (bandSmall) "broadcast_batch" else "sort_merge")
+    val newBands =
+      if (bandSmall) broadcast(newBands0) else newBands0.hint("merge")
     val idxBands = Dedup.dropHotBuckets(
       spark.read.parquet(s"$dir/bands")
         .select(col("band"), col("bucket"), col("id")),
       cfg.maxBucket)
       .select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = graft.util.Caches.track(
-      newBands.hint("merge").join(idxBands, Seq("band", "bucket"))
+      newBands.join(idxBands, Seq("band", "bucket"))
         .select("id_a", "id_b").distinct())
     val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val sb = spark.read.parquet(s"$dir/sigs")

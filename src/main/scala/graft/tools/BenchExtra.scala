@@ -105,9 +105,52 @@ object BenchExtra {
           println(f"extra.paradedup rows=$rows sec=$sec%.1f " +
             f"tp=${rows / sec}%.1f " +
             graft.util.Diag.snapshot().toSeq.sorted.mkString(" "))
+        case "incprobe" =>
+          // decompose q_dedup_incremental's timed path: batch construction
+          // alone, then the full probe, over the same sf fixture shape
+          import org.apache.spark.sql.functions._
+          val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+            "/root/testdata/sf0.1")
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id").cast("long").as("id"), col("text"))
+          val idxDir = "/tmp/graft_extra_inc_index"
+          graft.dedup.Incremental.writeIndex(docs, "id", "text", idxDir)
+          val fresh = concat_ws(" ",
+            sha2(col("text").cast("binary"), 256),
+            sha2(concat(col("text"), lit("x")).cast("binary"), 256),
+            sha2(concat(col("text"), lit("y")).cast("binary"), 256),
+            sha2(concat(col("text"), lit("z")).cast("binary"), 256))
+          def batch = docs.filter(col("id") % 3 === 0)
+            .select((col("id") + 1000000L).as("id"), col("text"))
+            .unionByName(docs.filter(col("id") % 3 === 1)
+              .select((col("id") + 2000000L).as("id"),
+                concat(col("text"), lit("\n\n")).as("text")))
+            .unionByName(docs.filter(col("id") % 3 === 2)
+              .select((col("id") + 3000000L).as("id"), fresh.as("text")))
+          def timed(label: String)(body: => Unit): Unit = {
+            val t0 = System.nanoTime()
+            body
+            println(f"extra.incprobe.$label sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+            graft.util.Caches.release()
+          }
+          // warm-up
+          graft.dedup.Incremental.probe(batch, "id", "text", idxDir)
+            .write.format("noop").mode("overwrite").save()
+          graft.util.Caches.release()
+          timed("batch_noop") {
+            batch.write.format("noop").mode("overwrite").save()
+          }
+          timed("probe_full") {
+            graft.dedup.Incremental.probe(batch, "id", "text", idxDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed("probe_full2") {
+            graft.dedup.Incremental.probe(batch, "id", "text", idxDir)
+              .write.format("noop").mode("overwrite").save()
+          }
         case other =>
           System.err.println(
-            s"unknown mode '$other' (neardup|minhash|passagededup|paradedup)")
+            s"unknown mode '$other' (neardup|minhash|passagededup|paradedup|incprobe)")
           sys.exit(2)
       }
     } finally spark.stop()
